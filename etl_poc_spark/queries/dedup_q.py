@@ -1,0 +1,206 @@
+"""Deduplication queries (north-star extensions, SURVEY.md §7 phase 5).
+
+The driver corpus has no natural duplicates, so each query deterministically
+constructs a duplicated corpus inside the query itself (documents UNION ALL a
+perturbed subset shifted to doc_id + 100000) — both engines build the same
+corpus, and the dedup operators then have real work to do whose output is
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_poc_spark.io import load_table
+from etl_poc_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_docs,
+    verify_jaccard,
+)
+from etl_poc_spark.registry import query
+
+# corpus with exact duplicates: every doc_id % 5 == 0 doc appears twice
+DUP_CORPUS_CTE = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    )
+"""
+
+# corpus with near-duplicates: doc_id % 10 == 0 docs reappear with the first
+# word dropped (jaccard over 3-gram shingles ~ (n-1)/n, well above 0.8)
+NEAR_DUP_CORPUS_CTE = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 2,
+                             len(string_split_regex(trim(text), '\\s+'))), ' ') AS text
+      FROM documents
+      WHERE doc_id % 10 = 0
+        AND len(string_split_regex(trim(text), '\\s+')) >= 5
+    )
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 5 == 0).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return d.unionByName(dups)
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    perturbed = (
+        d.filter((F.col("doc_id") % 10 == 0) & (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 5))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(words, 2, F.size(words) - 1)).alias("text"),
+        )
+    )
+    return d.unionByName(perturbed)
+
+
+@query(
+    "exact_dedup_groups",
+    oracle=DUP_CORPUS_CTE + """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS min_doc_id, COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one shuffle on the 128-bit hash
+    (not the full text — at 100 TB you never shuffle document bodies)."""
+    corpus = _dup_corpus(spark, sf_dir).select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+    return exact_dedup(corpus, ["text_hash"], "doc_id").filter(F.col("n_copies") > 1)
+
+
+@query(
+    "exact_dedup_stats",
+    oracle=DUP_CORPUS_CTE + """
+    SELECT COUNT(*) AS total_docs,
+           COUNT(DISTINCT md5(text)) AS distinct_docs,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_duplicates
+    FROM corpus
+    """,
+)
+def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup summary stats: total vs distinct content hashes."""
+    corpus = _dup_corpus(spark, sf_dir)
+    h = F.md5(F.col("text"))
+    return corpus.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct(h).alias("distinct_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_duplicates"),
+    )
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=NEAR_DUP_CORPUS_CTE + """
+    , w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM corpus
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] AS shingle
+      FROM (SELECT doc_id, words, unnest(range(0, len(words) - 2)) AS i FROM w)
+    ), mh AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed
+    ), banded AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             string_agg(CAST(seed AS VARCHAR) || ':' || minhash, ''
+                        ORDER BY CAST(seed AS VARCHAR) || ':' || minhash) AS band_val
+      FROM mh GROUP BY doc_id, CAST(seed // 2 AS INT)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 1000 >= 800 * (sa.n_sh + sb.n_sh - i.n_inter)
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands x 2 rows) near-dup pairs at jaccard >= 0.8,
+    verified exactly on candidates. The bucket self-join keeps the pair
+    space linear in bucket occupancy — the standard web-scale dedup shape.
+    (Production hash_mode='xxhash64' variant benched separately.)"""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    # the shingle and band frames each feed two plan branches (self-join /
+    # verify); persist so the expensive md5+explode pipeline runs once —
+    # at cluster scale these would be checkpointed parquet stage tables
+    sh = shingle_docs(corpus, "doc_id", "text", shingle_words=3).persist()
+    sig = minhash_signatures(sh, "doc_id", n_hashes=8, hash_mode="md5")
+    pairs = lsh_candidate_pairs(sig, "doc_id", rows_per_band=2)
+    return verify_jaccard(sh, pairs, "doc_id", threshold=0.8)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=NEAR_DUP_CORPUS_CTE + """
+    , w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM corpus
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] || ' ' || words[i + 4] || ' ' || words[i + 5] AS shingle
+      FROM (SELECT doc_id, words, unnest(range(0, len(words) - 4)) AS i FROM w)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 1000 >= 500 * (sa.n_sh + sb.n_sh - i.n_inter)
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs word-5-gram jaccard at >= 0.5 via an inverted shingle index
+    (shingle equi-join), not an O(n^2) cross join: only docs sharing a
+    shingle ever meet. 5-gram shingles keep the index selective."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sh = shingle_docs(corpus, "doc_id", "text", shingle_words=5).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .filter(F.col("n_inter") * 1000 >= 500 * F.col("n_union"))
+        .select("id_a", "id_b", (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias("jaccard"))
+    )

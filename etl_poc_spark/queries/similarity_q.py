@@ -1,0 +1,134 @@
+"""Similarity-search queries over the `embeddings` table (north-star).
+
+Dot products accumulate in DECIMAL (exact, order-independent) so cosine
+values are bit-identical between Spark and the DuckDB oracle — see
+operators/similarity.py for the expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_poc_spark.io import load_table
+from etl_poc_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+from etl_poc_spark.registry import query
+
+# DuckDB fragment: exact decimal dot product between two list<float> columns
+# expanded positionally. {a}/{b} are column refs.
+_DOT_SQL = (
+    "CAST(SUM(CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE)"
+)
+
+
+@query(
+    "embedding_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    b AS (SELECT vec_id AS neighbor_id, embedding AS bv FROM embeddings WHERE vec_id >= 10),
+    expanded AS (
+      SELECT query_id, neighbor_id, qv, bv, unnest(range(1, 65)) AS i
+      FROM q CROSS JOIN b
+    ), dots AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS qn2,
+             CAST(SUM(CAST(CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS bn2
+      FROM expanded GROUP BY query_id, neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (sqrt(qn2) * sqrt(bn2)), 7) AS cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(dot / (sqrt(qn2) * sqrt(bn2)), 7) DESC, neighbor_id) AS rank
+      FROM dots
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5: 10 query vectors (vec_id < 10)
+    against the rest. Query side broadcast; base side scanned once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    b = emb.filter(F.col("vec_id") >= 10)
+    return cosine_topk(q, b, k=5)
+
+
+@query(
+    "embedding_ivf_topk",
+    oracle="""
+    WITH tagged AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM tagged WHERE vec_id < 10),
+    b AS (SELECT vec_id AS neighbor_id, embedding AS bv, bucket FROM tagged WHERE vec_id >= 10),
+    expanded AS (
+      SELECT query_id, neighbor_id, qv, bv, unnest(range(1, 65)) AS i
+      FROM q JOIN b USING (bucket)
+    ), dots AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS qn2,
+             CAST(SUM(CAST(CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS bn2
+      FROM expanded GROUP BY query_id, neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (sqrt(qn2) * sqrt(bn2)), 7) AS cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(dot / (sqrt(qn2) * sqrt(bn2)), 7) DESC, neighbor_id) AS rank
+      FROM dots
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5: sign-bit coarse quantizer (6 bits ->
+    64 buckets), queries probe only their own bucket. The cross join becomes
+    an equi-join on bucket — the scale path for ANN over billions of rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    b = emb.filter(F.col("vec_id") >= 10)
+    return ivf_cosine_topk(q, b, k=5, n_bits=6)
+
+
+@query(
+    "embedding_label_centroid_sim",
+    oracle="""
+    WITH expanded AS (
+      SELECT label, vec_id, unnest(range(1, 65)) AS i, embedding
+      FROM embeddings
+    ), by_dim AS (
+      SELECT label, i,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE)
+               / COUNT(*) AS centroid_val
+      FROM expanded GROUP BY label, i
+    )
+    SELECT label,
+           CAST(SUM(CAST(centroid_val * centroid_val AS DECIMAL(25,15))) AS DOUBLE) AS centroid_norm2,
+           COUNT(*) AS dim
+    FROM by_dim GROUP BY label
+    """,
+)
+def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid computation (the IVF training step): positional
+    explode -> exact per-dimension mean -> centroid norm. Demonstrates
+    vector aggregation without UDFs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expanded = emb.select("label", "vec_id", F.posexplode(F.col("embedding")).alias("i0", "x"))
+    by_dim = (
+        expanded.groupBy("label", (F.col("i0") + 1).alias("i"))
+        .agg(
+            (F.sum(F.col("x").cast("double").cast("decimal(25,15)")).cast("double") / F.count(F.lit(1))).alias("centroid_val")
+        )
+    )
+    return by_dim.groupBy("label").agg(
+        F.sum((F.col("centroid_val") * F.col("centroid_val")).cast("decimal(25,15)")).cast("double").alias("centroid_norm2"),
+        F.count(F.lit(1)).alias("dim"),
+    )

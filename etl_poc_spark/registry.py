@@ -1,0 +1,47 @@
+"""Central query registry.
+
+Every implemented operator from SURVEY.md §2 registers here as a named query:
+a Spark callable `(spark, sf_dir) -> DataFrame` plus (when SQL-expressible)
+the equivalent DuckDB oracle SQL. `__spark_entry__.queries()`/`oracle_sql()`
+read straight from this registry, as does the local self-check harness
+(tools/check_oracle.py) and the benchmark (bench.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; `oracle` is DuckDB SQL over the pre-registered views
+    (region nation customer supplier part orders lineitem events documents
+    embeddings). Omit for genuinely non-SQL-expressible operators — the
+    driver then records a weaker rows-only check."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module so registration side effects run."""
+    from etl_poc_spark.queries import (  # noqa: F401
+        dedup_q,
+        documents_q,
+        events_q,
+        relational,
+        similarity_q,
+    )

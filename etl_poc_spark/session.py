@@ -1,0 +1,42 @@
+"""SparkSession factory.
+
+Defaults are tuned for the test environment (single-JVM local[N]) but every
+setting is chosen to also be the right call on a large cluster:
+
+- AQE on (runtime join selection, skew splitting, partition coalescing) —
+  essential at 100 TB where static planning misjudges sizes.
+- shuffle.partitions sized to cores locally; on a real cluster AQE coalescing
+  makes the initial number far less sensitive.
+- Arrow enabled for every pandas interchange (mapInPandas / applyInPandas /
+  toPandas) — the LLM/dedup operators live on that path.
+- UTC session timezone so timestamp semantics are stable across engines
+  (the DuckDB oracle compares timestamp-derived values).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "etl_poc_spark", cpus: int | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

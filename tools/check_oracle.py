@@ -1,0 +1,128 @@
+"""Local replica of the driver's correctness gate.
+
+For each registered query: run the Spark DataFrame and the DuckDB oracle on
+the same parquet tables, then compare row count, column names (sorted), and
+values (rows sorted by every column — order-insensitive, exact equality; for
+floats, bit-level equality is the goal and any nonzero diff is reported).
+
+Usage:
+    python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    from etl_poc_spark.io import TABLES, table_path
+
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duckdb={len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns: spark={s_cols} duckdb={d_cols}")
+        return problems
+    if problems:
+        return problems
+    s, d = canon(spark_pdf), canon(duck_pdf)
+    for col in s.columns:
+        sv, dv = s[col], d[col]
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            sa = sv.astype(float).to_numpy()
+            da = dv.astype(float).to_numpy()
+            import numpy as np
+
+            both_nan = pd.isna(sa) & pd.isna(da)
+            neq = ~both_nan & (sa != da)
+            if neq.any():
+                idx = int(np.argmax(neq))
+                maxdiff = float(np.nanmax(np.abs(sa - da)))
+                problems.append(
+                    f"col {col}: {int(neq.sum())} float mismatches, max abs diff {maxdiff:.3e} "
+                    f"(first at row {idx}: spark={sa[idx]!r} duckdb={da[idx]!r})"
+                )
+        else:
+            sv2 = sv.astype(str)
+            dv2 = dv.astype(str)
+            neq = (sv2 != dv2).to_numpy()
+            if neq.any():
+                import numpy as np
+
+                idx = int(np.argmax(neq))
+                problems.append(
+                    f"col {col}: {int(neq.sum())} mismatches (first at row {idx}: "
+                    f"spark={sv.iloc[idx]!r} duckdb={dv.iloc[idx]!r})"
+                )
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    from etl_poc_spark import registry
+    from etl_poc_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("oracle_check")
+    con = duckdb_conn(args.sf_dir)
+
+    names = args.queries or sorted(registry.QUERIES)
+    n_fail = 0
+    for name in names:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        try:
+            spark_pdf = fn(spark, args.sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        t_spark = time.perf_counter() - t0
+        if name not in registry.ORACLES:
+            print(f"skip  {name}: no oracle (rows-only) — {len(spark_pdf)} rows, {t_spark:.1f}s")
+            continue
+        try:
+            duck_pdf = con.sql(registry.ORACLES[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL  {name} ({len(spark_pdf)} rows, {t_spark:.1f}s)")
+            for p in problems:
+                print(f"      - {p}")
+        else:
+            print(f"ok    {name} ({len(spark_pdf)} rows, {t_spark:.1f}s)")
+    print(f"\n{len(names) - n_fail}/{len(names)} passed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
