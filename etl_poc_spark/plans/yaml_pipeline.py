@@ -1,0 +1,163 @@
+"""YAML pipeline front-end: translate a DocETL-shaped config into a chained
+DataFrame program (SURVEY.md §3.4, §4.3.2).
+
+Config shape (mirroring the reference's
+docetl/config/article_pipeline.yaml.j2):
+
+    default_model: stub
+    datasets:
+      papers: {type: file, source: local, path: /x.json, format: json|parquet}
+    operations:
+      - {name: chunk, type: split, split_key: text, chunk_size: 40, chunk_overlap: 10}
+      - {name: extract, type: map, prompt: "... {{ input.text }} ...",
+         output_schema: {title: string, ...}, validate: ["len(output['title']) > 0"],
+         num_retries_on_validate_failure: 2}
+      - {name: synthesize, type: reduce, reduce_key: doc_id, prompt: "...",
+         output_schema: {...}}
+      - {name: keep_good, type: filter, condition: "wc > 200"}   # engine extension
+    pipeline:
+      steps: [{name: s1, input: papers, operations: [chunk, extract]}]
+      output: {type: file, path: /out, intermediate_dir: /tmp/int}
+
+Static validation mirrors the reference's DocETLOperator checks
+(airflow/plugins/docetl_operator.py:126-158): default_model present,
+non-empty operations, each op has name/type (+prompt for LLM ops).
+
+Execution is lazy DataFrame chaining; `intermediate_dir` opts into
+per-step parquet checkpoints (S8) — the scale-friendly equivalent of the
+reference's per-op JSON intermediates.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_poc_spark.llm.ops import llm_map, llm_reduce
+from etl_poc_spark.llm.provider import LLMProvider, StubProvider
+from etl_poc_spark.operators.chunker import chunk_by_tokens
+from etl_poc_spark.plans.schema_grammar import to_struct_type
+
+LLM_OP_TYPES = {"map", "reduce"}
+
+
+class PipelineConfigError(ValueError):
+    pass
+
+
+def validate_config(config: dict[str, Any]) -> None:
+    if not isinstance(config, dict):
+        raise PipelineConfigError("config must be a mapping")
+    if not config.get("default_model"):
+        raise PipelineConfigError("missing required key: default_model")
+    ops = config.get("operations")
+    if not ops:
+        raise PipelineConfigError("operations must be a non-empty list")
+    for op in ops:
+        for key in ("name", "type"):
+            if not op.get(key):
+                raise PipelineConfigError(f"operation missing required key {key!r}: {op}")
+        if op["type"] in LLM_OP_TYPES and not op.get("prompt"):
+            raise PipelineConfigError(f"LLM operation {op['name']!r} missing required key 'prompt'")
+    pipeline = config.get("pipeline") or {}
+    steps = pipeline.get("steps")
+    if not steps:
+        raise PipelineConfigError("pipeline.steps must be a non-empty list")
+    known = {op["name"] for op in ops}
+    datasets = set(config.get("datasets") or {})
+    for step in steps:
+        if step.get("input") not in datasets and step.get("input") not in {s.get("name") for s in steps}:
+            raise PipelineConfigError(f"step {step.get('name')!r} references unknown input {step.get('input')!r}")
+        for op_name in step.get("operations", []):
+            if op_name not in known:
+                raise PipelineConfigError(f"step {step.get('name')!r} references unknown operation {op_name!r}")
+
+
+def _load_dataset(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
+    fmt = spec.get("format") or ("parquet" if str(spec.get("path", "")).endswith(".parquet") else "json")
+    path = spec["path"]
+    if fmt == "json":
+        return spark.read.option("multiLine", True).json(path)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "binaryFile":
+        return spark.read.format("binaryFile").load(path)
+    raise PipelineConfigError(f"unknown dataset format {fmt!r}")
+
+
+def _apply_op(df: DataFrame, op: dict[str, Any], provider: LLMProvider) -> DataFrame:
+    t = op["type"]
+    if t == "split":
+        return chunk_by_tokens(
+            df,
+            text_col=op.get("split_key", "text"),
+            chunk_size=int(op.get("chunk_size", 40)),
+            chunk_overlap=int(op.get("chunk_overlap", 10)),
+        )
+    if t == "map":
+        return llm_map(
+            df,
+            prompt_template=op["prompt"],
+            output_schema=to_struct_type(op.get("output_schema") or {}),
+            provider=provider,
+            validators=tuple(op.get("validate") or ()),
+            max_retries=int(op.get("num_retries_on_validate_failure", 2)),
+        )
+    if t == "reduce":
+        key = op.get("reduce_key", "doc_id")
+        keys = key if isinstance(key, list) else [key]
+        return llm_reduce(
+            df,
+            group_cols=keys,
+            prompt_template=op["prompt"],
+            output_schema=to_struct_type(op.get("output_schema") or {}),
+            provider=provider,
+            text_col=op.get("text_key", "chunk_text"),
+            order_col=op.get("order_key", "chunk_id"),
+            validators=tuple(op.get("validate") or ()),
+            max_retries=int(op.get("num_retries_on_validate_failure", 2)),
+        )
+    if t == "filter":
+        return df.filter(op["condition"])
+    if t == "select":
+        return df.selectExpr(*op["columns"])
+    raise PipelineConfigError(f"unknown operation type {t!r}")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    config: dict[str, Any],
+    provider: LLMProvider | None = None,
+    datasets: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
+    """Execute the config; returns {step_name: DataFrame} with '__final__'
+    aliasing the last step. `datasets` may inject pre-built DataFrames
+    (overriding file specs) — used by tests and by callers composing with
+    other operators."""
+    validate_config(config)
+    provider = provider or StubProvider()
+    ops_by_name = {op["name"]: op for op in config["operations"]}
+    frames: dict[str, DataFrame] = dict(datasets or {})
+    for name, spec in (config.get("datasets") or {}).items():
+        if name not in frames:
+            frames[name] = _load_dataset(spark, spec)
+
+    intermediate_dir = (config.get("pipeline", {}).get("output") or {}).get("intermediate_dir")
+    out: dict[str, DataFrame] = {}
+    last: DataFrame | None = None
+    for step in config["pipeline"]["steps"]:
+        df = frames[step["input"]] if step.get("input") in frames else out[step["input"]]
+        for op_name in step.get("operations", []):
+            df = _apply_op(df, ops_by_name[op_name], provider)
+        if intermediate_dir:
+            ckpt = os.path.join(intermediate_dir, step["name"])
+            df.write.mode("overwrite").parquet(ckpt)
+            df = spark.read.parquet(ckpt)
+        out[step["name"]] = df
+        last = df
+    assert last is not None
+    out["__final__"] = last
+    return out

@@ -1,0 +1,165 @@
+"""Remaining SURVEY §2 surface: log parsing (F3), stdout heuristics (F4),
+set operations (§2.7), rank-family windows (§2.5), approximate aggregates
+(§2.4 ABSENT-category surface, rows-only check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_poc_spark.io import load_table
+from etl_poc_spark.registry import query
+
+# deterministic synthetic docetl-style stdout lines derived from doc_id —
+# both engines construct the identical corpus, then parse it back
+_LINES_SQL = """
+    WITH logs AS (
+      SELECT doc_id,
+             '✓ op_' || CAST(doc_id % 5 AS VARCHAR) || ' (Cost: $'
+               || CAST(doc_id // 100 AS VARCHAR) || '.'
+               || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ')' AS line
+      FROM documents
+    )
+"""
+
+
+@query(
+    "cost_log_parsing",
+    oracle=_LINES_SQL + """
+    SELECT regexp_extract(line, '✓ (\\S+) \\(Cost: \\$([0-9.]+)\\)', 1) AS op,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(regexp_extract(line, '✓ (\\S+) \\(Cost: \\$([0-9.]+)\\)', 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_cost
+    FROM logs
+    GROUP BY 1
+    """,
+)
+def cost_log_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: the reference scrapes per-op cost from docetl stdout with regexes
+    (zara_hybrid_etl.py:39-75). Reproduced as a lines-DF regexp_extract +
+    exact decimal cost aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit("✓ op_"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(" (Cost: $"), F.expr("CAST(doc_id DIV 100 AS STRING)"),
+        F.lit("."), F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"), F.lit(")"),
+    )
+    logs = d.select("doc_id", line.alias("line"))
+    pat = r"✓ (\S+) \(Cost: \$([0-9.]+)\)"
+    return (
+        logs.groupBy(F.regexp_extract("line", pat, 1).alias("op"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.regexp_extract("line", pat, 2).cast("decimal(18,2)")).cast("double").alias("total_cost"),
+        )
+    )
+
+
+@query(
+    "stdout_heuristics",
+    oracle="""
+    WITH logs AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'ERROR: failed to process item ' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN 'Warning: slow response'
+               WHEN 2 THEN 'Successfully processed ' || CAST(doc_id AS VARCHAR) || ' items'
+               ELSE 'info: ok' END AS line
+      FROM documents
+    )
+    SELECT SUM(CASE WHEN strpos(lower(line), 'error') > 0 THEN 1 ELSE 0 END) AS n_error,
+           SUM(CASE WHEN strpos(lower(line), 'warning') > 0 THEN 1 ELSE 0 END) AS n_warning,
+           SUM(CASE WHEN strpos(lower(line), 'success') > 0 THEN 1 ELSE 0 END) AS n_success,
+           COUNT(*) AS n_lines
+    FROM logs
+    """,
+)
+def stdout_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: contains-error/warning/success stdout flags
+    (docetl_operator.py:297-317)."""
+    d = load_table(spark, sf_dir, "documents")
+    line = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("ERROR: failed to process item "), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 1, F.lit("Warning: slow response"))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("Successfully processed "), F.col("doc_id").cast("string"), F.lit(" items")))
+        .otherwise(F.lit("info: ok"))
+    )
+    logs = d.select(line.alias("line"))
+
+    def flag(s: str) -> F.Column:
+        return F.sum(F.when(F.instr(F.lower(F.col("line")), s) > 0, F.lit(1)).otherwise(F.lit(0)))
+
+    return logs.agg(
+        flag("error").alias("n_error"),
+        flag("warning").alias("n_warning"),
+        flag("success").alias("n_success"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "order_year_setops",
+    oracle="""
+    SELECT 'both_years' AS bucket, COUNT(*) AS n_customers FROM (
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    UNION ALL
+    SELECT 'only_1995' AS bucket, COUNT(*) AS n_customers FROM (
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    """,
+)
+def order_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 intersect/except surface: customers ordering in both 1995 and
+    1996 vs only 1995. Spark plans these as semi/anti joins over distinct
+    keys — no row explosion."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")).select("o_custkey")
+    y96 = o.filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")).select("o_custkey")
+    both = y95.intersect(y96).agg(F.count(F.lit(1)).alias("n_customers")).select(F.lit("both_years").alias("bucket"), "n_customers")
+    only95 = y95.subtract(y96).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("only_1995").alias("bucket"), "n_customers"
+    )
+    return both.unionByName(only95)
+
+
+@query(
+    "customer_balance_ranks",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk,
+           percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS prnk
+    FROM customer
+    """,
+)
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 rank family: rank / dense_rank / percent_rank over per-segment
+    balance ordering (rank values are deterministic under ties even though
+    row order is not — only rank columns are emitted)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+    )
+
+
+@query("approx_distinct_parts")  # no oracle: HLL sketches are engine-specific (rows-only check)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 approximate aggregates: approx_count_distinct (HyperLogLog++)
+    next to the exact count. No DuckDB oracle — sketch implementations
+    differ by design; tests assert <5% relative error instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -42,6 +42,8 @@ def load_all() -> None:
         dedup_q,
         documents_q,
         events_q,
+        misc_q,
+        pipeline_q,
         relational,
         similarity_q,
     )
