@@ -173,3 +173,8 @@ def llm_reduce(
         return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
 
     return df.groupBy(*group_cols).applyInPandas(fold, schema=out_schema)
+
+
+from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)

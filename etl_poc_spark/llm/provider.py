@@ -105,3 +105,8 @@ def get_provider(name: str = "stub", **kwargs: Any):
             "pass the instance directly to llm_map/llm_reduce"
         )
     raise ValueError(f"unknown provider {name!r}")
+
+
+from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)

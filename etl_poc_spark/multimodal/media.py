@@ -105,3 +105,8 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
         .filter(F.col("__n_frames") > 0)
         .select("path", F.posexplode(idx).alias("sample_idx", "frame_idx"))
     )
+
+
+from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)

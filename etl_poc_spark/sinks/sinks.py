@@ -93,3 +93,8 @@ def write_error_record(error: Exception, context: dict[str, Any], errors_dir: st
             default=str,
         )
     return path
+
+
+from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)

@@ -1,0 +1,88 @@
+"""LLM cache (anti-join) + PDF source operator tests."""
+
+from __future__ import annotations
+
+from etl_poc_spark.llm.cache import cached_llm_map
+from etl_poc_spark.llm.provider import StubProvider
+from etl_poc_spark.plans.schema_grammar import to_struct_type
+from etl_poc_spark.sources.arxiv import ArxivSource
+from etl_poc_spark.sources.pdf import apply_parsing_tool, download_pdfs, extract_pdf_text
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class CountingProvider(StubProvider):
+    """Stub that counts completions via a class attribute (picklable)."""
+
+    counts: dict[str, int] = {}
+
+    def __init__(self, tag: str):
+        self.tag = tag
+
+    def complete(self, prompt, record, output_fields):
+        CountingProvider.counts[self.tag] = CountingProvider.counts.get(self.tag, 0) + 1
+        return super().complete(prompt, record, output_fields)
+
+
+def test_cached_llm_map_hits_skip_provider(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"text number {i} with words") for i in range(10)], "doc_id int, text string")
+    schema = to_struct_type({"title": "string"})
+    cache = str(tmp_path / "llm_cache")
+
+    out1 = cached_llm_map(df, "Extract {{ input.text }}", schema, cache, provider=StubProvider())
+    assert out1.count() == 10
+
+    # second run over a superset: only the 5 new rows miss
+    df2 = spark.createDataFrame([(i, f"text number {i} with words") for i in range(15)], "doc_id int, text string")
+    out2 = cached_llm_map(df2, "Extract {{ input.text }}", schema, cache, provider=StubProvider())
+    assert out2.count() == 15
+    cached_rows = spark.read.parquet(cache).count()
+    assert cached_rows == 15  # 10 + 5 appended, no duplicates
+
+    # results identical whether served from cache or fresh
+    titles = {r["doc_id"]: r["title"] for r in out2.collect()}
+    assert titles[3] == "text number 3 with words"
+
+    # different template -> full miss (cache grows by 15)
+    out3 = cached_llm_map(df2, "DIFFERENT {{ input.text }}", schema, cache, provider=StubProvider())
+    assert out3.count() == 15
+    assert spark.read.parquet(cache).count() == 30
+
+
+def test_download_pdfs_idempotent(spark, tmp_path):
+    src = ArxivSource()
+    papers = src.search(spark, "cs.AI", 5)
+    out = str(tmp_path / "pdfs")
+    first = download_pdfs(papers, out).select("arxiv_id", "pdf_path", "was_cached").collect()
+    assert all(not r["was_cached"] for r in first)
+    second = download_pdfs(papers, out).select("was_cached").collect()
+    assert all(r["was_cached"] for r in second)  # skip-if-exists >= 1KB
+
+
+def test_extract_pdf_text_stub_roundtrip(spark, tmp_path):
+    src = ArxivSource()
+    papers = src.search(spark, "cs.LG", 3)
+    out = str(tmp_path / "pdfs")
+    assert download_pdfs(papers, out).count() == 3  # force the downloads
+    # read back through binaryFile, join to metadata, extract text
+    files = spark.read.format("binaryFile").load(out)
+    texts = extract_pdf_text(files.select("path", "content")).collect()
+    assert len(texts) == 3
+    for r in texts:
+        assert r["full_text"].startswith("Page 0 of ")
+        assert "\n\n" in r["full_text"]  # page separator
+        assert not r["text_too_short"]
+
+
+def test_parsing_tool_registry_fanout(spark):
+    df = spark.createDataFrame([(1, "line one\n\nline two\nline three")], "doc_id int, full_text string")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("line_no", T.IntegerType()),
+            T.StructField("line", T.StringType()),
+        ]
+    )
+    out = apply_parsing_tool(df, "split_lines", schema).collect()
+    assert [r["line"] for r in sorted(out, key=lambda r: r["line_no"])] == ["line one", "line two", "line three"]

@@ -1,0 +1,65 @@
+"""Plan-quality regression tests: keep the physical-plan properties that
+matter at scale (SCALING.md) true as the code evolves."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_poc_spark import registry
+
+registry.load_all()
+
+
+def formatted_plan(spark, name, sf_dir) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    p = formatted_plan(spark, "pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: projection never reads unused columns
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    # partial aggregation before the exchange (map-side combine)
+    assert p.index("HashAggregate") < p.index("Exchange")
+
+
+def test_top_revenue_orders_broadcasts_and_topk(spark, sf_dir):
+    p = formatted_plan(spark, "top_revenue_orders", sf_dir)
+    assert p.count("BroadcastHashJoin") >= 1  # dim side broadcast
+    assert "TakeOrderedAndProject" in p  # top-k, not global sort
+    assert "EqualTo(c_mktsegment,BUILDING)" in p  # dim filter pushed to scan
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    p = formatted_plan(spark, "order_lineitem_semi_anti", sf_dir)
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_dedup_uses_cached_shingles(spark, sf_dir):
+    p = formatted_plan(spark, "minhash_lsh_pairs", sf_dir)
+    assert "InMemoryTableScan" in p  # persisted shingles/bands reused
+
+
+def test_embedding_topk_no_shuffle_of_base_vectors(spark, sf_dir):
+    p = formatted_plan(spark, "embedding_topk", sf_dir)
+    # the query side broadcasts; base vectors join via broadcast hash joins
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_chunker_is_shuffle_free(spark, sf_dir):
+    p = formatted_plan(spark, "chunk_documents", sf_dir)
+    assert "Exchange" not in p  # pure narrow fan-out
+
+
+def test_doc_quality_score_is_shuffle_free(spark, sf_dir):
+    p = formatted_plan(spark, "doc_quality_score", sf_dir)
+    assert "Exchange" not in p
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    rows = registry.QUERIES["approx_distinct_parts"](spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"] < 0.05
