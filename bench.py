@@ -33,11 +33,18 @@ BENCH_QUERIES = [
     "exact_dedup_groups",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "simhash_near_dup_pairs",
     "embedding_topk",
     "embedding_ivf_topk",
+    "embedding_near_dup_pairs",
+    # LLM pipeline (stub provider, real mapInPandas machinery)
+    "pipeline_e2e_extract_stats",
+    # joins at depth
+    "local_supplier_volume",
     # events
     "events_hourly",
     "events_sessionize",
+    "events_sliding_windows",
 ]
 
 

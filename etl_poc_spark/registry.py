@@ -39,9 +39,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every query module so registration side effects run."""
     from etl_poc_spark.queries import (  # noqa: F401
+        dedup2_q,
         dedup_q,
         documents_q,
         events_q,
+        extra_q,
         misc_q,
         pipeline_q,
         relational,
