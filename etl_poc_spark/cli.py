@@ -1,0 +1,92 @@
+"""Standalone pipeline CLI — parity with the reference's
+`docetl/scripts/run_pipeline.py` entry point (SURVEY.md §3.3):
+
+    python -m etl_poc_spark.cli --config pipeline.yaml \
+        [--input DIR] [--output out.json] [--summary summary.json] \
+        [--provider stub] [--cpus 8]
+
+- `--input` rewrites dataset paths the way the reference's
+  `update_config_paths` rewrites `/data/input` prefixes (run_pipeline.py:40-65):
+  any dataset path starting with the config's declared base (or `/data/input`)
+  is re-rooted under --input.
+- `--output` materializes the final step as list-of-records JSON (S6).
+- `--summary` writes run stats: per-step row counts, valid-row counts,
+  wall time (run_pipeline.py:123-156's stats shape).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Any
+
+import yaml
+
+
+def rewrite_paths(config: dict[str, Any], input_dir: str | None, base: str = "/data/input") -> dict[str, Any]:
+    if not input_dir:
+        return config
+    cfg = json.loads(json.dumps(config))  # deep copy
+    for spec in (cfg.get("datasets") or {}).values():
+        path = spec.get("path")
+        if isinstance(path, str) and path.startswith(base):
+            spec["path"] = os.path.join(input_dir, os.path.relpath(path, base))
+    return cfg
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="etl_poc_spark", description="Run a YAML pipeline on Spark")
+    ap.add_argument("--config", required=True, help="pipeline YAML")
+    ap.add_argument("--input", default=None, help="re-root /data/input dataset paths here")
+    ap.add_argument("--output", default=None, help="write final step as JSON records")
+    ap.add_argument("--summary", default=None, help="write run summary JSON")
+    ap.add_argument("--provider", default="stub", help="LLM provider name (default: stub)")
+    ap.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
+    args = ap.parse_args(argv)
+
+    with open(args.config, encoding="utf-8") as f:
+        config = yaml.safe_load(f)
+    config = rewrite_paths(config, args.input)
+
+    from etl_poc_spark.llm.provider import get_provider
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+    from etl_poc_spark.session import get_spark
+    from etl_poc_spark.sinks.sinks import write_json_records
+
+    t0 = time.perf_counter()
+    spark = get_spark("etl_poc_spark_cli", cpus=args.cpus)
+    provider = get_provider(args.provider)
+    frames = run_pipeline(spark, config, provider=provider)
+
+    steps: dict[str, Any] = {}
+    for name, df in frames.items():
+        if name == "__final__":
+            continue
+        n = df.count()
+        n_valid = df.filter("_valid").count() if "_valid" in df.columns else None
+        steps[name] = {"rows": n, **({"valid_rows": n_valid} if n_valid is not None else {})}
+
+    n_out = None
+    if args.output:
+        n_out = write_json_records(frames["__final__"], args.output, single_file=True)
+
+    summary = {
+        "config": os.path.abspath(args.config),
+        "steps": steps,
+        "output_rows": n_out,
+        "wall_seconds": round(time.perf_counter() - t0, 3),
+        "provider": args.provider,
+    }
+    if args.summary:
+        os.makedirs(os.path.dirname(args.summary) or ".", exist_ok=True)
+        with open(args.summary, "w", encoding="utf-8") as f:
+            json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,87 @@
+"""Custom stateful streaming operator: incremental sessionization via
+`applyInPandasWithState` (SURVEY.md §2.10 — the engine's custom-stateful
+building block).
+
+Unlike `F.session_window` (which emits closed windows), this operator keeps
+one running state per user and emits a row per updated session on every
+micro-batch — the shape needed for "session so far" features in an online
+training-data pipeline. State per key is a single (session_start,
+last_ts, n_events) triple; the timeout closes idle sessions so the state
+store stays bounded (the 100 TB concern for any keyed stream).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SECONDS = 30 * 60
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_start", T.LongType()),  # epoch micros
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+
+    start, last, n = state.get if state.exists else (None, None, 0)
+    rows = []
+    for pdf in pdfs:
+        for ts in sorted(pdf["ts"]):
+            micros = int(ts.value // 1000)  # pandas ns -> micros
+            if last is None or micros - last > SESSION_GAP_SECONDS * 1_000_000:
+                if last is not None:
+                    rows.append((user_id, start, last, n))  # close previous session
+                start, n = micros, 0
+            last = micros
+            n += 1
+    state.update((start, last, n))
+    state.setTimeoutDuration(SESSION_GAP_SECONDS * 1000)
+    rows.append((user_id, start, last, n))  # current (possibly open) session
+    yield pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "session_start": [pd.Timestamp(r[1], unit="us") for r in rows],
+            "last_ts": [pd.Timestamp(r[2], unit="us") for r in rows],
+            "n_events": [r[3] for r in rows],
+        }
+    )
+
+
+def stateful_sessionize(events: DataFrame) -> DataFrame:
+    """events stream -> per-user running session rows (update mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)
