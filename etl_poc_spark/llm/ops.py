@@ -110,6 +110,10 @@ def llm_map(
     a `_valid` boolean (validation-retry survivors keep False, not dropped)."""
     provider = provider or StubProvider()
     keep = keep_cols if keep_cols is not None else df.columns
+    # output fields shadow same-named input columns (chained llm ops each
+    # produce their own _valid; the latest op's verdict wins)
+    shadowed = {f.name for f in output_schema.fields} | {"_valid"}
+    keep = [c for c in keep if c not in shadowed]
     in_schema = T.StructType([f for f in df.schema.fields if f.name in keep])
     out_schema = T.StructType(
         list(in_schema.fields) + list(output_schema.fields) + [T.StructField("_valid", T.BooleanType())]
@@ -153,6 +157,8 @@ def llm_reduce(
     of the group's `text_col` values (ordered by `order_col` for
     determinism). Output: group cols + declared schema + `_valid`."""
     provider = provider or StubProvider()
+    shadowed = {f.name for f in output_schema.fields} | {"_valid"}
+    group_cols = [c for c in group_cols if c not in shadowed]
     group_fields = [f for f in df.schema.fields if f.name in group_cols]
     out_schema = T.StructType(
         group_fields + list(output_schema.fields) + [T.StructField("_valid", T.BooleanType())]

@@ -1,0 +1,50 @@
+"""Skew mitigation + co-located join helpers (SCALING.md).
+
+- salted_join: the classic hot-key treatment for when AQE's skew splitting
+  isn't enough (or for aggregations): explode the small/right side into
+  `n_salts` replicas, salt the large/left side's key with a deterministic
+  hash-derived salt, join on (key, salt). Result is identical to the plain
+  join; the hot key's rows spread over n_salts reducers.
+- write_bucketed / bucketed-table joins: persisting both sides bucketed by
+  the join key lets Spark plan a sort-merge join with NO exchange on
+  either side — the co-location trick for repeatedly-joined 100 TB tables.
+  (Requires saveAsTable — bucket metadata lives in the catalog.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `large` with `small` on column `on`, spreading each key of
+    `large` across `n_salts` partitions. `small` is replicated n_salts
+    times (keep it the dimension side). Deterministic: the salt is a hash
+    of the large side's full row spread via pmod."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salts)).alias("__salt")
+    salted_large = large.select("*", salt)
+    replicas = small.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    )
+    out = salted_large.join(replicas, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 8) -> None:
+    """Persist as a bucketed+sorted managed table; subsequent equi-joins on
+    `bucket_col` between tables bucketed the same way plan with zero
+    exchanges."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

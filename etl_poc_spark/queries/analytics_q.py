@@ -1,0 +1,130 @@
+"""Analytics fill-ins: cube grouping sets, outer joins, TF-IDF.
+
+TF-IDF is the Spark-ML-shaped text pipeline expressed relationally so it
+stays oracle-checkable: tf = term count in doc, df = docs containing term,
+idf = ln((N+1)/(df+1)) — the smoothed formulation. ln of identical doubles
+is identical across engines; products of identical doubles likewise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_poc_spark.io import load_table
+from etl_poc_spark.registry import query
+
+
+@query(
+    "cube_sales",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (returnflag, linestatus): all 4 grouping sets in one
+    pass (no rescans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n_rows",
+        )
+    )
+
+
+@query(
+    "customer_order_outer",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_without_orders
+    FROM customer c
+    LEFT OUTER JOIN (SELECT o_custkey, MIN(o_orderkey) AS o_orderkey FROM orders
+                     WHERE o_totalprice > 400000 GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    FULL OUTER JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def customer_order_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join surface (left outer + full outer): customers with/without
+    big orders per nation; nations with no customers survive the full join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"), "full_outer")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_customers_without_orders"),
+        )
+    )
+
+
+@query(
+    "tf_idf_top_terms",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM w) GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM w
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 9) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3 AND doc_id < 100
+    """,
+)
+def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (first 100 docs): tokenize -> tf ->
+    df (broadcast — vocabulary is small relative to the corpus) -> smoothed
+    idf -> per-doc top-k. The df table is the only global aggregate; at
+    100 TB it's a ~vocabulary-sized broadcast."""
+    d = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    w = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = w.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = w.select("doc_id").distinct().count()
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), 9).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term")))
+    return (
+        scored.withColumn("rn", rn)
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "term", "tfidf", "rn")
+    )

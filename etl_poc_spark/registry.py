@@ -39,6 +39,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every query module so registration side effects run."""
     from etl_poc_spark.queries import (  # noqa: F401
+        analytics_q,
         dedup2_q,
         dedup_q,
         documents_q,

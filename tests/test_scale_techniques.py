@@ -1,0 +1,64 @@
+"""Scale-technique tests: salted joins produce identical results to plain
+joins; bucketed tables join without exchanges."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_poc_spark.operators.skew import salted_join, write_bucketed
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from etl_poc_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = (
+        li.join(o, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("q"))
+    )
+    salted = (
+        salted_join(li, o, "l_orderkey", n_salts=4)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("q"))
+    )
+    p = {r["l_orderkey"]: (r["n"], r["q"]) for r in plain.collect()}
+    s = {r["l_orderkey"]: (r["n"], r["q"]) for r in salted.collect()}
+    assert p == s
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one key carries 10k rows; salted plan spreads it over 4 salts
+    hot = spark.range(10000).select(F.lit(1).alias("k"), F.col("id"))
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "k int, label string")
+    out = salted_join(hot, dim, "k", n_salts=4)
+    assert out.count() == 10000
+    assert out.select("label").distinct().collect()[0]["label"] == "hot"
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    from etl_poc_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice").limit(5000)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice").limit(5000)
+    write_bucketed(li, "li_bucketed", "l_orderkey", n_buckets=4)
+    write_bucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"), "o_bucketed", "l_orderkey", n_buckets=4)
+
+    # force the sort-merge path (tiny test tables would otherwise broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(spark.table("o_bucketed"), "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
