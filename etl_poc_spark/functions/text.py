@@ -35,12 +35,15 @@ def safe_filename(col: Column, max_len: int = 50) -> Column:
 
 
 def word_count(col: Column) -> Column:
-    """Whitespace token count; '' -> 0 (Python `len(s.split())` semantics).
+    """Whitespace token count; '' -> 0 (Python `len(s.split())` semantics:
+    counts maximal runs of non-whitespace, robust to leading/trailing and
+    repeated whitespace). Whitespace class is Java regex `\\s`; Python
+    additionally treats \\x1c-\\x1f as whitespace — documented divergence
+    for those four control chars.
 
     Parity: zara_hybrid_etl.py:216 (`len(body.split())`).
     """
-    t = F.trim(col)
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.size(F.filter(F.split(col, r"\s+"), lambda x: x != F.lit("")))
 
 
 def extract_id(col: Column, sep: str = "/") -> Column:

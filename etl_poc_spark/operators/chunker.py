@@ -33,10 +33,10 @@ def chunk_by_tokens(
         raise ValueError("chunk_overlap must be < chunk_size")
     step = chunk_size - chunk_overlap
 
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
     with_words = (
         df.withColumn("__words", words)
-        .withColumn("__n", F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(F.col("__words"))))
+        .withColumn("__n", F.size(F.col("__words")))
         .filter(F.col("__n") > 0)
     )
     starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))

@@ -22,7 +22,7 @@ def tokens(col: Column) -> Column:
 
 
 def n_tokens(col: Column) -> Column:
-    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+    return F.size(F.filter(F.split(col, r"\s+"), lambda x: x != F.lit("")))
 
 
 def chars_no_space(col: Column) -> Column:

@@ -54,8 +54,7 @@ SCORED_CTE = ARTICLES_CTE + """
     , measured AS (
       SELECT *,
              length(headline) AS h_len,
-             CASE WHEN trim(article_body) = '' THEN 0
-                  ELSE len(string_split_regex(trim(article_body), '\\s+')) END AS wc,
+             len(list_filter(string_split_regex(article_body, '\\s+'), w -> w <> '')) AS wc,
              (CASE WHEN trim(headline) <> '' THEN 1 ELSE 0 END
               + CASE WHEN trim(subtitle) <> '' THEN 1 ELSE 0 END
               + CASE WHEN trim(article_body) <> '' THEN 1 ELSE 0 END
@@ -326,10 +325,10 @@ def extract_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word_count_bands",
     oracle="""
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS wc,
-           CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) BETWEEN 700 AND 1000 THEN 'full'
-                WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) BETWEEN 500 AND 1200 THEN 'partial'
-                WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) > 200 THEN 'minimal'
+           len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS wc,
+           CASE WHEN (len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))) BETWEEN 700 AND 1000 THEN 'full'
+                WHEN (len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))) BETWEEN 500 AND 1200 THEN 'partial'
+                WHEN (len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))) > 200 THEN 'minimal'
                 ELSE 'below' END AS band
     FROM documents
     """,
@@ -430,7 +429,7 @@ def union_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, lang,
-             CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+             len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n_tok,
              length(regexp_replace(text, '\\s+', '', 'g')) AS n_chars_nospace,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
@@ -520,8 +519,8 @@ def predict_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk_documents",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words,
-             CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS words,
+             len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n
       FROM documents
     ), starts AS (
       SELECT doc_id, words, n, unnest(range(0, n, 30)) AS start
