@@ -34,16 +34,23 @@ def safe_filename(col: Column, max_len: int = 50) -> Column:
     return F.regexp_replace(s, " ", "_")
 
 
+def nonempty_tokens(col: Column) -> Column:
+    """Array of maximal non-whitespace runs (Python `s.split()` semantics),
+    robust to leading/trailing/repeated whitespace. Whitespace class is Java
+    regex `\\s`; for ASCII input the only divergence from Python's
+    definition is \\x1c-\\x1f, and for non-ASCII input Python additionally
+    treats \\x85, \\xa0 and the Unicode spaces as whitespace — callers
+    needing full Unicode parity should pre-normalize."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != F.lit(""))
+
+
 def word_count(col: Column) -> Column:
-    """Whitespace token count; '' -> 0 (Python `len(s.split())` semantics:
-    counts maximal runs of non-whitespace, robust to leading/trailing and
-    repeated whitespace). Whitespace class is Java regex `\\s`; Python
-    additionally treats \\x1c-\\x1f as whitespace — documented divergence
-    for those four control chars.
+    """Whitespace token count; '' -> 0 (Python `len(s.split())` semantics,
+    see nonempty_tokens for the whitespace-class caveats).
 
     Parity: zara_hybrid_etl.py:216 (`len(body.split())`).
     """
-    return F.size(F.filter(F.split(col, r"\s+"), lambda x: x != F.lit("")))
+    return F.size(nonempty_tokens(col))
 
 
 def extract_id(col: Column, sep: str = "/") -> Column:

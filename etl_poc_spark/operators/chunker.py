@@ -33,7 +33,9 @@ def chunk_by_tokens(
         raise ValueError("chunk_overlap must be < chunk_size")
     step = chunk_size - chunk_overlap
 
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    from etl_poc_spark.functions.text import nonempty_tokens
+
+    words = nonempty_tokens(F.col(text_col))
     with_words = (
         df.withColumn("__words", words)
         .withColumn("__n", F.size(F.col("__words")))

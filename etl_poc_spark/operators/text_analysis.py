@@ -18,11 +18,15 @@ STOPWORDS_EN = ("the", "a", "of", "and", "in", "to", "is")
 
 
 def tokens(col: Column) -> Column:
-    return F.split(F.trim(col), r"\s+")
+    from etl_poc_spark.functions.text import nonempty_tokens
+
+    return nonempty_tokens(col)
 
 
 def n_tokens(col: Column) -> Column:
-    return F.size(F.filter(F.split(col, r"\s+"), lambda x: x != F.lit("")))
+    from etl_poc_spark.functions.text import word_count
+
+    return word_count(col)
 
 
 def chars_no_space(col: Column) -> Column:

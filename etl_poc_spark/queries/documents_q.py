@@ -324,13 +324,15 @@ def extract_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "word_count_bands",
     oracle="""
-    SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS wc,
-           CASE WHEN (len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))) BETWEEN 700 AND 1000 THEN 'full'
-                WHEN (len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))) BETWEEN 500 AND 1200 THEN 'partial'
-                WHEN (len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))) > 200 THEN 'minimal'
+    WITH t AS (
+      SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS wc FROM documents
+    )
+    SELECT doc_id, wc,
+           CASE WHEN wc BETWEEN 700 AND 1000 THEN 'full'
+                WHEN wc BETWEEN 500 AND 1200 THEN 'partial'
+                WHEN wc > 200 THEN 'minimal'
                 ELSE 'below' END AS band
-    FROM documents
+    FROM t
     """,
 )
 def word_count_bands(spark: SparkSession, sf_dir: str) -> DataFrame:

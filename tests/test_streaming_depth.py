@@ -76,10 +76,11 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     e = load_table(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
     e.write.mode("overwrite").partitionBy("day").parquet(out)
 
-    scan = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    days = [r["day"] for r in spark.read.parquet(out).select("day").distinct().collect()]
+    assert len(days) > 1
+    probe_day = sorted(days)[len(days) // 2]  # derived from the data, not hardcoded
+    scan = spark.read.parquet(out).filter(F.col("day") == probe_day)
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan
     # pruned scan touches exactly one partition directory
-    n_days = spark.read.parquet(out).select("day").distinct().count()
-    assert n_days > 10
     assert scan.select("day").distinct().count() == 1
