@@ -92,6 +92,67 @@ def decode_image_meta(df: DataFrame, content_col: str = "content", path_col: str
     return df.select(path_col, content_col).mapInPandas(fn, schema=MEDIA_META_SCHEMA)
 
 
+def resize_image_stub(df: DataFrame, target_w: int = 64, target_h: int = 64,
+                      content_col: str = "content", path_col: str = "path") -> DataFrame:
+    """Resize contract: binary in -> binary out + dims. The interpolation
+    kernel is the stubbed seam (a real deployment calls PIL here); the stub
+    emits a deterministic `target_w*target_h`-byte payload derived from the
+    source hash so downstream size/shape invariants are testable."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("resized", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = target_w * target_h
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[content_col])
+                seed = hashlib.md5(data).digest()
+                payload = (seed * (n // len(seed) + 1))[:n]
+                rows.append({"path": str(row[path_col]), "width": target_w, "height": target_h, "resized": payload})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(path_col, content_col).mapInPandas(fn, schema=out_schema)
+
+
+def feature_extract_stub(df: DataFrame, dim: int = 64,
+                         content_col: str = "content", path_col: str = "path") -> DataFrame:
+    """Feature extraction contract: binary -> embedding array<float>. The
+    model forward-pass is the stubbed seam; the stub derives a deterministic
+    unit-scale vector from md5 rounds over the content, producing the same
+    (id, embedding) shape the similarity operators consume — so
+    media -> features -> cosine top-k pipelines are testable end to end."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[content_col])
+                vals: list[float] = []
+                seed = data
+                while len(vals) < dim:
+                    seed = hashlib.md5(seed).digest()
+                    vals.extend(b / 255.0 - 0.5 for b in seed)
+                rows.append({"path": str(row[path_col]), "embedding": vals[:dim]})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(path_col, content_col).mapInPandas(fn, schema=out_schema)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling contract: one row per sampled frame index.
     Frame count is stubbed as n_bytes // 1024 (a real decoder reports it);

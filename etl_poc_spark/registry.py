@@ -50,4 +50,5 @@ def load_all() -> None:
         pipeline_q,
         relational,
         similarity_q,
+        tokenize_q,
     )
