@@ -152,10 +152,18 @@ def llm_reduce(
     order_col: str | None = "chunk_id",
     validators: tuple[str, ...] = (),
     max_retries: int = 2,
+    max_context_chars: int | None = None,
 ) -> DataFrame:
     """Grouped LLM fold: one provider call per group over the concatenation
     of the group's `text_col` values (ordered by `order_col` for
-    determinism). Output: group cols + declared schema + `_valid`."""
+    determinism). Output: group cols + declared schema + `_valid`.
+
+    Hierarchical fold (SURVEY §2.4 A1): when `max_context_chars` is set and
+    a group's concatenation exceeds it, the chunks are folded in
+    context-sized windows first (partial synthesis), then the partial
+    outputs are folded once more (final synthesis) — the map-side-combine
+    shape for groups larger than the model context. Recursion depth is
+    bounded because each level shrinks the text by the summarization."""
     provider = provider or StubProvider()
     shadowed = {f.name for f in output_schema.fields} | {"_valid"}
     group_cols = [c for c in group_cols if c not in shadowed]
@@ -164,21 +172,55 @@ def llm_reduce(
         group_fields + list(output_schema.fields) + [T.StructField("_valid", T.BooleanType())]
     )
     out_fields = [f.name for f in output_schema.fields]
+    calls_acc = df.sparkSession.sparkContext.accumulator(0)
+
+    def fold_texts(texts: list[str], rec_base: dict[str, Any], depth: int = 0) -> tuple[dict[str, Any], bool]:
+        joined = " ".join(texts)
+        if max_context_chars and len(joined) > max_context_chars and len(texts) > 1 and depth < 8:
+            # plan context-sized windows of chunks; only recurse when the
+            # hierarchy actually makes progress (fewer nodes per level) —
+            # degenerate budgets (smaller than a single chunk) fall through
+            # to the truncating base case instead of recursing forever
+            windows: list[list[str]] = []
+            cur: list[str] = []
+            size = 0
+            for t in texts:
+                if cur and size + len(t) + 1 > max_context_chars:
+                    windows.append(cur)
+                    cur, size = [], 0
+                cur.append(t)
+                size += len(t) + 1
+            if cur:
+                windows.append(cur)
+            if len(windows) < len(texts):
+                partials = []
+                for w in windows:
+                    out, _ = fold_texts(w, rec_base, depth + 1)
+                    partials.append(" ".join(str(out.get(f, "")) for f in out_fields))
+                return fold_texts(partials, rec_base, depth + 1)
+        if max_context_chars and len(joined) > max_context_chars:
+            joined = joined[:max_context_chars]  # last resort: context-limit truncation
+        rec = dict(rec_base)
+        rec["text"] = joined
+        out, ok, calls = _run_one(provider, prompt_template, rec, out_fields, validators, max_retries)
+        calls_acc.add(calls)
+        return out, ok
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         if order_col and order_col in pdf.columns:
             pdf = pdf.sort_values(order_col)
-        joined = " ".join(str(v) for v in pdf[text_col].tolist())
-        rec = {c: pdf[c].iloc[0] for c in group_cols}
-        rec["text"] = joined
-        out, ok, _ = _run_one(provider, prompt_template, rec, out_fields, validators, max_retries)
+        texts = [str(v) for v in pdf[text_col].tolist()]
+        rec_base = {c: pdf[c].iloc[0] for c in group_cols}
+        out, ok = fold_texts(texts, rec_base)
         row = {c: pdf[c].iloc[0] for c in group_cols}
         for f in output_schema.fields:
             row[f.name] = _coerce(out.get(f.name), f.dataType)
         row["_valid"] = ok
         return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
 
-    return df.groupBy(*group_cols).applyInPandas(fold, schema=out_schema)
+    result = df.groupBy(*group_cols).applyInPandas(fold, schema=out_schema)
+    result._llm_metrics = {"calls": calls_acc}  # type: ignore[attr-defined]
+    return result
 
 
 from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
