@@ -48,6 +48,7 @@ def load_all() -> None:
         extra_q,
         misc_q,
         pipeline_q,
+        pivot_q,
         relational,
         similarity_q,
         tokenize_q,
