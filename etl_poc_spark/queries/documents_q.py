@@ -33,6 +33,20 @@ from etl_poc_spark.operators.text_analysis import (
 )
 from etl_poc_spark.registry import query
 
+# J1 literal dimension — single source of truth for every lookup variant
+# (arxiv_hook.py:195-209's category_descriptions, adapted to the test
+# corpus's source codes); oracles are generated from this constant so the
+# copies cannot drift.
+SOURCE_CATEGORIES: tuple[tuple[str, str], ...] = (
+    ("src0", "Artificial Intelligence"),
+    ("src1", "Computation and Language"),
+    ("src2", "Computer Vision and Pattern Recognition"),
+    ("src3", "Machine Learning"),
+    ("src4", "Robotics"),
+)
+
+DIM_VALUES_SQL = ",\n                      ".join(f"('{k}', '{v}')" for k, v in SOURCE_CATEGORIES)
+
 # ---------------------------------------------------------------------------
 # Stub article derivation (shared between Spark and the oracle)
 # ---------------------------------------------------------------------------
@@ -370,15 +384,11 @@ def field_completeness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dim_lookup",
-    oracle="""
+    oracle=f"""
     SELECT d.doc_id,
            coalesce(m.description, 'Category: ' || d.source) AS category_description
     FROM documents d
-    LEFT JOIN (VALUES ('src0', 'Artificial Intelligence'),
-                      ('src1', 'Computation and Language'),
-                      ('src2', 'Computer Vision and Pattern Recognition'),
-                      ('src3', 'Machine Learning'),
-                      ('src4', 'Robotics')) AS m(code, description)
+    LEFT JOIN (VALUES {DIM_VALUES_SQL}) AS m(code, description)
       ON d.source = m.code
     """,
 )
@@ -386,16 +396,7 @@ def dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 static dimension lookup with fallback (arxiv_hook.py:184-215):
     broadcast left join against a literal dim + coalesce default."""
     d = load_table(spark, sf_dir, "documents")
-    dim = spark.createDataFrame(
-        [
-            ("src0", "Artificial Intelligence"),
-            ("src1", "Computation and Language"),
-            ("src2", "Computer Vision and Pattern Recognition"),
-            ("src3", "Machine Learning"),
-            ("src4", "Robotics"),
-        ],
-        ["code", "description"],
-    )
+    dim = spark.createDataFrame(list(SOURCE_CATEGORIES), ["code", "description"])
     return (
         d.join(F.broadcast(dim), d.source == dim.code, "left")
         .select(

@@ -5,7 +5,8 @@
   list so the plan stays single-pass.
 - dim_lookup_map: SURVEY §2.3 J1's alternative implementation —
   `element_at(create_map(...), key)` with a coalesce default; zero joins,
-  the literal map rides the expression tree.
+  the literal map rides the expression tree. Shares SOURCE_CATEGORIES with
+  dim_lookup (single source of truth; the oracle CASE is generated from it).
 """
 
 from __future__ import annotations
@@ -14,20 +15,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_poc_spark.io import load_table
+from etl_poc_spark.queries.documents_q import SOURCE_CATEGORIES
 from etl_poc_spark.registry import query
 
-EVENT_TYPES = ("click", "view", "error", "purchase", "scroll")
+# the full event_type domain of the test corpus (verified against
+# sf0.01/sf0.1: click, error, purchase, signup, view)
+EVENT_TYPES = ("click", "view", "error", "purchase", "signup")
+
+_PIVOT_COLS_SQL = ",\n           ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,2)) "
+    f"ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS {t}"
+    for t in EVENT_TYPES
+)
+
+_DIM_CASE_SQL = "\n             ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in SOURCE_CATEGORIES
+)
 
 
 @query(
     "events_type_pivot",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
-           CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
-           CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS view,
-           CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
-           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
-           CAST(SUM(CASE WHEN event_type = 'scroll' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS scroll
+           {_PIVOT_COLS_SQL}
     FROM events
     WHERE user_id < 50
     GROUP BY user_id
@@ -50,12 +60,10 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dim_lookup_map",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            CASE source
-             WHEN 'src0' THEN 'Artificial Intelligence'
-             WHEN 'src1' THEN 'Computation and Language'
-             WHEN 'src2' THEN 'Computer Vision and Pattern Recognition'
+             {_DIM_CASE_SQL}
              ELSE 'Category: ' || source
            END AS category_description
     FROM documents
@@ -64,14 +72,10 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dim_lookup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 via a literal map expression (no join at all): element_at over
     create_map + coalesce default — the right shape when the dim is a
-    handful of constants."""
+    handful of constants. Returns the same values as dim_lookup."""
     d = load_table(spark, sf_dir, "documents")
     pairs = []
-    for k, v in (
-        ("src0", "Artificial Intelligence"),
-        ("src1", "Computation and Language"),
-        ("src2", "Computer Vision and Pattern Recognition"),
-    ):
+    for k, v in SOURCE_CATEGORIES:
         pairs.extend([F.lit(k), F.lit(v)])
     lookup = F.element_at(F.create_map(*pairs), F.col("source"))
     return d.select(
