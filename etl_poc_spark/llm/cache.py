@@ -61,16 +61,33 @@ def cached_llm_map(
         hits = None
         misses_in = keyed
 
-    fresh = llm_map(misses_in, prompt_template, output_schema, provider=provider, **llm_kwargs)
-    n_misses = fresh.count()
-    if n_misses > 0:
-        out_cols = ["__cache_key"] + [f.name for f in output_schema.fields] + ["_valid"]
-        fresh.select(*out_cols).write.mode("append").parquet(cache_path)
+    # One provider call per distinct key: input rows identical in input_cols
+    # share a cache entry, and the final inner join on __cache_key fans the
+    # shared result back out to every input row.
+    misses_in = misses_in.dropDuplicates(["__cache_key"])
+    # Persist before counting so the provider runs exactly once — without it
+    # the count and the cache write would each re-execute llm_map (double
+    # cost, and a non-deterministic provider would cache different results
+    # than were counted).
+    fresh = llm_map(misses_in, prompt_template, output_schema, provider=provider, **llm_kwargs).persist()
+    try:
+        n_misses = fresh.count()
+        result_cols = [c for c in df.columns] + [f.name for f in output_schema.fields] + ["_valid"]
+        if n_misses > 0:
+            out_cols = ["__cache_key"] + [f.name for f in output_schema.fields] + ["_valid"]
+            fresh.select(*out_cols).write.mode("append").parquet(cache_path)
+        elif not cache_exists:
+            # No cache table and nothing fresh (empty input): reading the
+            # nonexistent path would throw, and there is nothing to join.
+            return spark.createDataFrame([], fresh.select(*result_cols).schema)
 
-    cache = spark.read.parquet(cache_path)
-    result_cols = [c for c in df.columns] + [f.name for f in output_schema.fields] + ["_valid"]
-    joined = keyed.join(cache, "__cache_key", "inner").select(*result_cols)
-    return joined
+        cache = spark.read.parquet(cache_path)
+        joined = keyed.join(cache, "__cache_key", "inner").select(*result_cols)
+        # joined reads hits + appended misses from the parquet table, so it
+        # no longer depends on the persisted plan.
+        return joined
+    finally:
+        fresh.unpersist()
 
 
 from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402

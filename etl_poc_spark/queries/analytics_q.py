@@ -50,7 +50,7 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_without_orders
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customers_without_orders
     FROM customer c
     LEFT OUTER JOIN (SELECT o_custkey, MIN(o_orderkey) AS o_orderkey FROM orders
                      WHERE o_totalprice > 400000 GROUP BY o_custkey) o

@@ -182,8 +182,8 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_partition_stats",
     oracle=SCORED_CTE + """
     SELECT COUNT(*) AS total_articles,
-           SUM(CASE WHEN 10 * score_millis >= 7 * maxs THEN 1 ELSE 0 END) AS passed_quality,
-           SUM(CASE WHEN 10 * score_millis >= 7 * maxs THEN 0 ELSE 1 END) AS failed_quality,
+           CAST(SUM(CASE WHEN 10 * score_millis >= 7 * maxs THEN 1 ELSE 0 END) AS BIGINT) AS passed_quality,
+           CAST(SUM(CASE WHEN 10 * score_millis >= 7 * maxs THEN 0 ELSE 1 END) AS BIGINT) AS failed_quality,
            CAST(SUM(CASE WHEN 10 * score_millis >= 7 * maxs THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pass_rate,
            CAST(SUM(CASE WHEN maxs = 800 THEN score_millis * 5 ELSE score_millis * 4 END) AS DOUBLE)
              / (4000.0 * COUNT(*)) AS avg_quality

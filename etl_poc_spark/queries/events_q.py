@@ -76,8 +76,8 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
-                    THEN 1 ELSE 0 END) AS n_sessions,
+           CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
     FROM d
     GROUP BY user_id
@@ -102,9 +102,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_pivot_rates",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
            CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 0 THEN 0.0
                 ELSE CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
                      / SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) END AS click_through

@@ -66,9 +66,9 @@ def cost_log_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE 'info: ok' END AS line
       FROM documents
     )
-    SELECT SUM(CASE WHEN strpos(lower(line), 'error') > 0 THEN 1 ELSE 0 END) AS n_error,
-           SUM(CASE WHEN strpos(lower(line), 'warning') > 0 THEN 1 ELSE 0 END) AS n_warning,
-           SUM(CASE WHEN strpos(lower(line), 'success') > 0 THEN 1 ELSE 0 END) AS n_success,
+    SELECT CAST(SUM(CASE WHEN strpos(lower(line), 'error') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN strpos(lower(line), 'warning') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_warning,
+           CAST(SUM(CASE WHEN strpos(lower(line), 'success') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
            COUNT(*) AS n_lines
     FROM logs
     """,

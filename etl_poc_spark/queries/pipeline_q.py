@@ -29,8 +29,8 @@ from etl_poc_spark.registry import query
       FROM w
     )
     SELECT COUNT(*) AS total_docs,
-           SUM(CASE WHEN length(title) > 0 AND len(string_split_regex(abstract_summary, '\\s+')) >= 25
-                    THEN 1 ELSE 0 END) AS n_valid,
+           CAST(SUM(CASE WHEN length(title) > 0 AND len(string_split_regex(abstract_summary, '\\s+')) >= 25
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
            CAST(SUM(length(title)) AS DOUBLE) / COUNT(*) AS avg_title_len,
            CAST(SUM(word_count) AS DOUBLE) / COUNT(*) AS avg_word_count
     FROM ext

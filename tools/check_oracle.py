@@ -49,6 +49,18 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = canon(spark_pdf), canon(duck_pdf)
     for col in s.columns:
         sv, dv = s[col], d[col]
+        # Dtype-family strictness: the driver hashes rendered values, so an
+        # int64 Spark column vs a float64 DuckDB column (e.g. an uncast
+        # integer SUM -> HUGEINT -> float64) hash-mismatches even when
+        # numerically equal (409 vs 409.0). Fail here before the driver does.
+        s_kind, d_kind = sv.dtype.kind, dv.dtype.kind
+        numeric = {"i", "u", "f"}
+        if s_kind in numeric and d_kind in numeric and ((s_kind == "f") != (d_kind == "f")):
+            problems.append(
+                f"col {col}: dtype family mismatch spark={sv.dtype} duckdb={dv.dtype} "
+                f"(int-vs-float renders differently in the driver hash — CAST the oracle)"
+            )
+            continue
         if sv.dtype.kind == "f" or dv.dtype.kind == "f":
             sa = sv.astype(float).to_numpy()
             da = dv.astype(float).to_numpy()
