@@ -81,16 +81,41 @@ def minhash_signatures(
     )
 
 
+def cap_buckets(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int,
+) -> DataFrame:
+    """Drop every row belonging to a bucket with more than `max_bucket_size`
+    members (left-semi join against the under-cap bucket list).
+
+    A degenerate bucket value (empty docs, a boilerplate band, a hot LSH
+    band_val) turns the bucket self-join quadratic: one bucket of m rows
+    yields m*(m-1)/2 candidate pairs. Capping bounds the worst case at
+    n_buckets * cap^2 / 2 regardless of corpus skew — the standard web-scale
+    LSH guard (oversized buckets are near-certainly boilerplate, not real
+    near-duplicates worth pairing)."""
+    sizes = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    ok = sizes.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+    return banded.join(ok, bucket_cols, "left_semi")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature (seed DIV rows_per_band) and self-join on equal
-    band values -> distinct candidate pairs (id_a < id_b)."""
+    band values -> distinct candidate pairs (id_a < id_b).
+
+    `max_bucket_size` (recommended at scale) drops oversized (band, band_val)
+    buckets before the self-join — see cap_buckets."""
     banded = signatures.groupBy(
         F.col(id_col), (F.col("seed") / rows_per_band).cast("int").alias("band")
     ).agg(F.concat_ws("", F.sort_array(F.collect_list(F.concat_ws(":", F.col("seed"), F.col("minhash"))))).alias("band_val")).persist()
+    if max_bucket_size is not None:
+        banded = cap_buckets(banded, ["band", "band_val"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -102,6 +127,107 @@ def lsh_candidate_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def simhash64_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """64-bit SimHash per document, packed into one BIGINT column `sig`.
+
+    This is the production/scale variant of the 16-bit md5 demo
+    (queries/dedup2_q.py): bit j of word w is bit j of xxhash64(w), and
+    signature bit j is the sign of the count-weighted vote over the
+    document's words. Everything is JVM-side integer math:
+
+    - word bit-vectors are computed once per DISTINCT word (vocabulary
+      table, broadcast back to per-doc word counts), so each vocabulary
+      word is hashed once — not once per occurrence per bit;
+    - the 64 votes are one groupBy with 64 integer SUM aggregates
+      (map-side partial agg), then packed with shiftleft/OR-sum.
+
+    Not oracle-checkable (xxhash64 is Spark-specific); the 16-bit md5
+    variant remains the DuckDB-verified demo of the identical plan shape.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    wc = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = words.select("word").distinct().withColumn("__h", F.xxhash64("word"))
+    joined = wc.join(F.broadcast(vocab), "word")
+    # vote_j = sum(cnt * (+1 if bit j of hash else -1))
+    vote_aggs = [
+        F.sum(
+            F.col("cnt")
+            * (F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    votes = joined.groupBy(id_col).agg(*vote_aggs)
+    packed = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return votes.select(F.col(id_col), packed.alias("sig"))
+
+
+def simhash64_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs from 64-bit SimHash signatures: band the signature
+    into `n_bands` x `band_bits`-bit buckets, equi-join on (band, band_val),
+    verify with exact Hamming distance bit_count(sig_a XOR sig_b).
+
+    With band_bits=16 there are 65,536 possible values per band, so bucket
+    occupancy stays ~n/65536 — versus 16 values for the 16-bit demo, whose
+    buckets grow ~n/16 and whose self-join is effectively quadratic at
+    scale. Any two signatures with Hamming distance <= n_bands - 1 share at
+    least one exact band (pigeonhole), so recall is exact for
+    max_hamming < n_bands."""
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        F.col(id_col), F.col(sig_col).alias("sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftrightunsigned(sig, band * {band_bits})").bitwiseAND(F.lit(mask)),
+    )
+    # banded feeds up to four plan branches (bucket sizes, the semi-join
+    # probe, and both sides of the self-join) — persist so the signature
+    # pipeline runs once (cluster-scale jobs would checkpoint it to parquet)
+    banded = banded.persist()
+    if max_bucket_size is not None:
+        banded = cap_buckets(banded, ["band", "band_val"], max_bucket_size)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -184,6 +184,26 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= 1).select("id_a", "id_b", "hamming")
 
 
+@query("simhash64_near_dup_pairs")
+def simhash64_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production 64-bit SimHash near-dup pairs over the same constructed
+    near-dup corpus: xxhash64 word bits -> packed BIGINT signature -> 4 x
+    16-bit band equi-join (65,536 values per band, so bucket occupancy is
+    ~n/65536 instead of the 16-bit demo's n/16) -> bit_count Hamming verify.
+    Bucket cap 200 bounds the worst-case candidate explosion from
+    degenerate/boilerplate buckets. Rows-only check: xxhash64 has no DuckDB
+    equivalent; the 16-bit md5 variant (simhash_near_dup_pairs) is the
+    oracle-verified demo of the identical plan shape."""
+    from etl_poc_spark.operators.dedup import simhash64_near_dup_pairs, simhash64_signatures
+    from etl_poc_spark.queries.dedup_q import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sigs = simhash64_signatures(corpus, "doc_id", "text")
+    return simhash64_near_dup_pairs(
+        sigs, "doc_id", n_bands=4, band_bits=16, max_hamming=3, max_bucket_size=200
+    )
+
+
 # --- embedding-cosine near-dup --------------------------------------------
 
 

@@ -121,9 +121,13 @@ def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_agg(CAST(seed AS VARCHAR) || ':' || minhash, ''
                         ORDER BY CAST(seed AS VARCHAR) || ':' || minhash) AS band_val
       FROM mh GROUP BY doc_id, CAST(seed // 2 AS INT)
+    ), ok_buckets AS (
+      SELECT band, band_val FROM banded GROUP BY band, band_val HAVING COUNT(*) <= 50
+    ), banded_ok AS (
+      SELECT banded.* FROM banded JOIN ok_buckets USING (band, band_val)
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b
+      FROM banded_ok a JOIN banded_ok b
         ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
@@ -145,7 +149,9 @@ def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands x 2 rows) near-dup pairs at jaccard >= 0.8,
     verified exactly on candidates. The bucket self-join keeps the pair
-    space linear in bucket occupancy — the standard web-scale dedup shape.
+    space linear in bucket occupancy — the standard web-scale dedup shape —
+    and buckets over 50 members are dropped before the self-join (mirrored
+    in the oracle), so a degenerate band value cannot turn it quadratic.
     (Production hash_mode='xxhash64' variant benched separately.)"""
     corpus = _near_dup_corpus(spark, sf_dir)
     # the shingle and band frames each feed two plan branches (self-join /
@@ -153,7 +159,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at cluster scale these would be checkpointed parquet stage tables
     sh = shingle_docs(corpus, "doc_id", "text", shingle_words=3).persist()
     sig = minhash_signatures(sh, "doc_id", n_hashes=8, hash_mode="md5")
-    pairs = lsh_candidate_pairs(sig, "doc_id", rows_per_band=2)
+    pairs = lsh_candidate_pairs(sig, "doc_id", rows_per_band=2, max_bucket_size=50)
     return verify_jaccard(sh, pairs, "doc_id", threshold=0.8)
 
 
@@ -167,11 +173,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id,
              words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] || ' ' || words[i + 4] || ' ' || words[i + 5] AS shingle
       FROM (SELECT doc_id, words, unnest(range(0, len(words) - 4)) AS i FROM w)
+    ), rare AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50
+    ), sh2 AS (
+      SELECT sh.* FROM sh JOIN rare USING (shingle)
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT i.id_a, i.id_b,
@@ -185,9 +195,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-5-gram jaccard at >= 0.5 via an inverted shingle index
     (shingle equi-join), not an O(n^2) cross join: only docs sharing a
-    shingle ever meet. 5-gram shingles keep the index selective."""
+    shingle ever meet. 5-gram shingles keep the index selective, and
+    stop-shingles appearing in more than 50 documents are dropped from the
+    index (mirrored in the oracle): a boilerplate shingle shared by m docs
+    would alone contribute m*(m-1)/2 joined rows, so the DF cap bounds the
+    inverted-index fan-out at corpus scale. Jaccard is computed over the
+    capped shingle space (sizes and intersections consistently)."""
     corpus = _near_dup_corpus(spark, sf_dir)
-    sh = shingle_docs(corpus, "doc_id", "text", shingle_words=5).persist()
+    sh_all = shingle_docs(corpus, "doc_id", "text", shingle_words=5)
+    rare = sh_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).filter(F.col("__df") <= 50).drop("__df")
+    sh = sh_all.join(rare, "shingle", "left_semi").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")

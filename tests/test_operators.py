@@ -67,3 +67,72 @@ def test_slugify_reference_cases(spark):
     )
     got = [r[0] for r in df.select(slugify(F.col("s"))).collect()]
     assert got == ["hello-world", "a-b", "untitled", "mixed-case-42"]
+
+
+def test_simhash64_finds_near_dup_and_skips_distinct(spark):
+    from etl_poc_spark.operators.dedup import simhash64_near_dup_pairs, simhash64_signatures
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    near = " ".join(f"tok{i}" for i in range(1, 400))  # first token dropped
+    other = " ".join(f"zzz{i}" for i in range(400))
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], "doc_id int, text string")
+    sigs = simhash64_signatures(df)
+    rows = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+    assert set(rows) == {1, 2, 3}
+    # signatures are full-range 64-bit longs, not a 16-value domain
+    assert any(v < 0 or v > 2**32 for v in rows.values())
+    pairs = simhash64_near_dup_pairs(sigs, max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["hamming"] <= 3
+
+
+def test_simhash64_band_domain_is_16_bit(spark):
+    from etl_poc_spark.operators.dedup import simhash64_signatures
+
+    texts = [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(200)]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    sigs = simhash64_signatures(df)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "band", F.expr("shiftrightunsigned(sig, band * 16)").bitwiseAND(F.lit(65535)).alias("band_val")
+    )
+    stats = banded.agg(
+        F.min("band_val").alias("lo"),
+        F.max("band_val").alias("hi"),
+        F.countDistinct("band", "band_val").alias("n_buckets"),
+    ).collect()[0]
+    assert 0 <= stats["lo"] and stats["hi"] <= 65535
+    # 200 random docs x 4 bands: with a 2^16 domain per band, collisions are
+    # rare — far more distinct buckets than the 16-bit demo's 4x16=64 ceiling
+    assert stats["n_buckets"] > 700
+
+
+def test_bucket_cap_stops_degenerate_quadratic_blowup(spark):
+    from etl_poc_spark.operators.dedup import simhash64_near_dup_pairs, simhash64_signatures
+
+    # 300 identical documents: every signature equal, one bucket per band
+    df = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(300)],
+        "doc_id int, text string",
+    )
+    sigs = simhash64_signatures(df)
+    uncapped = simhash64_near_dup_pairs(sigs, max_hamming=3)
+    assert uncapped.count() == 300 * 299 // 2  # quadratic without a cap
+    capped = simhash64_near_dup_pairs(sigs, max_hamming=3, max_bucket_size=100)
+    assert capped.count() == 0  # oversized buckets dropped before the join
+
+
+def test_lsh_bucket_cap_drops_oversized_buckets(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(20))) for i in range(60)],
+        "doc_id int, text string",
+    )
+    sh = shingle_docs(df)
+    sig = minhash_signatures(sh)
+    uncapped = lsh_candidate_pairs(sig)
+    assert uncapped.count() == 60 * 59 // 2
+    capped = lsh_candidate_pairs(sig, max_bucket_size=10)
+    assert capped.count() == 0
