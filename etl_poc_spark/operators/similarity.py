@@ -37,6 +37,20 @@ def _norms(exploded: DataFrame, out_id: str, out_col: str) -> DataFrame:
     return exploded.groupBy(out_id).agg(F.sqrt(n2).alias(out_col))
 
 
+# Broadcast hints below are applied only when the hinted side is PROVABLY
+# small (a bounded row-count probe) — an unconditional hint would broadcast
+# a frame proportional to |queries| x |base| once the query workload grows,
+# an executor/driver OOM hazard at scale. Over the cap, no hint is emitted
+# and AQE picks the join strategy from runtime stats.
+_BROADCAST_ROW_CAP = 8192
+
+
+def _provably_small(df: DataFrame, cap: int = _BROADCAST_ROW_CAP) -> bool:
+    """True iff df has at most `cap` rows, established by reading at most
+    cap + 1 rows (never a full count of an unbounded side)."""
+    return len(df.select(F.lit(1).alias("__one")).limit(cap + 1).take(cap + 1)) <= cap
+
+
 def _pair_cosine(
     queries: DataFrame,
     base: DataFrame,
@@ -45,22 +59,30 @@ def _pair_cosine(
     vec_col: str,
 ) -> DataFrame:
     """Exact decimal cosine for the given (query_id, neighbor_id) candidate
-    pairs. `pairs` is expected to be small relative to base (broadcast)."""
+    pairs. Small sides (typically the query side) are broadcast; anything
+    not provably under the row cap is left unhinted for AQE."""
+    small_q = _provably_small(queries)
+    small_b = _provably_small(base)
+    hint_q = F.broadcast if small_q else (lambda df: df)
+    hint_b = F.broadcast if small_b else (lambda df: df)
+    # pairs can be as large as |queries| x |base|: only hint it when both
+    # factors are provably small
+    hint_p = F.broadcast if (small_q and small_b) else (lambda df: df)
     q_ex = _explode_vec(queries, id_col, vec_col, "query_id")
     b_ex = _explode_vec(base, id_col, vec_col, "neighbor_id")
     prod = F.expr(_DEC_PROD.format(x="q.__x", y="b.__x"))
     dots = (
         b_ex.alias("b")
-        .join(F.broadcast(pairs), "neighbor_id")
-        .join(F.broadcast(q_ex.alias("q")), ["query_id", "i"])
+        .join(hint_p(pairs), "neighbor_id")
+        .join(hint_q(q_ex.alias("q")), ["query_id", "i"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum(prod).cast("double").alias("dot"))
     )
     qn = _norms(q_ex, "query_id", "qn")
     bn = _norms(b_ex, "neighbor_id", "bn")
     return (
-        dots.join(F.broadcast(qn), "query_id")
-        .join(F.broadcast(bn), "neighbor_id")
+        dots.join(hint_q(qn), "query_id")
+        .join(hint_b(bn), "neighbor_id")
         .withColumn("cos_sim", F.round(F.col("dot") / (F.col("qn") * F.col("bn")), 7))
     )
 
@@ -116,5 +138,6 @@ def ivf_cosine_topk(
     trade."""
     q_tag = queries.select(F.col(id_col).alias("query_id"), sign_bucket_expr(vec_col, n_bits).alias("bucket"))
     b_tag = base.select(F.col(id_col).alias("neighbor_id"), sign_bucket_expr(vec_col, n_bits).alias("bucket"))
-    pairs = F.broadcast(q_tag).join(b_tag, "bucket").select("query_id", "neighbor_id")
+    hint_q = F.broadcast if _provably_small(queries) else (lambda df: df)
+    pairs = hint_q(q_tag).join(b_tag, "bucket").select("query_id", "neighbor_id")
     return _rank_topk(_pair_cosine(queries, base, pairs, id_col, vec_col), k)

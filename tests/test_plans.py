@@ -63,3 +63,40 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
     rows = registry.QUERIES["approx_distinct_parts"](spark, sf_dir).collect()
     for r in rows:
         assert abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"] < 0.05
+
+
+def test_pair_cosine_broadcast_is_conditional(spark):
+    """A query side over the row cap must not emit broadcast hints — the
+    hinted frame would be ~|queries| x |base| and OOM the executors; AQE
+    decides instead. A small query side keeps the hints."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.dedup import simhash64_signatures  # noqa: F401 (session warm)
+    from etl_poc_spark.operators.similarity import _BROADCAST_ROW_CAP, _pair_cosine
+
+    def vecs(n, prefix_id=0):
+        return spark.range(n).select(
+            (F.col("id") + prefix_id).cast("int").alias("vec_id"),
+            F.array(*[(F.col("id") % 7 + i).cast("float") for i in range(4)]).alias("embedding"),
+        )
+
+    big_q = vecs(_BROADCAST_ROW_CAP + 1)
+    small_q = vecs(16)
+    base = vecs(64, prefix_id=1_000_000)
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    def pairs_for(q):
+        return q.select(F.col("vec_id").alias("query_id")).crossJoin(
+            base.select(F.col("vec_id").alias("neighbor_id"))
+        )
+
+    big_plan = analyzed(_pair_cosine(big_q, base, pairs_for(big_q), "vec_id", "embedding"))
+    small_plan = analyzed(_pair_cosine(small_q, base, pairs_for(small_q), "vec_id", "embedding"))
+    # base (64 rows) is small: its norms may be hinted in both cases, so
+    # compare hint counts — the big query side must hint strictly fewer
+    # frames (no pairs / q_ex / qn hints)
+    assert big_plan.count("ResolvedHint") < small_plan.count("ResolvedHint")
+    assert small_plan.count("ResolvedHint") >= 3
+    assert big_plan.count("ResolvedHint") == 1  # only the small base norms
