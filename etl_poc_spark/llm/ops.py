@@ -27,6 +27,7 @@ docetl/config/article_pipeline.yaml.j2:45-48 — we deliberately narrow that).
 
 from __future__ import annotations
 
+import ast
 import re
 from typing import Any, Iterator
 
@@ -44,13 +45,47 @@ def render_prompt(template: str, record: dict[str, Any]) -> str:
     return _TEMPLATE_RE.sub(lambda m: str(record.get(m.group(1), "")), template)
 
 
+_VALIDATOR_CALLS: dict[str, Any] = {"len": len, "str": str, "int": int, "float": float, "bool": bool}
+
+# AST node whitelist for validator expressions: literals, boolean logic,
+# comparisons (incl. membership), arithmetic, subscripts, conditional
+# expressions, and calls to the five safe builtins above. Crucially, NO
+# ast.Attribute — attribute access is the sandbox-escape vector (e.g.
+# str.mro()[1].__subclasses__() reaches os from an "empty" eval namespace),
+# so validators structurally cannot reach it.
+_VALIDATOR_NODES: tuple[type, ...] = (
+    ast.Expression, ast.BoolOp, ast.And, ast.Or, ast.UnaryOp, ast.Not, ast.USub, ast.UAdd,
+    ast.Compare, ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt, ast.GtE,
+    ast.In, ast.NotIn, ast.Is, ast.IsNot,
+    ast.BinOp, ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod,
+    ast.Call, ast.Name, ast.Load, ast.Constant, ast.Subscript, ast.Slice,
+    ast.Tuple, ast.List, ast.IfExp,
+)
+
+
 def eval_validator(expr: str, output: dict[str, Any]) -> bool:
     """Evaluate a restricted validator expression against the output dict.
 
-    Allowed names: `output`, `len`, `str`, `int`, `float`, `bool`. No
-    builtins, no imports, no attribute access on anything else."""
+    The expression is parsed and structurally whitelisted (ast-based) before
+    evaluation: only literals, boolean/comparison/arithmetic operators,
+    subscripts, and calls to `len`/`str`/`int`/`float`/`bool` over the
+    `output` name are allowed. Attribute access, keyword arguments, and any
+    other name are rejected, so a YAML-configured validator cannot execute
+    arbitrary code on executors (the reference evals arbitrary Python — we
+    deliberately narrow that)."""
+    allowed_names = {"output", *_VALIDATOR_CALLS}
     try:
-        return bool(eval(expr, {"__builtins__": {}}, {"output": output, "len": len, "str": str, "int": int, "float": float, "bool": bool}))  # noqa: S307
+        tree = ast.parse(expr, mode="eval")
+        for node in ast.walk(tree):
+            if not isinstance(node, _VALIDATOR_NODES):
+                return False
+            if isinstance(node, ast.Call):
+                if not isinstance(node.func, ast.Name) or node.func.id not in _VALIDATOR_CALLS or node.keywords:
+                    return False
+            if isinstance(node, ast.Name) and node.id not in allowed_names:
+                return False
+        code = compile(tree, "<validator>", "eval")
+        return bool(eval(code, {"__builtins__": {}}, {"output": output, **_VALIDATOR_CALLS}))  # noqa: S307
     except Exception:  # noqa: BLE001 — a crashing validator is a failed validation
         return False
 

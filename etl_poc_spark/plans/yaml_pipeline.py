@@ -68,9 +68,17 @@ def validate_config(config: dict[str, Any]) -> None:
         raise PipelineConfigError("pipeline.steps must be a non-empty list")
     known = {op["name"] for op in ops}
     datasets = set(config.get("datasets") or {})
+    # a step may only consume a dataset or a STRICTLY EARLIER step — steps
+    # execute in order, so a self/forward reference would pass a same-set
+    # check here and then KeyError at execution time
+    earlier_steps: set[str] = set()
     for step in steps:
-        if step.get("input") not in datasets and step.get("input") not in {s.get("name") for s in steps}:
-            raise PipelineConfigError(f"step {step.get('name')!r} references unknown input {step.get('input')!r}")
+        if step.get("input") not in datasets and step.get("input") not in earlier_steps:
+            raise PipelineConfigError(
+                f"step {step.get('name')!r} references unknown input {step.get('input')!r} "
+                f"(inputs must name a dataset or an earlier step)"
+            )
+        earlier_steps.add(step.get("name"))
         for op_name in step.get("operations", []):
             if op_name not in known:
                 raise PipelineConfigError(f"step {step.get('name')!r} references unknown operation {op_name!r}")

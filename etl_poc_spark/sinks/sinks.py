@@ -61,10 +61,19 @@ def _article_markdown(article: dict[str, Any]) -> str:
 
 
 def write_markdown_articles(df: DataFrame, out_dir: str, name_col: str = "headline") -> None:
-    """Materialize one directory per article: <slug>/article.md + article.json."""
+    """Materialize one directory per article: <slug>/article.md + article.json.
+
+    The slug is disambiguated with a short content hash of the whole row, so
+    two articles with identically-slugging headlines (or writes racing
+    across partitions) land in distinct directories instead of silently
+    overwriting each other. The suffix is deterministic — re-running the
+    sink on the same data reuses the same directories (idempotent)."""
     from pyspark.sql import functions as F
 
-    with_slug = df.withColumn("__slug", slugify(F.col(name_col)))
+    disamb = F.substring(F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns]))), 1, 8)
+    with_slug = df.withColumn(
+        "__slug", F.concat_ws("-", slugify(F.col(name_col)), disamb)
+    )
 
     def write_partition(rows) -> None:
         for row in rows:

@@ -126,3 +126,40 @@ def test_pipeline_config_validation():
     with pytest.raises(PipelineConfigError, match="unknown operation"):
         validate_config({"default_model": "m", "datasets": {"d": {}}, "operations": [{"name": "a", "type": "filter", "condition": "1=1"}],
                          "pipeline": {"steps": [{"name": "s", "input": "d", "operations": ["zzz"]}]}})
+
+
+def test_eval_validator_blocks_sandbox_escapes():
+    # attribute access is structurally rejected — the classic empty-builtins
+    # escape via str.mro()/__subclasses__ cannot even parse past the whitelist
+    assert not eval_validator("str.mro()[1].__subclasses__()", {})
+    assert not eval_validator("().__class__.__bases__[0].__subclasses__()", {})
+    assert not eval_validator("output.__class__", {})
+    assert not eval_validator("getattr(str, 'mro')", {})
+    assert not eval_validator("[x for x in (1,)]", {})  # comprehensions rejected
+    assert not eval_validator("(lambda: 1)()", {})
+    # while rich-but-safe expressions still work
+    assert eval_validator("len(output['t']) > 2 and output['n'] % 2 == 0", {"t": "abcd", "n": 4})
+    assert eval_validator("'x' in output['t'] or output['n'] >= 10", {"t": "axb", "n": 1})
+    assert eval_validator("int(output['n']) + 1 == 5 if output['t'] else False", {"t": "y", "n": 4})
+
+
+def test_pipeline_config_rejects_forward_and_self_references():
+    base = {
+        "default_model": "m",
+        "datasets": {"d": {}},
+        "operations": [{"name": "a", "type": "filter", "condition": "1=1"}],
+    }
+    with pytest.raises(PipelineConfigError, match="unknown input"):
+        validate_config({**base, "pipeline": {"steps": [
+            {"name": "s1", "input": "s2", "operations": ["a"]},  # forward ref
+            {"name": "s2", "input": "d", "operations": ["a"]},
+        ]}})
+    with pytest.raises(PipelineConfigError, match="unknown input"):
+        validate_config({**base, "pipeline": {"steps": [
+            {"name": "s1", "input": "s1", "operations": ["a"]},  # self ref
+        ]}})
+    # backward reference remains valid
+    validate_config({**base, "pipeline": {"steps": [
+        {"name": "s1", "input": "d", "operations": ["a"]},
+        {"name": "s2", "input": "s1", "operations": ["a"]},
+    ]}})

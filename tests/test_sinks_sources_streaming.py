@@ -36,12 +36,33 @@ def test_markdown_sink_layout(spark, tmp_path):
     )
     out = str(tmp_path / "articles")
     write_markdown_articles(df, out)
-    md = open(os.path.join(out, "a-great-headline", "article.md")).read()
+    dirs = os.listdir(out)
+    (great,) = [d for d in dirs if d.startswith("a-great-headline-")]
+    md = open(os.path.join(out, great, "article.md")).read()
     assert md.startswith("---\n") and "title: A Great Headline" in md
     assert "> q1\n> q2" in md and "## What This Means" in md and "- t3" in md
-    art = json.load(open(os.path.join(out, "a-great-headline", "article.json")))
+    art = json.load(open(os.path.join(out, great, "article.json")))
     assert art["headline"] == "A Great Headline"
-    assert os.path.isdir(os.path.join(out, "untitled"))
+    assert any(d.startswith("untitled-") for d in dirs)
+
+
+def test_markdown_sink_same_headline_no_overwrite(spark, tmp_path):
+    rows = [
+        ("Same Headline", "one", "body one", [], [], "m1"),
+        ("Same Headline", "two", "body two", [], [], "m2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "headline string, subtitle string, article_body string, pull_quotes array<string>, key_takeaways array<string>, meta_description string"
+    )
+    out = str(tmp_path / "articles")
+    write_markdown_articles(df, out)
+    dirs = sorted(os.listdir(out))
+    assert len(dirs) == 2  # hash suffix keeps identically-slugging articles apart
+    bodies = {json.load(open(os.path.join(out, d, "article.json")))["article_body"] for d in dirs}
+    assert bodies == {"body one", "body two"}
+    # deterministic suffixes: re-running reuses the same directories
+    write_markdown_articles(df, out)
+    assert sorted(os.listdir(out)) == dirs
 
 
 def test_error_sink(tmp_path):
