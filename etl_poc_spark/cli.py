@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--summary", default=None, help="write run summary JSON")
     ap.add_argument("--provider", default="stub", help="LLM provider name (default: stub)")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
+    ap.add_argument("--timeout", type=float, default=3600.0,
+                    help="wall-clock budget in seconds (reference operator default: 3600)")
+    ap.add_argument("--retries", type=int, default=1, help="extra attempts after a failure")
+    ap.add_argument("--retry-delay", type=float, default=0.0, help="seconds between attempts")
+    ap.add_argument("--errors-dir", default=None,
+                    help="quarantine directory for failure records (S9 error sink)")
     args = ap.parse_args(argv)
 
     with open(args.config, encoding="utf-8") as f:
@@ -52,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     config = rewrite_paths(config, args.input)
 
     from etl_poc_spark.llm.provider import get_provider
+    from etl_poc_spark.plans.harness import run_with_harness
     from etl_poc_spark.plans.yaml_pipeline import run_pipeline
     from etl_poc_spark.session import get_spark
     from etl_poc_spark.sinks.sinks import write_json_records
@@ -59,19 +66,35 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     spark = get_spark("etl_poc_spark_cli", cpus=args.cpus)
     provider = get_provider(args.provider)
-    frames = run_pipeline(spark, config, provider=provider)
 
-    steps: dict[str, Any] = {}
-    for name, df in frames.items():
-        if name == "__final__":
-            continue
-        n = df.count()
-        n_valid = df.filter("_valid").count() if "_valid" in df.columns else None
-        steps[name] = {"rows": n, **({"valid_rows": n_valid} if n_valid is not None else {})}
+    def body() -> tuple[dict[str, Any], Any]:
+        frames = run_pipeline(spark, config, provider=provider)
+        steps: dict[str, Any] = {}
+        for name, df in frames.items():
+            if name == "__final__":
+                continue
+            n = df.count()
+            n_valid = df.filter("_valid").count() if "_valid" in df.columns else None
+            steps[name] = {"rows": n, **({"valid_rows": n_valid} if n_valid is not None else {})}
+        n_out = None
+        if args.output:
+            n_out = write_json_records(frames["__final__"], args.output, single_file=True)
+        return steps, n_out
 
-    n_out = None
-    if args.output:
-        n_out = write_json_records(frames["__final__"], args.output, single_file=True)
+    try:
+        steps, n_out = run_with_harness(
+            spark,
+            body,
+            timeout_seconds=args.timeout,
+            retries=args.retries,
+            retry_delay_seconds=args.retry_delay,
+            errors_dir=args.errors_dir,
+            context={"config": os.path.abspath(args.config), "provider": args.provider},
+        )
+    except BaseException as e:  # noqa: BLE001 — quarantined by the harness; report and exit nonzero
+        print(json.dumps({"error": str(e), "type": type(e).__name__,
+                          "config": os.path.abspath(args.config)}), file=sys.stderr)
+        return 1
 
     summary = {
         "config": os.path.abspath(args.config),
