@@ -4,12 +4,12 @@ Design: image/audio/video are opaque `binary` columns (from
 `spark.read.format("binaryFile")` or any table with BinaryType) with typed
 metadata structs produced by Arrow-batched pandas UDFs over mapInPandas.
 
-The decode kernels themselves are STUBBED — this container ships no
-image/audio libraries — but the Spark-side contract is real and tested:
-schemas, batch shapes, partitioning behavior, and the dispatch seam where
-PIL/ffmpeg would slot in. `strict=True` raises NotImplementedError at the
-decode seam; the default deterministic fake derives metadata from the raw
-bytes so pipelines (and tests) can run end-to-end.
+The image kernels are REAL for the stdlib-decodable formats (PPM/BMP/PNG —
+see imagecodec.py): actual pixel decode, nearest-neighbor resize, and
+luminance-histogram features. Formats needing an external library (JPEG
+entropy coding, video) fall back to a deterministic content-hash fake so
+pipelines still run end to end; `strict=True` raises at the decode seam
+instead. Every output row carries a `decoded` flag telling the two apart.
 
 Scale notes: binaryFile scans parallelize per-file; keep
 `spark.sql.files.maxPartitionBytes` sized so a partition's worth of media
@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from etl_poc_spark.multimodal import imagecodec
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
@@ -34,6 +36,7 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("decoded", T.BooleanType()),
     ]
 )
 
@@ -46,37 +49,42 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> 
 
 
 def _sniff_format(data: bytes) -> str:
-    if data[:8] == b"\x89PNG\r\n\x1a\n":
-        return "png"
-    if data[:3] == b"\xff\xd8\xff":
-        return "jpeg"
-    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        return "wav"
-    return "unknown"
+    return imagecodec.sniff_format(data)
 
 
-def _decode_dims(data: bytes, strict: bool) -> tuple[int, int]:
-    """The real-decoder seam. A deployment wires PIL/ffmpeg here; the stub
-    derives deterministic fake dimensions from the content hash."""
-    if strict:
-        raise NotImplementedError(
-            "real media decoding requires an image/audio library not present "
-            "in this environment; install one and replace _decode_dims"
-        )
-    h = hashlib.md5(data).digest()
-    return 64 + h[0] % 192, 64 + h[1] % 192
+def _try_decode(data: bytes, strict: bool) -> tuple[int, int, bytes] | None:
+    """Real decode for stdlib-supported formats (PPM/BMP/PNG); None when the
+    format needs an external library and strict is off."""
+    try:
+        return imagecodec.decode_image(data)
+    except ValueError as e:
+        if strict:
+            raise NotImplementedError(
+                f"cannot decode this format with the stdlib codecs ({e}); "
+                "install an image library (e.g. PIL) and extend imagecodec"
+            ) from e
+        return None
 
 
 def decode_image_meta(df: DataFrame, content_col: str = "content", path_col: str = "path",
                       strict: bool = False) -> DataFrame:
-    """binary column -> typed metadata struct columns via mapInPandas."""
+    """binary column -> typed metadata struct columns via mapInPandas.
+
+    Width/height are REAL pixel dimensions for PPM/BMP/PNG inputs
+    (decoded=True); undecodable formats get deterministic content-hash fake
+    dims (decoded=False), or NotImplementedError under strict=True."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
                 data = bytes(row[content_col])
-                w, h = _decode_dims(data, strict)
+                decoded = _try_decode(data, strict)
+                if decoded is not None:
+                    w, h = decoded[0], decoded[1]
+                else:
+                    dig = hashlib.md5(data).digest()
+                    w, h = 64 + dig[0] % 192, 64 + dig[1] % 192
                 rows.append(
                     {
                         "path": str(row[path_col]),
@@ -85,6 +93,7 @@ def decode_image_meta(df: DataFrame, content_col: str = "content", path_col: str
                         "format": _sniff_format(data),
                         "width": w,
                         "height": h,
+                        "decoded": decoded is not None,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
@@ -92,48 +101,65 @@ def decode_image_meta(df: DataFrame, content_col: str = "content", path_col: str
     return df.select(path_col, content_col).mapInPandas(fn, schema=MEDIA_META_SCHEMA)
 
 
-def resize_image_stub(df: DataFrame, target_w: int = 64, target_h: int = 64,
-                      content_col: str = "content", path_col: str = "path") -> DataFrame:
-    """Resize contract: binary in -> binary out + dims. The interpolation
-    kernel is the stubbed seam (a real deployment calls PIL here); the stub
-    emits a deterministic `target_w*target_h`-byte payload derived from the
-    source hash so downstream size/shape invariants are testable."""
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("path", T.StringType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("resized", T.BinaryType()),
-        ]
-    )
+
+def resize_image(df: DataFrame, target_w: int = 64, target_h: int = 64,
+                 content_col: str = "content", path_col: str = "path",
+                 strict: bool = False) -> DataFrame:
+    """Resize: binary in -> target_w*target_h*3 raw RGB bytes out.
+
+    PPM/BMP/PNG inputs go through a real decode + nearest-neighbor resample
+    (decoded=True). Undecodable formats emit a deterministic content-hash
+    payload of the same shape (decoded=False) so downstream shape invariants
+    hold, or raise under strict=True."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n = target_w * target_h
+        n = target_w * target_h * imagecodec.RGB_BPP
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
                 data = bytes(row[content_col])
-                seed = hashlib.md5(data).digest()
-                payload = (seed * (n // len(seed) + 1))[:n]
-                rows.append({"path": str(row[path_col]), "width": target_w, "height": target_h, "resized": payload})
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+                decoded = _try_decode(data, strict)
+                if decoded is not None:
+                    w, h, rgb = decoded
+                    payload = imagecodec.resize_nearest(w, h, rgb, target_w, target_h)
+                else:
+                    seed = hashlib.md5(data).digest()
+                    payload = (seed * (n // len(seed) + 1))[:n]
+                rows.append({"path": str(row[path_col]), "width": target_w,
+                             "height": target_h, "resized": payload,
+                             "decoded": decoded is not None})
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
-    return df.select(path_col, content_col).mapInPandas(fn, schema=out_schema)
+    return df.select(path_col, content_col).mapInPandas(fn, schema=RESIZE_SCHEMA)
 
 
-def feature_extract_stub(df: DataFrame, dim: int = 64,
-                         content_col: str = "content", path_col: str = "path") -> DataFrame:
-    """Feature extraction contract: binary -> embedding array<float>. The
-    model forward-pass is the stubbed seam; the stub derives a deterministic
-    unit-scale vector from md5 rounds over the content, producing the same
-    (id, embedding) shape the similarity operators consume — so
-    media -> features -> cosine top-k pipelines are testable end to end."""
+def feature_extract(df: DataFrame, dim: int = 64,
+                    content_col: str = "content", path_col: str = "path",
+                    strict: bool = False) -> DataFrame:
+    """Feature extraction: binary -> embedding array<float> (the shape the
+    similarity operators consume, so media -> features -> cosine top-k runs
+    end to end).
+
+    PPM/BMP/PNG inputs produce a REAL normalized luminance histogram over
+    the decoded pixels — identical pixels yield identical features across
+    container formats. Undecodable formats fall back to a deterministic
+    md5-derived vector (decoded=False), or raise under strict=True."""
 
     out_schema = T.StructType(
         [
             T.StructField("path", T.StringType()),
             T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("decoded", T.BooleanType()),
         ]
     )
 
@@ -142,15 +168,28 @@ def feature_extract_stub(df: DataFrame, dim: int = 64,
             rows = []
             for _, row in pdf.iterrows():
                 data = bytes(row[content_col])
-                vals: list[float] = []
-                seed = data
-                while len(vals) < dim:
-                    seed = hashlib.md5(seed).digest()
-                    vals.extend(b / 255.0 - 0.5 for b in seed)
-                rows.append({"path": str(row[path_col]), "embedding": vals[:dim]})
+                decoded = _try_decode(data, strict)
+                if decoded is not None:
+                    _w, _h, rgb = decoded
+                    vals = imagecodec.luminance_histogram(rgb, bins=dim)
+                else:
+                    vals = []
+                    seed = data
+                    while len(vals) < dim:
+                        seed = hashlib.md5(seed).digest()
+                        vals.extend(b / 255.0 - 0.5 for b in seed)
+                    vals = vals[:dim]
+                rows.append({"path": str(row[path_col]), "embedding": vals,
+                             "decoded": decoded is not None})
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.select(path_col, content_col).mapInPandas(fn, schema=out_schema)
+
+
+# Backwards-compatible names from when these kernels were stubs; the
+# fallback path (undecodable formats) still behaves exactly like the stubs.
+resize_image_stub = resize_image
+feature_extract_stub = feature_extract
 
 
 def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:

@@ -140,8 +140,10 @@ def test_streaming_session_window_total_matches_batch_sessionize(spark, events_s
 
 
 def test_multimodal_binary_plumbing(spark, tmp_path):
-    # fake media files: one PNG-magic, one JPEG-magic, one garbage
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 5000
+    from etl_poc_spark.multimodal.imagecodec import encode_png
+
+    # one REAL decodable PNG, one JPEG-magic fake, one garbage file
+    png = encode_png(12, 7, bytes(i % 256 for i in range(12 * 7 * 3)))
     jpg = b"\xff\xd8\xff\xe0" + b"\x01" * 3000
     raw = b"garbage-bytes" * 100
     for name, data in [("a.png", png), ("b.jpg", jpg), ("c.bin", raw)]:
@@ -150,10 +152,13 @@ def test_multimodal_binary_plumbing(spark, tmp_path):
     meta = {os.path.basename(r["path"]): r for r in decode_image_meta(df).collect()}
     assert meta["a.png"]["format"] == "png" and meta["b.jpg"]["format"] == "jpeg" and meta["c.bin"]["format"] == "unknown"
     assert meta["a.png"]["n_bytes"] == len(png)
-    assert 64 <= meta["a.png"]["width"] <= 255  # deterministic fake dims
-    # strict mode fails loudly at the decode seam
-    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
-        decode_image_meta(df, strict=True).collect()
+    # real decode: actual pixel dimensions, flagged decoded
+    assert (meta["a.png"]["width"], meta["a.png"]["height"]) == (12, 7)
+    assert meta["a.png"]["decoded"] and not meta["b.jpg"]["decoded"]
+    assert 64 <= meta["b.jpg"]["width"] <= 255  # deterministic fake dims
+    # strict mode fails loudly at the decode seam for unsupported formats
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        decode_image_meta(df.filter(df.path.endswith("b.jpg")), strict=True).collect()
     # frame sampling fan-out: every 10th "frame", n_frames = bytes//1024
-    frames = frame_sample_stub(df.filter(df.path.endswith("a.png"))).collect()
-    assert [r["frame_idx"] for r in frames] == [0]  # 5008//1024 = 4 frames -> idx 0 only with step 10
+    frames = frame_sample_stub(df.filter(df.path.endswith("b.jpg"))).collect()
+    assert [r["frame_idx"] for r in frames] == [0]  # 3004//1024 = 2 frames -> idx 0 only with step 10
