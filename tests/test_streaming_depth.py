@@ -7,7 +7,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from etl_poc_spark.streaming.windows import read_events_stream
+from etl_poc_spark.streaming.windows import (
+    EVENTS_STREAM_SCHEMA,
+    hourly_event_counts_stream,
+    read_events_stream,
+)
 
 
 @pytest.fixture(scope="module")
@@ -84,3 +88,69 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(day" in plan
     # pruned scan touches exactly one partition directory
     assert scan.select("day").distinct().count() == 1
+
+
+def test_watermark_drops_late_data_and_evicts_state(spark, tmp_path):
+    """Event-time correctness under late data, beyond batch-equality:
+
+    - batch 1: two hour-0 events open window W1
+    - batch 2: an hour-6 event advances the watermark (2h) past W1
+    - batch 3: an hour-7 event; W1 is finalized + EVICTED at end of batch
+      (eviction uses the during-batch watermark, so it lands one batch after
+      the advance)
+    - batch 4: a LATE hour-0 event arrives after W1's state is gone
+
+    Append mode must emit W1 exactly once with only the batch-1 counts, the
+    late row must be dropped (visible in numRowsDroppedByWatermark), and the
+    state store must hold only the two still-open windows at the end."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = tmp_path / "late_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        schema = pa.schema([
+            ("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64()),
+            ("event_type", pa.string()), ("value", pa.float64()), ("props", pa.string()),
+        ])
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), str(in_dir / name))
+        _time.sleep(1.1)  # distinct modification times -> deterministic batch order
+
+    write_file("f1.parquet", [
+        (1, "2024-01-01 00:10:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:20:00", 7, "click", 2.0, "{}"),
+    ])
+    write_file("f2.parquet", [(3, "2024-01-01 06:00:00", 7, "click", 3.0, "{}")])
+    write_file("f3.parquet", [(4, "2024-01-01 07:00:00", 7, "click", 4.0, "{}")])
+    write_file("f4.parquet", [(5, "2024-01-01 00:30:00", 7, "click", 9.0, "{}")])  # late
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).format("parquet") \
+        .option("maxFilesPerTrigger", 1).load(str(in_dir))
+    counts = hourly_event_counts_stream(stream, watermark="2 hours")
+    q = counts.writeStream.format("memory").queryName("late_data") \
+        .outputMode("append").option("checkpointLocation", ckpt) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+
+    emitted = spark.sql("SELECT * FROM late_data").collect()
+    w1 = [r for r in emitted if r["hour"] == "2024-01-01 00:00:00"]
+    # W1 finalized exactly once, with ONLY the on-time events (late row excluded)
+    assert len(w1) == 1
+    assert w1[0]["n_events"] == 2 and w1[0]["total_value"] == 3.0
+
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"] for p in progresses)
+    assert dropped == 1  # the batch-4 late row
+    # eviction: three windows were opened over the run; after W1 crossed the
+    # watermark only the hour-6 and hour-7 windows may remain in state
+    final_state_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_state_rows == 2
