@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "events_sliding_windows",
 ]
 
+# Every other registered query is benched too (after the headline set), so a
+# regression anywhere in the surface is visible round over round.
+BENCH_ALL_REGISTERED = True
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,8 +64,11 @@ def main() -> None:
 
     # best-of-2: the second run amortizes JIT/codegen compilation and OS
     # cache warming, so numbers reflect steady-state engine throughput
+    names = list(BENCH_QUERIES)
+    if BENCH_ALL_REGISTERED:
+        names += sorted(set(registry.QUERIES) - set(BENCH_QUERIES))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         fn = registry.QUERIES[name]
         best = float("inf")
         for _ in range(2):
