@@ -47,19 +47,29 @@ def render_prompt(template: str, record: dict[str, Any]) -> str:
 
 _VALIDATOR_CALLS: dict[str, Any] = {"len": len, "str": str, "int": int, "float": float, "bool": bool}
 
+# Safe data-methods a validator may CALL (immediately — bare attribute
+# access is rejected). All are plain str/list/dict inspection methods; none
+# can reach dunders, and the dunder escape chains (e.g. __class__,
+# mro()[1].__subclasses__()) require attribute names this list excludes.
+_VALIDATOR_METHODS = frozenset({
+    "split", "strip", "lstrip", "rstrip", "lower", "upper", "startswith",
+    "endswith", "count", "find", "isdigit", "isalpha", "isalnum", "get",
+    "keys", "values", "items", "index",
+})
+
 # AST node whitelist for validator expressions: literals, boolean logic,
 # comparisons (incl. membership), arithmetic, subscripts, conditional
-# expressions, and calls to the five safe builtins above. Crucially, NO
-# ast.Attribute — attribute access is the sandbox-escape vector (e.g.
-# str.mro()[1].__subclasses__() reaches os from an "empty" eval namespace),
-# so validators structurally cannot reach it.
+# expressions, and calls to the five safe builtins above. ast.Attribute is
+# the sandbox-escape vector (e.g. str.mro()[1].__subclasses__() reaches os
+# from an "empty" eval namespace), so it is allowed ONLY as the target of an
+# immediate call to a whitelisted non-dunder data method.
 _VALIDATOR_NODES: tuple[type, ...] = (
     ast.Expression, ast.BoolOp, ast.And, ast.Or, ast.UnaryOp, ast.Not, ast.USub, ast.UAdd,
     ast.Compare, ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt, ast.GtE,
     ast.In, ast.NotIn, ast.Is, ast.IsNot,
     ast.BinOp, ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod,
     ast.Call, ast.Name, ast.Load, ast.Constant, ast.Subscript, ast.Slice,
-    ast.Tuple, ast.List, ast.IfExp,
+    ast.Tuple, ast.List, ast.IfExp, ast.Attribute,
 )
 
 
@@ -76,11 +86,24 @@ def eval_validator(expr: str, output: dict[str, Any]) -> bool:
     allowed_names = {"output", *_VALIDATOR_CALLS}
     try:
         tree = ast.parse(expr, mode="eval")
+        called_methods = {
+            id(n.func) for n in ast.walk(tree)
+            if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
+        }
         for node in ast.walk(tree):
             if not isinstance(node, _VALIDATOR_NODES):
                 return False
             if isinstance(node, ast.Call):
-                if not isinstance(node.func, ast.Name) or node.func.id not in _VALIDATOR_CALLS or node.keywords:
+                if node.keywords:
+                    return False
+                if isinstance(node.func, ast.Name):
+                    if node.func.id not in _VALIDATOR_CALLS:
+                        return False
+                elif not isinstance(node.func, ast.Attribute):
+                    return False
+            if isinstance(node, ast.Attribute):
+                # attributes exist only as immediately-called safe methods
+                if id(node) not in called_methods or node.attr not in _VALIDATOR_METHODS or node.attr.startswith("_"):
                     return False
             if isinstance(node, ast.Name) and node.id not in allowed_names:
                 return False

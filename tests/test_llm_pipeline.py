@@ -163,3 +163,16 @@ def test_pipeline_config_rejects_forward_and_self_references():
         {"name": "s1", "input": "d", "operations": ["a"]},
         {"name": "s2", "input": "s1", "operations": ["a"]},
     ]}})
+
+
+def test_eval_validator_safe_methods_but_no_attribute_escape():
+    # immediately-called whitelisted data methods work
+    assert eval_validator("len(output['t'].split()) >= 3", {"t": "a b c"})
+    assert eval_validator("output['t'].strip().lower() == 'x'", {"t": "  X "})
+    assert eval_validator("output['t'].startswith('ab')", {"t": "abc"})
+    # bare attribute access / non-whitelisted / dunder methods are rejected
+    assert not eval_validator("output['t'].split", {"t": "a b"})
+    assert not eval_validator("output['t'].__class__", {"t": "a"})
+    assert not eval_validator("output['t'].mro()", {"t": "a"})
+    assert not eval_validator("output['t'].format('x')", {"t": "{}"})
+    assert not eval_validator("str.mro()[1].__subclasses__()", {})
