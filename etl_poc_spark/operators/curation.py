@@ -1,0 +1,203 @@
+"""Training-data curation operators: deterministic splits, stratified
+sampling, PII redaction, benchmark-contamination checks, and sequence
+packing.
+
+These are the operations a large-scale LLM training-data pipeline needs
+between "raw corpus" and "tokenizer-ready batches". All are DataFrame-native
+and shuffle-light:
+
+- hash_bucket / train_val_test_split / stratified_sample: NARROW (no
+  shuffle at all) — the split/sample decision is a deterministic md5 over
+  the row's own id, so it is reproducible across runs, engines, and
+  repartitionings, and never needs a global sort or sampling pass. md5 (not
+  xxhash64) keeps the bucket oracle-portable to DuckDB.
+- redact_pii: narrow regexp_replace chain, JVM-side.
+- contamination_check: inverted shingle-index semi-join (the candidate
+  space is docs sharing an n-gram with the benchmark — never a cross join).
+- pack_stream_cut: one window cumsum per group — the "concatenate the
+  token stream and cut every cap tokens" packing used for pretraining
+  batches; straddling is allowed, so it is exactly expressible as a
+  prefix-sum (oracle-checkable).
+- pack_sequences_greedy: next-fit greedy packing (no straddling; a doc
+  that would overflow opens a new bin) — inherently sequential per group,
+  so it runs as applyInPandas per stratum; each stratum's doc list must fit
+  one executor's memory (strata are bounded: e.g. per-language per-shard).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def hash_bucket(col: Column, n_buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic engine-portable bucket in [0, n_buckets): the first 6
+    hex digits of md5(salt || value) mod n_buckets. DuckDB equivalent:
+    CAST('0x' || substr(md5(salt || CAST(x AS VARCHAR)), 1, 6) AS INTEGER)
+    % n_buckets."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % n_buckets).cast("int")
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Append a `split` column ('train'/'val'/'test') by hashed id.
+
+    Hash-based assignment is the scale-correct split: no global shuffle or
+    sort, stable under corpus growth (a doc's split never changes when new
+    docs arrive), and reproducible across engines."""
+    b = hash_bucket(F.col(id_col), 100, salt)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pct: int = 20,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic ~pct% sample, uniform within every stratum because the
+    hash ignores all columns except the id. Unlike df.sample(), the result
+    is identical across runs/partitionings and is oracle-checkable."""
+    return df.filter(hash_bucket(F.col(id_col), 100, salt) < pct)
+
+
+# PII patterns shared by the Spark expression and the DuckDB oracle — keep
+# to the regex subset Java's engine and RE2 interpret identically.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace PII spans with typed placeholder tokens and count them.
+
+    Order matters: SSN (ddd-dd-dddd) is matched before phone would half-eat
+    it? No — phone is ddd-ddd-dddd (disjoint shapes); patterns are applied
+    in declaration order and counts are taken on the ORIGINAL text so later
+    replacements can't hide earlier matches."""
+    out = df
+    for name, pat, _ in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    redacted = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn("redacted", redacted)
+
+
+def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams per row (same shape as dedup.shingle_docs)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(0, size(__words) - {n}), "
+        f"i -> concat_ws(' ', slice(__words, i + 1, {n})))"
+    )
+    return (
+        df.select(F.col(id_col), words.alias("__words"))
+        .filter(F.size("__words") >= n)
+        .select(F.col(id_col), F.explode(grams).alias("ngram"))
+        .distinct()
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Flag corpus docs sharing any word n-gram with a benchmark/eval set
+    (train-test contamination scan). Inverted-index equi-join on the n-gram:
+    only docs that actually share a gram ever meet, and the benchmark gram
+    table (small) broadcasts.
+
+    Returns (id, n_overlapping_ngrams) for contaminated docs only."""
+    corpus_grams = word_ngrams(corpus, id_col, text_col, n)
+    bench_grams = word_ngrams(benchmark, id_col, text_col, n).select("ngram").distinct()
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlapping_ngrams"))
+    )
+
+
+def pack_stream_cut(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    cap: int = 2048,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-cut sequence packing: concatenate docs in id order (per
+    group), cut every `cap` tokens; a doc belongs to the sequence where it
+    STARTS (straddling docs are split at training time). One window cumsum
+    — exactly expressible in SQL, so oracle-checkable.
+
+    Adds seq_id and start_offset (token offset of the doc inside its
+    group's stream)."""
+    part = group_cols or []
+    w = Window.partitionBy(*part).orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    return df.withColumn("start_offset", start).withColumn(
+        "seq_id", (F.col("start_offset") / cap).cast("long")
+    )
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    cap: int = 2048,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Next-fit greedy packing per group: walk docs in id order; a doc that
+    would push the open bin past `cap` closes it and opens the next. No doc
+    straddles bins; docs longer than cap get a bin of their own.
+
+    Sequential by construction, so it runs as applyInPandas per group —
+    use strata (language/shard) as group_cols so each group fits in one
+    task. Not plain-SQL-expressible (the bin boundary is a recursive
+    restart-cumsum), hence a rows-only oracle."""
+    group_cols = group_cols or ["lang"]
+    out_fields = [T.StructField("bin_id", T.LongType()), T.StructField("bin_fill", T.LongType())]
+    in_schema = df.select(*group_cols, id_col, token_col).schema
+    out_schema = T.StructType(list(in_schema.fields) + out_fields)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        bin_id, fill = 0, 0
+        bins, fills = [], []
+        for tok in pdf[token_col]:
+            tok = int(tok)
+            if fill > 0 and fill + tok > cap:
+                bin_id, fill = bin_id + 1, 0
+            fill += tok
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    return (
+        df.select(*group_cols, id_col, token_col)
+        .groupBy(*group_cols)
+        .applyInPandas(pack, schema=out_schema)
+    )

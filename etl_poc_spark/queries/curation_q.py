@@ -1,0 +1,232 @@
+"""Training-data curation queries: deterministic split, stratified sample,
+PII redaction, contamination scan, sequence packing — each over the
+documents table with a DuckDB oracle where the semantics are
+SQL-expressible (all but the greedy packer, whose bin boundary is a
+recursive restart-cumsum).
+
+The md5-bucket primitive keeps every hash-driven decision engine-portable:
+Spark `conv(substr(md5(x),1,6),16,10) % n` == DuckDB
+`CAST('0x' || substr(md5(x),1,6) AS INTEGER) % n`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_poc_spark.io import load_table
+from etl_poc_spark.operators.curation import (
+    PII_PATTERNS,
+    contamination_check,
+    pack_sequences_greedy,
+    pack_stream_cut,
+    redact_pii,
+    stratified_sample,
+    train_val_test_split,
+)
+from etl_poc_spark.registry import query
+
+_BUCKET_SQL = "CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 6) AS INTEGER) % 100"
+
+
+@query(
+    "train_split_stats",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN {_BUCKET_SQL.format(salt='split')} < 80 THEN 'train'
+                  WHEN {_BUCKET_SQL.format(salt='split')} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split
+    """,
+)
+def train_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by hashed doc_id — no
+    shuffle for the assignment itself (narrow md5 projection), one
+    aggregation for the stats. Stable under corpus growth: a document's
+    split never changes when new data lands."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(d, "doc_id", 80, 10, salt="split")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "stratified_sample_counts",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN {_BUCKET_SQL.format(salt='sample')} < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY lang
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample, uniform within each language stratum
+    because the hash sees only doc_id. One shuffle (the groupBy); the
+    sampling decision is narrow and reproducible across partitionings —
+    unlike df.sample(), which is seed- and partitioning-dependent."""
+    d = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(d, "doc_id", pct=20, salt="sample").select("doc_id").withColumn("__s", F.lit(1))
+    return (
+        d.join(sampled, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.coalesce(F.col("__s"), F.lit(0))).cast("long").alias("n_sampled"),
+        )
+    )
+
+
+# synthetic PII appended deterministically so the redactor has real work;
+# identical construction in the oracle
+_PII_TEXT_SQL = """
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-010-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0 THEN ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END
+             AS text
+      FROM documents
+"""
+
+
+def _pii_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com or 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(" host 10.0.0."), (F.col("doc_id") % 256).cast("string"))
+                   ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@query(
+    "pii_redaction",
+    oracle="WITH pii AS (" + _PII_TEXT_SQL + ")" + """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           length(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),
+                 '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')
+           ) AS redacted_len
+    FROM pii
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus with synthesized emails/phones/SSNs/IPs:
+    typed placeholder replacement plus per-category counts, all narrow
+    JVM-side regex — the shape of a real pre-training scrub pass."""
+    red = redact_pii(_pii_text(spark, sf_dir), "text")
+    return red.select(
+        "doc_id",
+        *[F.col(f"n_{name}").cast("long").alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+        F.length("redacted").alias("redacted_len"),
+    )
+
+
+@query(
+    "contamination_check",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+    ), corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+    ), bg AS (
+      SELECT DISTINCT array_to_string(list_slice(words, i + 1, i + 8), ' ') AS ngram
+      FROM (SELECT string_split_regex(trim(text), '\\s+') AS words FROM bench
+            WHERE len(string_split_regex(trim(text), '\\s+')) >= 8),
+           LATERAL (SELECT unnest(range(0, len(words) - 7)) AS i)
+    ), cg AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(words, i + 1, i + 8), ' ') AS ngram
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM corpus
+            WHERE len(string_split_regex(trim(text), '\\s+')) >= 8),
+           LATERAL (SELECT unnest(range(0, len(words) - 7)) AS i)
+    )
+    SELECT cg.doc_id, COUNT(*) AS n_overlapping_ngrams
+    FROM cg JOIN bg USING (ngram)
+    GROUP BY cg.doc_id
+    """,
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test contamination scan: corpus docs sharing any word 8-gram
+    with a benchmark subset (doc_id % 50 == 0 stands in for the eval set).
+    Inverted-index equi-join on the gram with the small benchmark gram
+    table broadcast — never a cross join."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_check(corpus, bench, "doc_id", "text", n=8)
+
+
+@query(
+    "pack_stream_cut_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents WHERE trim(text) <> ''
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      FROM toks
+    )
+    SELECT CAST(start_offset // 512 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+    FROM packed
+    GROUP BY CAST(start_offset // 512 AS BIGINT)
+    """,
+)
+def pack_stream_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-cut sequence packing stats (cap 512): docs are concatenated
+    in id order and cut every cap tokens; a doc belongs to the sequence
+    where it starts. One window prefix-sum + one aggregation. At cluster
+    scale the window would partition by shard (group_cols) so no single
+    task orders the whole corpus — here the corpus is one group to stay
+    oracle-comparable."""
+    d = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = d.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    packed = pack_stream_cut(toks, "doc_id", "n_tokens", cap=512)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+    )
+
+
+@query("pack_sequences_greedy")
+def pack_sequences_greedy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit greedy packing (cap 512) per language stratum via
+    applyInPandas — no doc straddles a bin; a doc that would overflow opens
+    the next bin. Rows-only check: the bin boundary is a recursive
+    restart-cumsum, not plain-SQL-expressible; invariants (fill <= cap,
+    every doc packed once, id order preserved) are pytest-asserted."""
+    d = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = d.select(
+        "lang", "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    return pack_sequences_greedy(toks, "doc_id", "n_tokens", cap=512, group_cols=["lang"])

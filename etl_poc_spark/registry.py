@@ -40,6 +40,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from etl_poc_spark.queries import (  # noqa: F401
         analytics_q,
+        curation_q,
         dates_q,
         dedup2_q,
         dedup_q,

@@ -1,0 +1,110 @@
+"""Training-data curation operators: behavioral tests on tiny data plus
+invariants the rows-only greedy packer must satisfy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_poc_spark.operators.curation import (
+    contamination_check,
+    pack_sequences_greedy,
+    pack_stream_cut,
+    redact_pii,
+    stratified_sample,
+    train_val_test_split,
+)
+
+
+def test_split_is_deterministic_and_stable_under_growth(spark):
+    d1 = spark.range(500).withColumnRenamed("id", "doc_id")
+    d2 = spark.range(1000).withColumnRenamed("id", "doc_id")  # corpus grew
+    s1 = {r["doc_id"]: r["split"] for r in train_val_test_split(d1).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in train_val_test_split(d2).collect()}
+    # assignments never change when new documents arrive
+    assert all(s2[k] == v for k, v in s1.items())
+    # rough proportions hold (hash uniformity)
+    n_train = sum(1 for v in s2.values() if v == "train")
+    assert 0.7 < n_train / 1000 < 0.9
+    assert set(s2.values()) == {"train", "val", "test"}
+
+
+def test_stratified_sample_uniform_across_strata(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).alias("stratum")
+    )
+    sampled = stratified_sample(df, "doc_id", pct=25)
+    by_stratum = {
+        r["stratum"]: r["n"]
+        for r in sampled.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for s in range(4):
+        assert 0.15 < by_stratum[s] / 500 < 0.35  # ~25% within every stratum
+    # deterministic: same call, same rows
+    ids = sorted(r["doc_id"] for r in sampled.collect())
+    again = sorted(r["doc_id"] for r in stratified_sample(df, "doc_id", pct=25).collect())
+    assert ids == again
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io and b@y.org call 555-123-4567 ssn 123-45-6789 ip 10.0.0.1"),
+         (2, "clean text")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert r1["n_email"] == 2 and r1["n_phone"] == 1 and r1["n_ssn"] == 1 and r1["n_ipv4"] == 1
+    assert "[EMAIL]" in r1["redacted"] and "[PHONE]" in r1["redacted"]
+    assert "[SSN]" in r1["redacted"] and "[IP]" in r1["redacted"]
+    assert "@" not in r1["redacted"].replace("[EMAIL]", "")
+    assert out[2]["redacted"] == "clean text" and out[2]["n_email"] == 0
+
+
+def test_contamination_check_flags_only_overlaps(spark):
+    bench = spark.createDataFrame(
+        [(100, " ".join(f"b{i}" for i in range(10)))], "doc_id int, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(f"b{i}" for i in range(10))),          # identical -> contaminated
+            (2, "x " + " ".join(f"b{i}" for i in range(8))),    # shares one 8-gram
+            (3, " ".join(f"c{i}" for i in range(10))),          # disjoint
+            (4, "too short"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["n_overlapping_ngrams"] for r in contamination_check(corpus, bench).collect()}
+    assert got == {1: 3, 2: 1}  # doc 3 and 4 absent
+
+
+def test_pack_stream_cut_offsets(spark):
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 300), (4, 100)], "doc_id int, n_tokens int"
+    )
+    rows = {r["doc_id"]: r for r in pack_stream_cut(df, cap=512).collect()}
+    assert [rows[i]["start_offset"] for i in (1, 2, 3, 4)] == [0, 300, 600, 900]
+    assert [rows[i]["seq_id"] for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    df = spark.createDataFrame(
+        [("en", i, 150 + (i * 37) % 300) for i in range(40)]
+        + [("de", i, 600) for i in range(3)],  # oversize docs: one bin each
+        "lang string, doc_id int, n_tokens int",
+    )
+    out = pack_sequences_greedy(df, cap=512, group_cols=["lang"]).collect()
+    assert len(out) == 43  # every doc packed exactly once
+    by_bin: dict = {}
+    for r in out:
+        by_bin.setdefault((r["lang"], r["bin_id"]), []).append(r)
+    for (lang, _), rows in by_bin.items():
+        total = sum(r["n_tokens"] for r in rows)
+        if len(rows) > 1:
+            assert total <= 512  # no multi-doc bin overflows the cap
+        assert max(r["bin_fill"] for r in rows) == total
+        # id order preserved inside the bin
+        ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["bin_fill"])]
+        assert ids == sorted(ids)
+    # de docs are each alone in a bin (600 > 512)
+    de_bins = {r["bin_id"] for r in out if r["lang"] == "de"}
+    assert len(de_bins) == 3
