@@ -52,5 +52,6 @@ def load_all() -> None:
         pivot_q,
         relational,
         similarity_q,
+        temporal_q,
         tokenize_q,
     )

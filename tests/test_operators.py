@@ -136,3 +136,20 @@ def test_lsh_bucket_cap_drops_oversized_buckets(spark):
     assert uncapped.count() == 60 * 59 // 2
     capped = lsh_candidate_pairs(sig, max_bucket_size=10)
     assert capped.count() == 0
+
+
+def test_asof_join_backward_inclusive(spark):
+    from etl_poc_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 5, 102), (2, 50, 103)],
+        "k int, ts int, lid int",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (2, 60, "c")], "k int, ts int, tag string"
+    )
+    out = {r["lid"]: r["asof_tag"] for r in asof_join(left, right, by=["k"], right_cols=["tag"]).collect()}
+    assert out[100] == "a"   # equal ts matches (inclusive)
+    assert out[101] == "b"   # latest at-or-before 20 is ts=15
+    assert out[102] is None  # nothing at or before ts=5
+    assert out[103] is None  # right row for k=2 is in the future
