@@ -76,6 +76,10 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drop persisted frames the query pinned (dedup/similarity stage
+        # tables): leaked cache accumulates across 60+ queries and skews
+        # later timings with memory pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -161,27 +161,32 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.sum(F.col("cnt") * F.col(f"v{j}")) > 0, F.lit("1")).otherwise(F.lit("0")).alias(f"b{j}")
         for j in range(16)
     ]
+    # the 16-bit signature is carried as an INT internally (bit j of the
+    # string = int bit 15-j): integer band extraction and bit_count(XOR)
+    # hamming replace per-character substr comparisons on every candidate
+    # pair — same results, far cheaper on the (large) 16-bit candidate set
+    sig_int = sum(
+        [F.shiftleft(F.when(F.col(f"b{j}") == "1", F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), 15 - j) for j in range(16)],
+        F.lit(0).cast("long"),
+    )
     sigs = (
         joined.groupBy("doc_id")
         .agg(*sig_cols)
-        .select("doc_id", F.concat(*[F.col(f"b{j}") for j in range(16)]).alias("sig"))
+        .select("doc_id", sig_int.alias("sig"))
         .persist()
     )
 
     banded = sigs.select(
         "doc_id", "sig", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band")
-    ).withColumn("band_val", F.expr("substr(sig, band * 4 + 1, 4)"))
+    ).withColumn("band_val", F.expr("shiftrightunsigned(sig, 12 - band * 4)").bitwiseAND(F.lit(15)))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_val") == F.col("b.band_val")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
         .distinct()
     )
-    ham = sum(
-        [F.when(F.expr(f"substr(sig_a,{i},1)") != F.expr(f"substr(sig_b,{i},1)"), F.lit(1)).otherwise(F.lit(0)) for i in range(1, 17)],
-        F.lit(0),
-    )
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= 1).select("id_a", "id_b", "hamming")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", ham.cast("int")).filter(F.col("hamming") <= 1).select("id_a", "id_b", "hamming")
 
 
 @query("simhash64_near_dup_pairs")
