@@ -84,13 +84,27 @@ def validate_config(config: dict[str, Any]) -> None:
                 raise PipelineConfigError(f"step {step.get('name')!r} references unknown operation {op_name!r}")
 
 
+_EXT_FORMATS = {".parquet": "parquet", ".csv": "csv", ".orc": "orc", ".jsonl": "jsonl"}
+
+
 def _load_dataset(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
-    fmt = spec.get("format") or ("parquet" if str(spec.get("path", "")).endswith(".parquet") else "json")
     path = spec["path"]
-    if fmt == "json":
+    fmt = spec.get("format")
+    if not fmt:
+        ext = os.path.splitext(str(path))[1]
+        fmt = _EXT_FORMATS.get(ext, "json")
+    if fmt == "json":  # one JSON array/object per file (reference S4 shape)
         return spark.read.option("multiLine", True).json(path)
-    if fmt == "parquet":
-        return spark.read.parquet(path)
+    if fmt == "jsonl":  # JSON-lines, the splittable scale format
+        return spark.read.json(path)
+    if fmt == "csv":
+        return (
+            spark.read.option("header", spec.get("header", True))
+            .option("inferSchema", spec.get("infer_schema", True))
+            .csv(path)
+        )
+    if fmt in ("parquet", "orc"):
+        return spark.read.format(fmt).load(path)
     if fmt == "binaryFile":
         return spark.read.format("binaryFile").load(path)
     raise PipelineConfigError(f"unknown dataset format {fmt!r}")

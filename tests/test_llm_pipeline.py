@@ -176,3 +176,24 @@ def test_eval_validator_safe_methods_but_no_attribute_escape():
     assert not eval_validator("output['t'].mro()", {"t": "a"})
     assert not eval_validator("output['t'].format('x')", {"t": "{}"})
     assert not eval_validator("str.mro()[1].__subclasses__()", {})
+
+
+def test_load_dataset_formats(spark, tmp_path):
+    from etl_poc_spark.plans.yaml_pipeline import _load_dataset
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    paths = {
+        "parquet": str(tmp_path / "d.parquet"),
+        "csv": str(tmp_path / "d.csv"),
+        "orc": str(tmp_path / "d.orc"),
+        "jsonl": str(tmp_path / "d.jsonl"),
+    }
+    df.write.parquet(paths["parquet"])
+    df.write.option("header", True).csv(paths["csv"])
+    df.write.orc(paths["orc"])
+    df.write.json(paths["jsonl"])
+    for fmt, path in paths.items():
+        # explicit format and extension-sniffed both work
+        for spec in ({"path": path, "format": fmt}, {"path": path}):
+            got = sorted((r["id"], r["s"]) for r in _load_dataset(spark, spec).collect())
+            assert got == [(1, "a"), (2, "b")], (fmt, spec)
