@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _DEC_PROD = "CAST(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE) AS DECIMAL(25,15))"
 
@@ -140,4 +141,108 @@ def ivf_cosine_topk(
     b_tag = base.select(F.col(id_col).alias("neighbor_id"), sign_bucket_expr(vec_col, n_bits).alias("bucket"))
     hint_q = F.broadcast if _provably_small(queries) else (lambda df: df)
     pairs = hint_q(q_tag).join(b_tag, "bucket").select("query_id", "neighbor_id")
+    return _rank_topk(_pair_cosine(queries, base, pairs, id_col, vec_col), k)
+
+
+# --- KMeans-trained IVF ------------------------------------------------------
+
+
+def _assign_centroid(df: DataFrame, centroids, id_col: str, vec_col: str, nprobe: int = 1) -> DataFrame:
+    """(id, cluster) for the nprobe nearest centroids by cosine — Arrow-
+    batched numpy matmul per batch (vectors x the small centroid matrix);
+    the centroid model ships to executors as a closure, the vectors never
+    leave their partitions."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cunit = cmat / cnorm[:, None]
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("cluster", T.IntegerType())]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].apply(lambda a: np.asarray(a, dtype=np.float64)))
+            vn = np.linalg.norm(v, axis=1)
+            vn[vn == 0] = 1.0
+            sims = (v / vn[:, None]) @ cunit.T
+            # top-nprobe clusters per vector, deterministic tie-break by index
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy().repeat(nprobe),
+                "cluster": order.reshape(-1).astype("int32"),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema=out_schema)
+
+
+def train_kmeans_centroids(
+    base: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd iterations, Spark-first and deterministic:
+
+    - init: the vectors of the n_centroids smallest ids (reproducible)
+    - assign: Arrow-batched numpy cosine argmax (narrow)
+    - update: posexplode + groupBy(cluster, dim) with DECIMAL-accumulated
+      means, so centroids are bit-identical across partitionings
+
+    The centroid matrix (n_centroids x dim) is the only thing that touches
+    the driver — it is the model artifact, a few KB."""
+    init_rows = base.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    centroids = [list(map(float, r[0])) for r in init_rows]
+    dim = len(centroids[0])
+    for _ in range(n_iters):
+        assigned = _assign_centroid(base, centroids, id_col, vec_col, nprobe=1)
+        sums = (
+            base.join(assigned, id_col)
+            .select("cluster", F.posexplode(F.col(vec_col)).alias("i", "__x"))
+            .groupBy("cluster", "i")
+            .agg(
+                (
+                    F.sum(F.expr(_DEC_PROD.format(x="__x", y="1.0"))).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep old centroid
+        by_cluster: dict[int, list[float]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], [0.0] * dim)[r["i"]] = r["c"]
+        for cid, vec in by_cluster.items():
+            new[cid] = vec
+        centroids = new
+    return centroids
+
+
+def kmeans_ivf_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with TRAINED coarse centroids (real IVF): queries
+    probe their `nprobe` nearest clusters, so the candidate space shrinks
+    ~n_centroids/nprobe versus brute force while recall stays high where
+    sign-bit buckets would split dense regions arbitrarily."""
+    centroids = train_kmeans_centroids(base, n_centroids, n_iters, id_col, vec_col)
+    b_tag = _assign_centroid(base, centroids, id_col, vec_col, nprobe=1) \
+        .withColumnRenamed(id_col, "neighbor_id")
+    q_tag = _assign_centroid(queries, centroids, id_col, vec_col, nprobe=nprobe) \
+        .withColumnRenamed(id_col, "query_id")
+    hint_q = F.broadcast if _provably_small(queries) else (lambda df: df)
+    pairs = hint_q(q_tag).join(b_tag, "cluster").select("query_id", "neighbor_id")
     return _rank_topk(_pair_cosine(queries, base, pairs, id_col, vec_col), k)

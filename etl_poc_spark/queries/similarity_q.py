@@ -132,3 +132,22 @@ def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("centroid_val") * F.col("centroid_val")).cast("decimal(25,15)")).cast("double").alias("centroid_norm2"),
         F.count(F.lit(1)).alias("dim"),
     )
+
+
+@query("embedding_kmeans_ivf_topk")
+def embedding_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 with a TRAINED coarse quantizer: 8 KMeans
+    centroids (2 deterministic Lloyd iterations — decimal-accumulated
+    means, id-ordered init), queries probe their 3 nearest clusters.
+    Candidate space shrinks ~2.7x versus brute force. The synthetic
+    embeddings are near-uniform (little cluster structure), which bounds
+    IVF recall here (~0.6 measured); on real corpus embeddings, which
+    cluster heavily, the same shape holds recall far higher. Rows-only
+    check (iterative training isn't single-statement SQL); recall vs the
+    exact baseline is pytest-asserted."""
+    from etl_poc_spark.operators.similarity import kmeans_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    b = emb.filter(F.col("vec_id") >= 10)
+    return kmeans_ivf_topk(q, b, k=5, n_centroids=8, n_iters=2, nprobe=3)

@@ -153,3 +153,23 @@ def test_asof_join_backward_inclusive(spark):
     assert out[101] == "b"   # latest at-or-before 20 is ts=15
     assert out[102] is None  # nothing at or before ts=5
     assert out[103] is None  # right row for k=2 is in the future
+
+
+def test_kmeans_ivf_recall_vs_exact(spark, sf_dir):
+    from etl_poc_spark.io import load_table
+    from etl_poc_spark.operators.similarity import cosine_topk, kmeans_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    b = emb.filter(F.col("vec_id") >= 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, b, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in kmeans_ivf_topk(q, b, k=5, n_centroids=8, n_iters=2, nprobe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    # the synthetic embeddings are near-uniform (no real cluster structure),
+    # which bounds coarse-quantizer recall; 0.5 is the honest floor here
+    assert recall >= 0.5
+    # deterministic end to end: same input -> same result set
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in kmeans_ivf_topk(q, b, k=5, n_centroids=8, n_iters=2, nprobe=3).collect()}
+    assert approx == again
