@@ -256,9 +256,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("query_id"), F.col("b.vec_id").alias("neighbor_id"))
     )
-    scored = _pair_cosine(
-        emb.select("vec_id", "embedding"), emb.select("vec_id", "embedding"), pairs, "vec_id", "embedding"
-    )
+    # one shared frame for both cosine sides: the exploded vectors and norms
+    # subplans are identical, so Spark's exchange/subquery reuse kicks in
+    # instead of scanning+exploding the table twice
+    vecs = emb.select("vec_id", "embedding")
+    scored = _pair_cosine(vecs, vecs, pairs, "vec_id", "embedding")
     return (
         scored.filter(F.col("cos_sim") >= 0.4)
         .select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"), "cos_sim")
