@@ -129,3 +129,58 @@ def events_pivot_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_through",
         F.when(F.col("n_view") == 0, F.lit(0.0)).otherwise(F.col("n_click").cast("double") / F.col("n_view")),
     )
+
+
+@query(
+    "events_time_rollup",
+    oracle="""
+    SELECT CASE WHEN GROUPING(day) = 1 THEN 'all'
+                WHEN GROUPING(hour) = 1 THEN 'day'
+                WHEN GROUPING(minute) = 1 THEN 'hour' ELSE 'minute' END AS grain,
+           COALESCE(minute, hour, day, 'total') AS bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             value
+      FROM events
+    )
+    GROUP BY ROLLUP (day, hour, minute)
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: one ROLLUP pass produces the
+    minute, hour, day, and grand-total aggregates together (Spark plans a
+    single shuffle with partial aggregation per grouping set — the batch
+    equivalent of a continuous aggregate's refresh). At 100 TB the same
+    query runs per time-chunk partition and unions, which is exactly how
+    hypertable rollups shard."""
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        F.date_format(F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("minute"),
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    grain = (
+        F.when(F.grouping("day") == 1, F.lit("all"))
+        .when(F.grouping("hour") == 1, F.lit("day"))
+        .when(F.grouping("minute") == 1, F.lit("hour"))
+        .otherwise(F.lit("minute"))
+    )
+    return (
+        keyed.rollup("day", "hour", "minute")
+        .agg(
+            grain.alias("grain"),  # grouping() is only legal inside the agg
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "grain",
+            F.coalesce("minute", "hour", "day", F.lit("total")).alias("bucket"),
+            "n_events",
+            "total_value",
+        )
+    )

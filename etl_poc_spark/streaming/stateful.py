@@ -40,10 +40,15 @@ STATE_SCHEMA = T.StructType(
 
 
 def _sessionize_group(
-    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_seconds: int = SESSION_GAP_SECONDS,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
+        # idle longer than the gap: the session is over and its state is
+        # evicted — THIS is what bounds the state store at corpus scale
         state.remove()
         return
 
@@ -52,14 +57,14 @@ def _sessionize_group(
     for pdf in pdfs:
         for ts in sorted(pdf["ts"]):
             micros = int(ts.value // 1000)  # pandas ns -> micros
-            if last is None or micros - last > SESSION_GAP_SECONDS * 1_000_000:
+            if last is None or micros - last > gap_seconds * 1_000_000:
                 if last is not None:
                     rows.append((user_id, start, last, n))  # close previous session
                 start, n = micros, 0
             last = micros
             n += 1
     state.update((start, last, n))
-    state.setTimeoutDuration(SESSION_GAP_SECONDS * 1000)
+    state.setTimeoutDuration(gap_seconds * 1000)
     rows.append((user_id, start, last, n))  # current (possibly open) session
     yield pd.DataFrame(
         {
@@ -71,10 +76,15 @@ def _sessionize_group(
     )
 
 
-def stateful_sessionize(events: DataFrame) -> DataFrame:
-    """events stream -> per-user running session rows (update mode)."""
+def stateful_sessionize(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """events stream -> per-user running session rows (update mode).
+    `gap_seconds` is both the session gap and the state-eviction timeout."""
+
+    def fn(key, pdfs, state):  # closure binds the configured gap
+        return _sessionize_group(key, pdfs, state, gap_seconds)
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

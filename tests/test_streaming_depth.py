@@ -154,3 +154,74 @@ def test_watermark_drops_late_data_and_evicts_state(spark, tmp_path):
     # watermark only the hour-6 and hour-7 windows may remain in state
     final_state_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
     assert final_state_rows == 2
+
+
+def test_stateful_sessionize_timeout_evicts_idle_state(spark, tmp_path):
+    """ProcessingTimeTimeout eviction: an idle user's session state is
+    removed once the gap elapses with no new data for that key — the
+    mechanism that bounds the state store on a real keyed stream."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_poc_spark.streaming.stateful import stateful_sessionize
+
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        schema = pa.schema([
+            ("event_id", pa.int64()), ("ts", pa.timestamp("us")), ("user_id", pa.int64()),
+            ("event_type", pa.string()), ("value", pa.float64()), ("props", pa.string()),
+        ])
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), str(in_dir / name))
+
+    write_file("f1.parquet", [(1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+                              (2, "2024-01-01 00:00:01", 7, "click", 1.0, "{}")])
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).format("parquet").load(str(in_dir))
+    sessions = stateful_sessionize(stream, gap_seconds=2)
+    q = sessions.writeStream.format("memory").queryName("sess_evict") \
+        .outputMode("update").option("checkpointLocation", ckpt) \
+        .trigger(processingTime="500 milliseconds").start()
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            rows = spark.sql("SELECT * FROM sess_evict").collect()
+            if rows:
+                break
+            _time.sleep(0.5)
+        assert rows and rows[-1]["n_events"] == 2  # user 7's open session
+
+        # stay idle past the 2s gap; another user's data keeps batches coming
+        _time.sleep(3)
+        write_file("f2.parquet", [(3, "2024-01-01 01:00:00", 8, "view", 1.0, "{}")])
+        deadline = _time.time() + 60
+        evicted = False
+        while _time.time() < deadline:
+            progs = [p for p in q.recentProgress if p["stateOperators"]]
+            if progs and progs[-1]["stateOperators"][0]["numRowsRemoved"] > 0:
+                evicted = True
+                break
+            _time.sleep(0.5)
+        assert evicted, "idle session state was never evicted"
+
+        # a post-timeout event for user 7 starts a FRESH session (n resets)
+        write_file("f3.parquet", [(4, "2024-01-01 02:00:00", 7, "click", 1.0, "{}")])
+        deadline = _time.time() + 60
+        fresh = None
+        while _time.time() < deadline:
+            rows = [r for r in spark.sql("SELECT * FROM sess_evict").collect()
+                    if r["user_id"] == 7 and r["session_start"].hour == 2]
+            if rows:
+                fresh = rows[-1]
+                break
+            _time.sleep(0.5)
+        assert fresh is not None and fresh["n_events"] == 1
+    finally:
+        q.stop()
