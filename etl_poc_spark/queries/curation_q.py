@@ -230,3 +230,46 @@ def pack_sequences_greedy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
     )
     return pack_sequences_greedy(toks, "doc_id", "n_tokens", cap=512, group_cols=["lang"])
+
+
+@query(
+    "per_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_BUCKET_SQL.format(salt='cap')}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_kept_doc
+    FROM ranked WHERE rn <= 40
+    GROUP BY source
+    """,
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (keep <= 40 docs per source): rank within
+    each source by hashed id (a deterministic uniform shuffle — no
+    source's "first" docs are privileged) and keep the top 40. One window
+    shuffle on source; the standard anti-domination pass before training-
+    data mixing. The hash ranking makes the kept set reproducible across
+    runs and engines."""
+    from etl_poc_spark.operators.curation import hash_bucket
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(hash_bucket(F.col("doc_id"), 100, "cap"), F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+            F.min("doc_id").cast("long").alias("min_kept_doc"),
+        )
+    )
