@@ -81,14 +81,20 @@ def main() -> None:
         # later timings with memory pressure
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
+    # `value` stays the HEADLINE subtotal so the metric is comparable round
+    # over round (round 1 recorded these same 22 queries); the full-surface
+    # total is reported alongside it
+    headline_total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
+    full_total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                "value": headline_total,
                 "unit": "sec",
+                "full_surface_total": full_total,
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf else sf_dir,
             }

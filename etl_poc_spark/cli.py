@@ -91,7 +91,9 @@ def main(argv: list[str] | None = None) -> int:
             errors_dir=args.errors_dir,
             context={"config": os.path.abspath(args.config), "provider": args.provider},
         )
-    except BaseException as e:  # noqa: BLE001 — quarantined by the harness; report and exit nonzero
+    except Exception as e:  # noqa: BLE001 — quarantined by the harness; report and exit nonzero
+        # (KeyboardInterrupt/SystemExit propagate — Ctrl+C keeps its
+        # conventional interrupt behavior instead of exiting 1 with JSON)
         print(json.dumps({"error": str(e), "type": type(e).__name__,
                           "config": os.path.abspath(args.config)}), file=sys.stderr)
         return 1

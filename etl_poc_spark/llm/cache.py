@@ -55,10 +55,8 @@ def cached_llm_map(
     cache_exists = os.path.exists(cache_path)
     if cache_exists:
         cache = spark.read.parquet(cache_path)
-        hits = keyed.join(cache.drop(*[c for c in input_cols if c in cache.columns]), "__cache_key", "inner")
         misses_in = keyed.join(cache.select("__cache_key"), "__cache_key", "left_anti")
     else:
-        hits = None
         misses_in = keyed
 
     # One provider call per distinct key: input rows identical in input_cols

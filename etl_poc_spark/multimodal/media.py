@@ -54,13 +54,20 @@ def _sniff_format(data: bytes) -> str:
 
 def _try_decode(data: bytes, strict: bool) -> tuple[int, int, bytes] | None:
     """Real decode for stdlib-supported formats (PPM/BMP/PNG); None when the
-    format needs an external library and strict is off."""
+    format needs an external library or the file is corrupt and strict is
+    off. Corrupt files surface as zlib.error/struct.error/IndexError from
+    the codecs, not just ValueError — all of them mean 'undecodable', and
+    none may escape into the Spark task (one bad file would fail the whole
+    query)."""
+    import struct
+    import zlib
+
     try:
         return imagecodec.decode_image(data)
-    except ValueError as e:
+    except (ValueError, struct.error, zlib.error, IndexError) as e:
         if strict:
             raise NotImplementedError(
-                f"cannot decode this format with the stdlib codecs ({e}); "
+                f"cannot decode these bytes with the stdlib codecs ({e}); "
                 "install an image library (e.g. PIL) and extend imagecodec"
             ) from e
         return None

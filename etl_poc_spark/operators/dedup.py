@@ -156,7 +156,13 @@ def simhash64_signatures(
     ).filter(F.col("word") != "")
     wc = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = words.select("word").distinct().withColumn("__h", F.xxhash64("word"))
-    joined = wc.join(F.broadcast(vocab), "word")
+    # broadcast the vocabulary only when it is provably bounded (limit-probed
+    # row cap) — a web-scale corpus has tens of millions of distinct words,
+    # where a forced broadcast would OOM the driver; over the cap the
+    # word equi-join is left to AQE (sort-merge/shuffle-hash on `word`)
+    vocab_cap = 100_000
+    small_vocab = len(vocab.select(F.lit(1).alias("__one")).limit(vocab_cap + 1).take(vocab_cap + 1)) <= vocab_cap
+    joined = wc.join(F.broadcast(vocab) if small_vocab else vocab, "word")
     # vote_j = sum(cnt * (+1 if bit j of hash else -1))
     vote_aggs = [
         F.sum(

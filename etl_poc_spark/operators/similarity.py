@@ -58,17 +58,26 @@ def _pair_cosine(
     pairs: DataFrame,
     id_col: str,
     vec_col: str,
+    small_q: bool | None = None,
+    small_b: bool | None = None,
 ) -> DataFrame:
     """Exact decimal cosine for the given (query_id, neighbor_id) candidate
     pairs. Small sides (typically the query side) are broadcast; anything
-    not provably under the row cap is left unhinted for AQE."""
-    small_q = _provably_small(queries)
-    small_b = _provably_small(base)
+    not provably under the row cap is left unhinted for AQE. Callers that
+    already probed a side pass small_q/small_b to avoid re-running the
+    probe job (each probe re-executes that frame's upstream plan)."""
+    if small_q is None:
+        small_q = _provably_small(queries)
+    if small_b is None:
+        small_b = small_q if base is queries else _provably_small(base)
     hint_q = F.broadcast if small_q else (lambda df: df)
     hint_b = F.broadcast if small_b else (lambda df: df)
-    # pairs can be as large as |queries| x |base|: only hint it when both
-    # factors are provably small
-    hint_p = F.broadcast if (small_q and small_b) else (lambda df: df)
+    # the pairs frame is its own size question (a cross join of two small
+    # sides can still be cap^2 rows): probe IT, not its factors — skipping
+    # the probe entirely when either factor is big (pairs can't be small
+    # unless it's a sparse candidate list, which the probe then confirms)
+    small_p = (small_q or small_b) and _provably_small(pairs)
+    hint_p = F.broadcast if small_p else (lambda df: df)
     q_ex = _explode_vec(queries, id_col, vec_col, "query_id")
     b_ex = _explode_vec(base, id_col, vec_col, "neighbor_id")
     prod = F.expr(_DEC_PROD.format(x="q.__x", y="b.__x"))
@@ -139,9 +148,10 @@ def ivf_cosine_topk(
     trade."""
     q_tag = queries.select(F.col(id_col).alias("query_id"), sign_bucket_expr(vec_col, n_bits).alias("bucket"))
     b_tag = base.select(F.col(id_col).alias("neighbor_id"), sign_bucket_expr(vec_col, n_bits).alias("bucket"))
-    hint_q = F.broadcast if _provably_small(queries) else (lambda df: df)
+    small_q = _provably_small(queries)
+    hint_q = F.broadcast if small_q else (lambda df: df)
     pairs = hint_q(q_tag).join(b_tag, "bucket").select("query_id", "neighbor_id")
-    return _rank_topk(_pair_cosine(queries, base, pairs, id_col, vec_col), k)
+    return _rank_topk(_pair_cosine(queries, base, pairs, id_col, vec_col, small_q=small_q), k)
 
 
 # --- KMeans-trained IVF ------------------------------------------------------
@@ -243,6 +253,7 @@ def kmeans_ivf_topk(
         .withColumnRenamed(id_col, "neighbor_id")
     q_tag = _assign_centroid(queries, centroids, id_col, vec_col, nprobe=nprobe) \
         .withColumnRenamed(id_col, "query_id")
-    hint_q = F.broadcast if _provably_small(queries) else (lambda df: df)
+    small_q = _provably_small(queries)
+    hint_q = F.broadcast if small_q else (lambda df: df)
     pairs = hint_q(q_tag).join(b_tag, "cluster").select("query_id", "neighbor_id")
-    return _rank_topk(_pair_cosine(queries, base, pairs, id_col, vec_col), k)
+    return _rank_topk(_pair_cosine(queries, base, pairs, id_col, vec_col, small_q=small_q), k)

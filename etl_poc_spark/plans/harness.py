@@ -42,12 +42,15 @@ def run_with_harness(
 ) -> T:
     """Run `body` under the operator contract; returns its result.
 
-    On timeout the in-flight Spark jobs are cancelled and the attempt counts
-    as failed. After `retries` additional attempts (each separated by
-    `retry_delay_seconds`), the last error is quarantined as a JSON record
-    in `errors_dir` (when given) and re-raised.
+    A FAILED attempt (body raised) is retried up to `retries` times, each
+    separated by `retry_delay_seconds`. A TIMED-OUT attempt cancels the
+    in-flight Spark jobs and fails immediately without retrying — the hung
+    Python thread cannot be killed and a concurrent retry would race it.
+    The final error is quarantined as a JSON record in `errors_dir` (when
+    given) and re-raised.
     """
     last_err: BaseException | None = None
+    attempts_made = 0
     for attempt in range(retries + 1):
         result: dict[str, T] = {}
         error: dict[str, BaseException] = {}
@@ -59,14 +62,20 @@ def run_with_harness(
                 error["v"] = e
 
         th = threading.Thread(target=target, name=f"pipeline-attempt-{attempt}", daemon=True)
+        attempts_made += 1
         th.start()
         th.join(timeout_seconds)
         if th.is_alive():
             spark.sparkContext.cancelAllJobs()
+            # A timed-out attempt is NOT retried: Python threads cannot be
+            # killed, so the hung body may still be running (cancelAllJobs
+            # only aborts Spark-side work) — a retry would race it on sinks
+            # and double provider cost. Timeouts quarantine and fail fast.
             last_err = PipelineTimeoutError(
                 f"pipeline exceeded {timeout_seconds}s wall-clock budget (attempt {attempt + 1})"
             )
-        elif "v" in error:
+            break
+        if "v" in error:
             last_err = error["v"]
         else:
             return result["v"]
@@ -76,7 +85,7 @@ def run_with_harness(
     if errors_dir:
         write_error_record(
             last_err,
-            {**(context or {}), "attempts": retries + 1, "timeout_seconds": timeout_seconds},
+            {**(context or {}), "attempts": attempts_made, "timeout_seconds": timeout_seconds},
             errors_dir,
         )
     raise last_err

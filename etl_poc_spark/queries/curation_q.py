@@ -21,7 +21,6 @@ from etl_poc_spark.operators.curation import (
     pack_sequences_greedy,
     pack_stream_cut,
     redact_pii,
-    stratified_sample,
     train_val_test_split,
 )
 from etl_poc_spark.registry import query
@@ -71,18 +70,17 @@ def train_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~20% sample, uniform within each language stratum
-    because the hash sees only doc_id. One shuffle (the groupBy); the
-    sampling decision is narrow and reproducible across partitionings —
-    unlike df.sample(), which is seed- and partitioning-dependent."""
+    because the hash sees only doc_id. Single pass: the sample membership
+    is a narrow expression (hash_bucket < pct), so total and sampled counts
+    come from one conditional aggregation — no self-join, one shuffle.
+    Reproducible across partitionings, unlike df.sample()."""
+    from etl_poc_spark.operators.curation import hash_bucket
+
     d = load_table(spark, sf_dir, "documents")
-    sampled = stratified_sample(d, "doc_id", pct=20, salt="sample").select("doc_id").withColumn("__s", F.lit(1))
-    return (
-        d.join(sampled, "doc_id", "left")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum(F.coalesce(F.col("__s"), F.lit(0))).cast("long").alias("n_sampled"),
-        )
+    in_sample = (hash_bucket(F.col("doc_id"), 100, "sample") < 20).cast("long")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(in_sample).cast("long").alias("n_sampled"),
     )
 
 

@@ -67,7 +67,10 @@ def write_markdown_articles(df: DataFrame, out_dir: str, name_col: str = "headli
     two articles with identically-slugging headlines (or writes racing
     across partitions) land in distinct directories instead of silently
     overwriting each other. The suffix is deterministic — re-running the
-    sink on the same data reuses the same directories (idempotent)."""
+    sink on the same data reuses the same directories (idempotent). Rows
+    that are byte-identical in EVERY column share a directory by design:
+    they are the same article, and the identical payload makes the double
+    write harmless (content-keyed dedup, not data loss)."""
     from pyspark.sql import functions as F
 
     disamb = F.substring(F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns]))), 1, 8)

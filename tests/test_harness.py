@@ -90,3 +90,18 @@ def test_cli_failing_pipeline_quarantines_and_exits_nonzero(tmp_path):
     (rec_file,) = os.listdir(errors_dir)
     rec = json.load(open(errors_dir / rec_file))
     assert rec["context"]["attempts"] == 1
+
+
+def test_harness_does_not_retry_timeouts(spark):
+    """A hung body can't be killed, so a timeout must fail fast instead of
+    racing a zombie thread with a retry."""
+    calls = {"n": 0}
+
+    def hang() -> None:
+        calls["n"] += 1
+        time.sleep(30)
+
+    with pytest.raises(PipelineTimeoutError):
+        run_with_harness(spark, hang, timeout_seconds=0.5, retries=3)
+    time.sleep(0.2)
+    assert calls["n"] == 1  # no second attempt was started

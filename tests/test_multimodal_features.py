@@ -140,3 +140,20 @@ def test_undecodable_fallback_is_deterministic(spark, tmp_path):
     assert len(payloads.pop()) == 4 * 4 * 3
     with pytest.raises(Exception, match="NotImplementedError|image library"):
         resize_image(df, strict=True).collect()
+
+
+def test_corrupt_images_fall_back_not_crash(spark, tmp_path):
+    """Truncated/corrupt files raise zlib.error / struct.error inside the
+    codecs — they must fall back (decoded=False), never kill the task."""
+    good = encode_png(6, 4, _gradient_rgb(6, 4))
+    (tmp_path / "trunc_idat.png").write_bytes(good[: len(good) - 20])  # cut mid-IDAT/IEND
+    (tmp_path / "cut_ihdr.png").write_bytes(good[:20])                 # cut inside IHDR
+    (tmp_path / "bad.bmp").write_bytes(b"BM" + b"\x00" * 80)           # nonsense BMP header
+    (tmp_path / "ok.png").write_bytes(good)
+    df = read_binary_dir(spark, str(tmp_path))
+    out = {r["path"].rsplit("/", 1)[-1]: r for r in resize_image(df, 4, 4).collect()}
+    assert len(out) == 4  # no task failure
+    assert out["ok.png"]["decoded"]
+    for name in ("trunc_idat.png", "cut_ihdr.png", "bad.bmp"):
+        assert not out[name]["decoded"]
+        assert len(out[name]["resized"]) == 4 * 4 * 3  # fallback keeps the shape
