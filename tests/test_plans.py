@@ -100,3 +100,38 @@ def test_pair_cosine_broadcast_is_conditional(spark):
     assert big_plan.count("ResolvedHint") < small_plan.count("ResolvedHint")
     assert small_plan.count("ResolvedHint") >= 3
     assert big_plan.count("ResolvedHint") == 1  # only the small base norms
+
+
+def test_asof_join_is_single_window_pass(spark, sf_dir):
+    p = formatted_plan(spark, "events_asof_click_view", sf_dir)
+    # union + ONE window over user_id — never a per-row range subquery
+    assert p.count("Window") >= 1
+    assert "Union" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_range_join_broadcasts_interval_dim(spark, sf_dir):
+    p = formatted_plan(spark, "orders_price_band_range_join", sf_dir)
+    # the 4-row band dim is broadcast; the fact side streams
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    p = formatted_plan(spark, "contamination_check", sf_dir)
+    assert "BroadcastHashJoin" in p  # small benchmark gram table broadcast
+
+
+def test_train_split_is_narrow_plus_one_shuffle(spark, sf_dir):
+    p = formatted_plan(spark, "train_split_stats", sf_dir)
+    assert "Join" not in p  # split assignment is a narrow projection
+    # one aggregation shuffle, with map-side partial agg before it
+    assert p.count("Exchange") <= 2
+    assert p.index("HashAggregate") < p.index("Exchange")
+
+
+def test_time_rollup_is_one_expand_one_shuffle(spark, sf_dir):
+    p = formatted_plan(spark, "events_time_rollup", sf_dir)
+    # formatted mode prints each node twice (tree + detail): one Expand node
+    assert p.count("Expand") == 2  # all four grains from one pass
+    assert p.index("HashAggregate") < p.index("Exchange")  # partial agg first
