@@ -81,3 +81,68 @@ def test_chunker_invariants_property(spark):
         for c in chunks:
             covered.update(range(c["chunk_id"] * 30, c["chunk_id"] * 30 + c["chunk_n_tokens"]))
         assert covered == set(range(n))  # full coverage, no gaps
+
+
+def test_simhash64_banding_pigeonhole_recall(spark):
+    """Mathematical invariant of the 64-bit banding: any two signatures
+    with hamming distance <= n_bands - 1 (= 3) MUST share at least one of
+    the four 16-bit bands, so the band equi-join can never miss them."""
+    rnd = st.randoms(use_true_random=False)
+    examples = collect_examples(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=3),
+        ),
+        n=80,
+    )
+    rows = []
+    for i, (sig, flips) in enumerate(examples):
+        near = sig
+        for b in flips:
+            near ^= 1 << b
+        # to signed 64-bit (Spark LongType)
+        def signed(v):
+            v &= (1 << 64) - 1
+            return v - (1 << 64) if v >= 1 << 63 else v
+        rows.append((2 * i, signed(sig)))
+        rows.append((2 * i + 1, signed(near)))
+    from etl_poc_spark.operators.dedup import simhash64_near_dup_pairs
+
+    sigs = spark.createDataFrame(rows, "doc_id long, sig long")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in simhash64_near_dup_pairs(sigs, max_hamming=3).collect()}
+    for i, (sig, flips) in enumerate(examples):
+        if len(flips) <= 3:  # hamming == len(flips) exactly
+            assert (2 * i, 2 * i + 1) in pairs, (sig, flips)
+
+
+def test_pack_sequences_greedy_properties(spark):
+    """Invariants on arbitrary token lists: every doc packed exactly once,
+    multi-doc bins never exceed the cap, bins are contiguous in id order,
+    and bin_fill is the running sum within the bin."""
+    examples = collect_examples(
+        st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=30), n=25
+    )
+    from etl_poc_spark.operators.curation import pack_sequences_greedy
+
+    rows = [
+        ("g%d" % gi, i, tok)
+        for gi, toks in enumerate(examples)
+        for i, tok in enumerate(toks)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id int, n_tokens int")
+    out = pack_sequences_greedy(df, cap=512, group_cols=["lang"]).collect()
+    assert len(out) == len(rows)
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["lang"], []).append(r)
+    for gi, toks in enumerate(examples):
+        rows_g = sorted(by_group["g%d" % gi], key=lambda r: r["doc_id"])
+        assert [r["doc_id"] for r in rows_g] == list(range(len(toks)))
+        # replay next-fit in python and compare exactly
+        bin_id, fill = 0, 0
+        for r, tok in zip(rows_g, toks):
+            if fill > 0 and fill + tok > 512:
+                bin_id, fill = bin_id + 1, 0
+            fill += tok
+            assert (r["bin_id"], r["bin_fill"]) == (bin_id, fill), (gi, r)
