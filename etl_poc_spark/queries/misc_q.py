@@ -163,3 +163,38 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "salted_join_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key treatment as a driver-checked query: orders salt their
+    join key over 8 replicas of the (small) customer-nation dim, so one
+    dominant customer key spreads across 8 reducers instead of one. Results
+    are identical to the plain join (the oracle IS the plain join) — the
+    salt is a physical rewrite only. At cluster scale this is the manual
+    fallback when AQE's skew splitting can't help (e.g. skewed
+    aggregations feeding the join)."""
+    from etl_poc_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("c_custkey").alias("o_custkey"), F.col("n_name").alias("nation")
+    )
+    joined = salted_join(o, dim, on="o_custkey", n_salts=8)
+    return joined.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
