@@ -267,3 +267,72 @@ def verify_jaccard(
             (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias("jaccard"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, component) with
+    component = min id reachable. This is what turns PAIR output into dedup
+    GROUPS (keep one representative per component).
+
+    Iterative min-label propagation ("large-star" style): each node adopts
+    the smallest label among itself and its neighbors until a fixed point.
+    Convergence needs at most the graph diameter iterations — near-dup
+    graphs are overwhelmingly tiny cliques/chains, so a handful of passes
+    suffice; `max_iters` bounds the pathological chain. Each pass is one
+    shuffle (groupBy node); frames are localCheckpoint()ed per iteration so
+    the lineage (and thus the plan) stays constant-size instead of growing
+    per pass — on a cluster these would be parquet stage tables.
+
+    The fixed point is detected with an aggregate over label changes, so
+    the loop usually exits well before max_iters."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("__changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_representatives(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(component, representative, n_members) per near-dup cluster: the
+    representative is the minimum id (== the component label), everything
+    else in the component is droppable."""
+    comps = connected_components(pairs, id_a, id_b)
+    return comps.groupBy("component").agg(
+        F.min("id").alias("representative"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

@@ -221,3 +221,40 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_inter") * 1000 >= 500 * F.col("n_union"))
         .select("id_a", "id_b", (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias("jaccard"))
     )
+
+
+from etl_poc_spark.registry import ORACLES as _ORACLES
+
+
+@query(
+    "near_dup_dedup_groups",
+    oracle="WITH RECURSIVE pairs_q AS (" + _ORACLES["minhash_lsh_pairs"] + """
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs_q
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs_q
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    )
+    SELECT component, MIN(id) AS representative, COUNT(*) AS n_members
+    FROM comp GROUP BY component
+    """,
+)
+def near_dup_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dedup pipeline: MinHash-LSH pairs -> connected
+    components (iterative min-label propagation, one shuffle per pass,
+    early-exit on fixed point) -> one representative per duplicate cluster
+    with member counts. Pairs alone don't dedup a corpus — transitive
+    closure does (A~B, B~C means A,B,C are one group even when A!~C). The
+    DuckDB oracle computes the same closure with a recursive CTE, so the
+    component labels are hash-verified."""
+    from etl_poc_spark.operators.dedup import dedup_representatives
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_representatives(pairs)

@@ -173,3 +173,28 @@ def test_kmeans_ivf_recall_vs_exact(spark, sf_dir):
     again = {(r["query_id"], r["neighbor_id"])
              for r in kmeans_ivf_topk(q, b, k=5, n_centroids=8, n_iters=2, nprobe=3).collect()}
     assert approx == again
+
+
+def test_connected_components_and_representatives(spark):
+    from etl_poc_spark.operators.dedup import connected_components, dedup_representatives
+
+    # components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (triangle)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a int, id_b int",
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    reps = {r["component"]: (r["representative"], r["n_members"])
+            for r in dedup_representatives(pairs).collect()}
+    assert reps == {1: (1, 4), 10: (10, 2), 20: (20, 3)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from etl_poc_spark.operators.dedup import connected_components
+
+    # a 30-node chain needs multiple propagation rounds (diameter 29, but
+    # min-label spreads both ways, halving each pass)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a int, id_b int")
+    comps = {r["id"]: r["component"] for r in connected_components(pairs, max_iters=40).collect()}
+    assert set(comps.values()) == {0} and len(comps) == 31
