@@ -1,0 +1,57 @@
+"""Distributed frequency sketches.
+
+count-min: a (d x w) counter grid; each key increments one bucket per hash
+row, and an estimate reads the MIN over its d buckets — always >= the true count,
+within eps*N with probability 1-delta for w=ceil(e/eps), d=ceil(ln 1/delta).
+
+Spark-first shape: the sketch IS a DataFrame of (j, bucket, cnt) — built by
+one groupBy over (hash-row, bucket), i.e. a single shuffle with map-side
+partial aggregation, mergeable across partitions/streams by construction
+(counter addition). Nothing ever collects the raw keys; the sketch table
+has at most d*w rows no matter how many keys exist — that is the point at
+100 TB. Hashing is md5-derived (not xxhash64) so the DuckDB oracle can
+reproduce the grid bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cm_bucket(key: Column, j: Column | int, w: int) -> Column:
+    """Hash-row-j bucket for a key: first 6 hex digits of md5(j || '|' ||
+    key) mod w. DuckDB equivalent:
+    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST(key AS
+    VARCHAR)), 1, 6) AS INTEGER) % w."""
+    j_col = F.lit(j) if isinstance(j, int) else j
+    h = F.md5(F.concat(j_col.cast("string"), F.lit("|"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % w).cast("int")
+
+
+def count_min_build(df: DataFrame, key_col: str, d: int = 4, w: int = 64) -> DataFrame:
+    """Build the sketch table (j, bucket, cnt) — one shuffle, <= d*w rows."""
+    keyed = df.select(F.col(key_col).alias("__k")).withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(d - 1)))
+    )
+    return (
+        keyed.withColumn("bucket", cm_bucket(F.col("__k"), F.col("j"), w))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, d: int = 4, w: int = 64
+) -> DataFrame:
+    """Point-query the sketch for each row of `keys`: min over the d bucket
+    counters. The sketch (<= d*w rows) broadcasts; the probe is a narrow
+    explode + broadcast join + min aggregation."""
+    probes = keys.select(F.col(key_col)).distinct().withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(d - 1)))
+    ).withColumn("bucket", cm_bucket(F.col(key_col), F.col("j"), w))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )

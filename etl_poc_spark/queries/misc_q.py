@@ -198,3 +198,43 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "count_min_user_freq",
+    oracle="""
+    WITH sk AS (
+      SELECT b.j,
+             CAST('0x' || substr(md5(CAST(b.j AS VARCHAR) || '|' || CAST(e.user_id AS VARCHAR)), 1, 6) AS INTEGER) % 64 AS bucket,
+             COUNT(*) AS cnt
+      FROM events e CROSS JOIN (SELECT unnest(range(4)) AS j) b
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT DISTINCT e.user_id, b.j,
+             CAST('0x' || substr(md5(CAST(b.j AS VARCHAR) || '|' || CAST(e.user_id AS VARCHAR)), 1, 6) AS INTEGER) % 64 AS bucket
+      FROM events e CROSS JOIN (SELECT unnest(range(4)) AS j) b
+    ), est AS (
+      SELECT p.user_id, MIN(sk.cnt) AS cm_estimate
+      FROM probes p JOIN sk USING (j, bucket)
+      GROUP BY p.user_id
+    ), truth AS (
+      SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY user_id
+    )
+    SELECT t.user_id, t.true_count, e.cm_estimate
+    FROM truth t JOIN est e USING (user_id)
+    """,
+)
+def count_min_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4, w=64) over event user frequencies, probed for
+    every user against the true counts. The sketch table is <= 256 rows no
+    matter the corpus size — a single mergeable shuffle — which is how you
+    answer heavy-hitter frequency queries at 100 TB without a per-key
+    groupBy result. md5 bucketing keeps the grid bit-identical to the
+    DuckDB oracle; cm_estimate >= true_count always (test-pinned)."""
+    from etl_poc_spark.operators.sketches import count_min_build, count_min_estimate
+
+    e = load_table(spark, sf_dir, "events")
+    sketch = count_min_build(e, "user_id", d=4, w=64)
+    est = count_min_estimate(sketch, e, "user_id", d=4, w=64)
+    truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return truth.join(est, "user_id").select("user_id", "true_count", "cm_estimate")

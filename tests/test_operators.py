@@ -198,3 +198,18 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a int, id_b int")
     comps = {r["id"]: r["component"] for r in connected_components(pairs, max_iters=40).collect()}
     assert set(comps.values()) == {0} and len(comps) == 31
+
+
+def test_count_min_never_underestimates(spark):
+    from etl_poc_spark.operators.sketches import count_min_build, count_min_estimate
+
+    rows = [(f"k{i % 37}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "k string")
+    sketch = count_min_build(df, "k", d=4, w=32)
+    assert sketch.count() <= 4 * 32
+    est = {r["k"]: r["cm_estimate"] for r in count_min_estimate(sketch, df, "k", d=4, w=32).collect()}
+    true = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for k, t in true.items():
+        assert est[k] >= t  # the one-sided count-min guarantee
+    # the heavy hitter is estimated tightly (w=32 buckets, N=2500)
+    assert est["hot"] < true["hot"] + 2500 * 4 / 32
