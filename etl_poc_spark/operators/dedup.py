@@ -269,33 +269,75 @@ def verify_jaccard(
     )
 
 
+# Below this many edges the whole dedup graph fits trivially on the driver
+# and exact union-find beats paying per-iteration job overhead. The graph
+# here is only the near-dup MEMBERS (post-LSH), not the corpus — usually a
+# tiny fraction — but at full scale it can still be huge, hence the gate.
+_DRIVER_UNION_FIND_EDGE_CAP = 100_000
+
+
+def _driver_union_find(edge_rows, spark) -> DataFrame:
+    """Exact union-find over a small collected edge list; returns the same
+    (id, component=min reachable id) frame as the distributed path."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # union by min so the root IS the minimum id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {v for e in edge_rows for v in e}
+    return spark.createDataFrame(
+        [(n, find(n)) for n in sorted(nodes)], "id long, component long"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    driver_edge_cap: int | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (id, component) with
     component = min id reachable. This is what turns PAIR output into dedup
     GROUPS (keep one representative per component).
 
-    Iterative min-label propagation ("large-star" style): each node adopts
-    the smallest label among itself and its neighbors until a fixed point.
-    Convergence needs at most the graph diameter iterations — near-dup
-    graphs are overwhelmingly tiny cliques/chains, so a handful of passes
-    suffice; `max_iters` bounds the pathological chain. Each pass is one
-    shuffle (groupBy node); frames are localCheckpoint()ed per iteration so
-    the lineage (and thus the plan) stays constant-size instead of growing
-    per pass — on a cluster these would be parquet stage tables.
+    Two paths behind one contract:
 
-    The fixed point is detected with an aggregate over label changes, so
-    the loop usually exits well before max_iters."""
+    - edge list provably under _DRIVER_UNION_FIND_EDGE_CAP (limit-probed):
+      exact driver-side union-find. The post-LSH graph holds only near-dup
+      members, so this is the common case, and it avoids paying several
+      Spark jobs of fixed overhead for a few thousand edges.
+    - otherwise: iterative min-label propagation ("large-star" style): each
+      node adopts the smallest label among itself and its neighbors until a
+      fixed point. Convergence needs at most the graph diameter iterations;
+      near-dup graphs are overwhelmingly tiny cliques/chains, so a handful
+      of passes suffice, and `max_iters` bounds the pathological chain.
+      Each pass is one shuffle (groupBy node); frames are
+      localCheckpoint()ed per iteration so the lineage stays constant-size
+      (on a cluster these would be parquet stage tables), and the loop
+      early-exits when no label changes."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    cap = _DRIVER_UNION_FIND_EDGE_CAP if driver_edge_cap is None else driver_edge_cap
+    if cap > 0:
+        probe = edges.limit(cap + 1).collect()
+        if len(probe) <= cap:
+            return _driver_union_find([(r["src"], r["dst"]) for r in probe], pairs.sparkSession)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

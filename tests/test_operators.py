@@ -183,8 +183,10 @@ def test_connected_components_and_representatives(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "id_a int, id_b int",
     )
-    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
-    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    for cap in (0, None):  # distributed path and driver union-find path agree
+        comps = {r["id"]: r["component"]
+                 for r in connected_components(pairs, driver_edge_cap=cap).collect()}
+        assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
     reps = {r["component"]: (r["representative"], r["n_members"])
             for r in dedup_representatives(pairs).collect()}
     assert reps == {1: (1, 4), 10: (10, 2), 20: (20, 3)}
@@ -196,7 +198,9 @@ def test_connected_components_long_chain_converges(spark):
     # a 30-node chain needs multiple propagation rounds (diameter 29, but
     # min-label spreads both ways, halving each pass)
     pairs = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a int, id_b int")
-    comps = {r["id"]: r["component"] for r in connected_components(pairs, max_iters=40).collect()}
+    # driver_edge_cap=0 forces the DISTRIBUTED label-propagation path
+    comps = {r["id"]: r["component"]
+             for r in connected_components(pairs, max_iters=40, driver_edge_cap=0).collect()}
     assert set(comps.values()) == {0} and len(comps) == 31
 
 
