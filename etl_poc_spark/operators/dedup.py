@@ -327,12 +327,19 @@ def connected_components(
       localCheckpoint()ed per iteration so the lineage stays constant-size
       (on a cluster these would be parquet stage tables), and the loop
       early-exits when no label changes."""
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # the union references the pairs subplan twice — persist so the
+    # (potentially expensive) pair-producing pipeline runs once, then drop
+    # the pin as soon as the symmetric edge list is materialized
+    pairs_p = pairs.persist()
+    try:
+        edges = (
+            pairs_p.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .union(pairs_p.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        pairs_p.unpersist()
     cap = _DRIVER_UNION_FIND_EDGE_CAP if driver_edge_cap is None else driver_edge_cap
     if cap > 0:
         probe = edges.limit(cap + 1).collect()
