@@ -201,3 +201,24 @@ def pack_sequences_greedy(
         .groupBy(*group_cols)
         .applyInPandas(pack, schema=out_schema)
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    stratum_col: str,
+    rates_pct: dict[str, int],
+    id_col: str = "doc_id",
+    default_pct: int = 100,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic data-mixing resampler: keep rate_pct% of each stratum
+    (source/language/domain), per the mixture recipe a training run wants.
+
+    The keep decision is hash_bucket(id) < rate[stratum] — narrow, stable
+    under corpus growth, reproducible across engines. The rates map ships
+    as a literal map expression (no join at all for the lookup)."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in rates_pct.items() for x in kv]
+    )
+    rate = F.coalesce(mapping[F.col(stratum_col)], F.lit(default_pct))
+    return df.filter(hash_bucket(F.col(id_col), 100, salt) < rate)

@@ -271,3 +271,31 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("min_kept_doc"),
         )
     )
+
+
+_MIX_RATES = {"src0": 100, "src1": 50, "src2": 25, "src3": 10}
+
+
+@query(
+    "mixture_resample_counts",
+    oracle=f"""
+    WITH kept AS (
+      SELECT source FROM documents
+      WHERE {_BUCKET_SQL.format(salt='mix')} <
+            CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                        WHEN 'src2' THEN 25 WHEN 'src3' THEN 10 ELSE 100 END
+    )
+    SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source
+    """,
+)
+def mixture_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture resampling: each source keeps its recipe
+    fraction (100/50/25/10%) via the deterministic id hash — a narrow
+    filter with a literal-map rate lookup (zero joins), then one counting
+    shuffle. THE operation behind 'mix 2 parts web, 1 part code, ...' at
+    pretraining scale."""
+    from etl_poc_spark.operators.curation import mixture_resample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = mixture_resample(d, "source", _MIX_RATES, "doc_id", salt="mix")
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
