@@ -20,6 +20,68 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("engine_slugify", _py_slugify, T.StringType())
     spark.udf.register("engine_word_count", lambda s: len((s or "").split()), T.IntegerType())
     spark.udf.register("py_fingerprint", _py_fingerprint, T.StringType())
+    spark.udtf.register("engine_chunks", chunk_udtf())
+
+
+def chunk_udtf():
+    """Python UDTF (Spark 4 table function): the reference's parsing-tool
+    `Dict -> List[Dict]` fan-out contract (SURVEY §2.11 X1) as a REAL SQL
+    table function — `SELECT ... FROM tbl, LATERAL engine_chunks(text, 40,
+    10)`. Semantics match operators/chunker.chunk_by_tokens exactly
+    (pytest-pinned); the Column/posexplode chunker remains the bulk fast
+    path, this is the interactive/SQL tier."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk_text string, chunk_n_tokens int")
+    class ChunkUDTF:
+        def eval(self, text: str, chunk_size: int = 40, chunk_overlap: int = 10):
+            toks = (text or "").split()
+            if not toks:
+                return
+            step = max(chunk_size - chunk_overlap, 1)
+            for cid, start in enumerate(range(0, len(toks), step)):
+                window = toks[start : start + chunk_size]
+                yield cid, " ".join(window), len(window)
+
+    return ChunkUDTF
+
+
+def gini_udaf():
+    """pandas GROUPED_AGG UDAF (SURVEY §2.11 ABSENT-tier UDAF surface):
+    Gini coefficient of a column of non-negative integers. All arithmetic
+    is EXACT Python-int (sorted-order weighted sum), with one final
+    int/int double division — so the result is bit-identical across
+    partitionings and engines (the values arrive in partition order; the
+    sort makes that irrelevant)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _gini(values):
+        xs = sorted(int(v) for v in values.dropna())
+        n = len(xs)
+        total = sum(xs)
+        if n == 0 or total == 0:
+            return 0.0
+        num = sum((2 * i - n - 1) * x for i, x in enumerate(xs, start=1))
+        return num / (n * total)
+
+    # `from __future__ import annotations` stringifies hints, which breaks
+    # pandas_udf's GROUPED_AGG signature inference — set real objects
+    _gini.__annotations__ = {"values": pd.Series, "return": float}
+    return pandas_udf(_gini, "double")
+
+
+def count_udaf():
+    """GROUPED_AGG row count — companion to gini_udaf (Spark disallows
+    mixing pandas and built-in aggregates in one agg call)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _n(values):
+        return len(values.dropna())
+
+    _n.__annotations__ = {"values": pd.Series, "return": int}
+    return pandas_udf(_n, "long")
 
 
 def _py_slugify(s: str | None) -> str:

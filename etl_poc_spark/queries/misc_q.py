@@ -238,3 +238,39 @@ def count_min_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = count_min_estimate(sketch, e, "user_id", d=4, w=64)
     truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
     return truth.join(est, "user_id").select("user_id", "true_count", "cm_estimate")
+
+
+@query(
+    "gini_chars_by_lang",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n,
+             SUM(n_chars) OVER (PARTITION BY lang) AS total
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM((2 * rn - n - 1) * n_chars) AS DOUBLE)
+             / CAST(MAX(n) * MAX(total) AS DOUBLE) AS gini
+    FROM ranked GROUP BY lang
+    """,
+)
+def gini_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gini coefficient of document lengths via a pandas
+    GROUPED_AGG UDAF (the custom-aggregate tier): exact integer weighted
+    sum over the sorted values, one final int/int division — bit-identical
+    across partitionings and to the SQL window formulation in the oracle.
+    A real curation metric: high Gini = a few documents dominate the
+    stratum's token budget."""
+    from etl_poc_spark.functions.sql_registry import count_udaf, gini_udaf
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg, so the row count is a pandas UDAF too
+    gini, n_rows = gini_udaf(), count_udaf()
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        n_rows(F.col("n_chars")).alias("n_docs"),
+        gini(F.col("n_chars")).alias("gini"),
+    )

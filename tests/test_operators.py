@@ -217,3 +217,21 @@ def test_count_min_never_underestimates(spark):
         assert est[k] >= t  # the one-sided count-min guarantee
     # the heavy hitter is estimated tightly (w=32 buckets, N=2500)
     assert est["hot"] < true["hot"] + 2500 * 4 / 32
+
+
+def test_chunk_udtf_matches_column_chunker(spark):
+    from etl_poc_spark.functions.sql_registry import register_sql_functions
+    from etl_poc_spark.operators.chunker import chunk_by_tokens
+
+    register_sql_functions(spark)
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "only three words"), (3, "")], "doc_id int, text string")
+    df.createOrReplaceTempView("udtf_docs")
+    via_sql = spark.sql(
+        "SELECT doc_id, c.chunk_id, c.chunk_text, c.chunk_n_tokens "
+        "FROM udtf_docs, LATERAL engine_chunks(text, 40, 10) c"
+    ).collect()
+    via_col = chunk_by_tokens(df, chunk_size=40, chunk_overlap=10).collect()
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    assert sorted([(r["doc_id"], r["chunk_id"], r["chunk_text"], r["chunk_n_tokens"]) for r in via_sql]) == \
+           sorted([(r["doc_id"], r["chunk_id"], r["chunk_text"], r["chunk_n_tokens"]) for r in via_col])

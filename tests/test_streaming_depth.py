@@ -225,3 +225,30 @@ def test_stateful_sessionize_timeout_evicts_idle_state(spark, tmp_path):
         assert fresh is not None and fresh["n_events"] == 1
     finally:
         q.stop()
+
+
+def test_streaming_count_min_merges_to_batch_sketch(spark, stream_dir, tmp_path):
+    """Sketch mergeability under streaming: per-micro-batch count-min grids
+    merged by counter addition (foreachBatch) equal the batch-built sketch
+    over the same data — the property that lets 100 TB frequency state stay
+    d*w counters."""
+    from etl_poc_spark.operators.sketches import count_min_build
+
+    store: dict = {}
+
+    def merge(batch_df, batch_id):
+        for r in count_min_build(batch_df, "user_id", d=4, w=32).collect():
+            key = (r["j"], r["bucket"])
+            store[key] = store.get(key, 0) + r["cnt"]
+
+    stream = read_events_stream(spark, stream_dir)
+    q = stream.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    batch = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in count_min_build(spark.read.parquet(stream_dir), "user_id", d=4, w=32).collect()
+    }
+    assert store == batch
