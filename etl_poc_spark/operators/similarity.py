@@ -44,6 +44,10 @@ def _norms(exploded: DataFrame, out_id: str, out_col: str) -> DataFrame:
 # an executor/driver OOM hazard at scale. Over the cap, no hint is emitted
 # and AQE picks the join strategy from runtime stats.
 _BROADCAST_ROW_CAP = 8192
+# (id, vector) frames only: ~300 B/row at dim 64, so 65k rows ≈ 20 MB —
+# well under the session broadcast threshold while generic frames stay at
+# the conservative cap above
+_BROADCAST_VEC_ROW_CAP = 65536
 
 
 def _provably_small(df: DataFrame, cap: int = _BROADCAST_ROW_CAP) -> bool:
@@ -70,24 +74,33 @@ def _pair_cosine(
         small_q = _provably_small(queries)
     if small_b is None:
         small_b = small_q if base is queries else _provably_small(base)
+    # whole-vector (id, vec) frames are compact (~300 B/row at dim 64), so
+    # they broadcast safely at a higher row cap than generic frames
+    vec_b = small_b or _provably_small(base, _BROADCAST_VEC_ROW_CAP)
+    vec_q = vec_b if base is queries else (small_q or _provably_small(queries, _BROADCAST_VEC_ROW_CAP))
     hint_q = F.broadcast if small_q else (lambda df: df)
     hint_b = F.broadcast if small_b else (lambda df: df)
-    # the pairs frame is its own size question (a cross join of two small
-    # sides can still be cap^2 rows): probe IT, not its factors — skipping
-    # the probe entirely when either factor is big (pairs can't be small
-    # unless it's a sparse candidate list, which the probe then confirms)
-    small_p = (small_q or small_b) and _provably_small(pairs)
-    hint_p = F.broadcast if small_p else (lambda df: df)
-    q_ex = _explode_vec(queries, id_col, vec_col, "query_id")
-    b_ex = _explode_vec(base, id_col, vec_col, "neighbor_id")
-    prod = F.expr(_DEC_PROD.format(x="q.__x", y="b.__x"))
+    hint_vq = F.broadcast if vec_q else (lambda df: df)
+    hint_vb = F.broadcast if vec_b else (lambda df: df)
+    va = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__va"))
+    vb = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb"))
+    # dot products: attach both WHOLE vectors to each candidate pair
+    # (broadcast joins when the vector tables fit), then one arrays_zip
+    # explode + hash aggregation. This streams |pairs| rows through the
+    # joins instead of equi-joining dim-exploded frames on (id, i) — the
+    # explode happens after the join, inside codegen, with map-side partial
+    # aggregation. Decimal addition is exact and commutative, so the dot is
+    # bit-identical to any other summation order (oracle-stable).
+    prod = F.expr(_DEC_PROD.format(x="__z.__va", y="__z.__vb"))
     dots = (
-        b_ex.alias("b")
-        .join(hint_p(pairs), "neighbor_id")
-        .join(hint_q(q_ex.alias("q")), ["query_id", "i"])
+        pairs.join(hint_vq(va), "query_id")
+        .join(hint_vb(vb), "neighbor_id")
+        .select("query_id", "neighbor_id", F.explode(F.arrays_zip("__va", "__vb")).alias("__z"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum(prod).cast("double").alias("dot"))
     )
+    q_ex = _explode_vec(queries, id_col, vec_col, "query_id")
+    b_ex = _explode_vec(base, id_col, vec_col, "neighbor_id")
     qn = _norms(q_ex, "query_id", "qn")
     bn = _norms(b_ex, "neighbor_id", "bn")
     return (

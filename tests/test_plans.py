@@ -66,13 +66,18 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
 
 
 def test_pair_cosine_broadcast_is_conditional(spark):
-    """A query side over the row cap must not emit broadcast hints — the
-    hinted frame would be ~|queries| x |base| and OOM the executors; AQE
-    decides instead. A small query side keeps the hints."""
+    """Hint tiers: a query side over the generic row cap loses the pairs /
+    exploded / norm hints (those frames scale with |q| x |b| or |q| x dim);
+    a side over even the whole-vector cap loses its vector hint too. Only
+    provably bounded frames ever carry a broadcast hint — everything else
+    is left to AQE."""
     from pyspark.sql import functions as F
 
-    from etl_poc_spark.operators.dedup import simhash64_signatures  # noqa: F401 (session warm)
-    from etl_poc_spark.operators.similarity import _BROADCAST_ROW_CAP, _pair_cosine
+    from etl_poc_spark.operators.similarity import (
+        _BROADCAST_ROW_CAP,
+        _BROADCAST_VEC_ROW_CAP,
+        _pair_cosine,
+    )
 
     def vecs(n, prefix_id=0):
         return spark.range(n).select(
@@ -80,26 +85,27 @@ def test_pair_cosine_broadcast_is_conditional(spark):
             F.array(*[(F.col("id") % 7 + i).cast("float") for i in range(4)]).alias("embedding"),
         )
 
-    big_q = vecs(_BROADCAST_ROW_CAP + 1)
+    huge_q = vecs(_BROADCAST_VEC_ROW_CAP + 1)
+    mid_q = vecs(_BROADCAST_ROW_CAP + 1)
     small_q = vecs(16)
     base = vecs(64, prefix_id=1_000_000)
 
-    def analyzed(df):
-        return df._jdf.queryExecution().analyzed().toString()
-
-    def pairs_for(q):
-        return q.select(F.col("vec_id").alias("query_id")).crossJoin(
+    def hints(q):
+        pairs = q.select(F.col("vec_id").alias("query_id")).crossJoin(
             base.select(F.col("vec_id").alias("neighbor_id"))
         )
+        plan = _pair_cosine(q, base, pairs, "vec_id", "embedding")
+        return plan._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
 
-    big_plan = analyzed(_pair_cosine(big_q, base, pairs_for(big_q), "vec_id", "embedding"))
-    small_plan = analyzed(_pair_cosine(small_q, base, pairs_for(small_q), "vec_id", "embedding"))
-    # base (64 rows) is small: its norms may be hinted in both cases, so
-    # compare hint counts — the big query side must hint strictly fewer
-    # frames (no pairs / q_ex / qn hints)
-    assert big_plan.count("ResolvedHint") < small_plan.count("ResolvedHint")
-    assert small_plan.count("ResolvedHint") >= 3
-    assert big_plan.count("ResolvedHint") == 1  # only the small base norms
+    n_small, n_mid, n_huge = hints(small_q), hints(mid_q), hints(huge_q)
+    # small: pairs + vector frames + norm frames all hinted
+    assert n_small >= 4
+    # mid (over generic cap, under vec cap): vectors + base norms only —
+    # the pairs frame and the dim-scaled query frames are NOT hinted
+    assert n_mid == 3
+    # huge (over the vec cap too): only the small base side is hinted
+    assert n_huge == 2
+    assert n_huge < n_mid < n_small
 
 
 def test_asof_join_is_single_window_pass(spark, sf_dir):
