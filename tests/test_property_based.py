@@ -146,3 +146,38 @@ def test_pack_sequences_greedy_properties(spark):
                 bin_id, fill = bin_id + 1, 0
             fill += tok
             assert (r["bin_id"], r["bin_fill"]) == (bin_id, fill), (gi, r)
+
+
+def test_asof_join_matches_python_reference(spark):
+    """asof_join (backward inclusive) vs a brute-force per-row reference on
+    arbitrary keyed timelines, including duplicate left timestamps and
+    unmatched rows."""
+    scenario = st.tuples(
+        st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=15),  # left (k, ts)
+        st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=15),  # right (k, ts)
+    )
+    examples = collect_examples(scenario, n=40)
+    left_rows, right_rows, expected = [], [], {}
+    rid = 0
+    for case_id, (lefts, rights) in enumerate(examples):
+        # unique right (k, ts) per case (the operator contract pre-dedupes)
+        rights = list(dict.fromkeys(rights))
+        for k, t in lefts:
+            left_rows.append((case_id, k, t, rid))
+            rid += 1
+        for k, t in rights:
+            right_rows.append((case_id, k, t, f"r{case_id}_{k}_{t}"))
+    right_by_case = {}
+    for c, k, t, tag in right_rows:
+        right_by_case.setdefault((c, k), []).append((t, tag))
+    for c, k, t, lid in left_rows:
+        cands = [(rt, tag) for rt, tag in right_by_case.get((c, k), []) if rt <= t]
+        expected[lid] = max(cands)[1] if cands else None
+
+    from etl_poc_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(left_rows, "case int, k int, ts int, lid int")
+    rdf = spark.createDataFrame(right_rows, "case int, k int, ts int, tag string")
+    got = {r["lid"]: r["asof_tag"]
+           for r in asof_join(ldf, rdf, by=["case", "k"], right_cols=["tag"]).collect()}
+    assert got == expected
