@@ -55,3 +55,55 @@ def assemble_run_summary(spark: SparkSession, stages: dict[str, dict[str, Any]])
             summary[f"{stage}_{k}"] = v
     df = spark.createDataFrame([{k: str(v) for k, v in summary.items()}])
     return summary, df
+
+
+def execution_health(df: DataFrame) -> dict[str, Any]:
+    """Run-health snapshot for an already-executed DataFrame (call after an
+    action): walks the executed physical plan's SQL metrics and aggregates
+    the numbers an operator dashboard needs — rows scanned/produced,
+    shuffle volume, spill, and the node inventory. This is the engine's
+    replacement for the reference's monitor.sh log-scraping: metrics come
+    from the plan, not stdout."""
+    import re
+
+    node = df._jdf.queryExecution().executedPlan()
+    plan_str = node.toString()
+    metrics: dict[str, int] = {}
+
+    def walk(n) -> None:
+        it = n.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            name = kv._1()
+            value = kv._2().value()
+            try:
+                metrics[name] = metrics.get(name, 0) + int(value)
+            except (TypeError, ValueError):
+                pass
+        cit = n.children().iterator()
+        while cit.hasNext():
+            walk(cit.next())
+        # AQE wrappers: AdaptiveSparkPlanExec exposes executedPlan(), the
+        # QueryStageExec family wraps its subtree as plan() — descend both
+        for accessor in ("executedPlan", "plan"):
+            try:
+                walk(getattr(n, accessor)())
+            except Exception:  # noqa: BLE001 — not every node exposes these
+                pass
+
+    try:
+        walk(node)
+    except Exception:  # noqa: BLE001 — health reporting must never fail a job
+        pass
+    return {
+        "output_rows": metrics.get("numOutputRows", 0),
+        "shuffle_bytes_written": metrics.get("shuffleBytesWritten", 0),
+        "shuffle_records_written": metrics.get("shuffleRecordsWritten", 0),
+        "spill_bytes": metrics.get("spillSize", 0),
+        "files_read": metrics.get("numFiles", 0),
+        "files_bytes": metrics.get("filesSize", 0),
+        "peak_memory_bytes": metrics.get("peakMemory", 0),
+        "scan_time_ms": metrics.get("scanTime", 0),
+        "n_plan_nodes": len(re.findall(r"^\s*[+:]?-?\s*\*?\(?\d*\)?\s*\w", plan_str, re.M)),
+        "raw": metrics,
+    }

@@ -28,3 +28,18 @@ def test_assemble_run_summary(spark):
     row = df.collect()[0].asDict()
     assert row["ingest_total_papers"] == "10"
     assert "timestamp" in row
+
+
+def test_execution_health_reads_plan_metrics(spark, sf_dir):
+    from etl_poc_spark import registry
+    from etl_poc_spark.metrics import execution_health
+
+    registry.load_all()
+    df = registry.QUERIES["pricing_summary"](spark, sf_dir)
+    df.collect()
+    h = execution_health(df)
+    assert h["output_rows"] > 0           # rows flowed through the plan
+    assert h["files_read"] >= 1           # parquet scan counted
+    assert h["shuffle_records_written"] > 0  # the agg exchange is visible
+    assert h["spill_bytes"] == 0          # nothing spilled at this scale
+    assert h["n_plan_nodes"] > 3
