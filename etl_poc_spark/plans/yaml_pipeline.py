@@ -34,7 +34,6 @@ import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from etl_poc_spark.llm.ops import llm_map, llm_reduce
 from etl_poc_spark.llm.provider import LLMProvider, StubProvider
