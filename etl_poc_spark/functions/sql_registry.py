@@ -35,6 +35,10 @@ def chunk_udtf():
     @udtf(returnType="chunk_id int, chunk_text string, chunk_n_tokens int")
     class ChunkUDTF:
         def eval(self, text: str, chunk_size: int = 40, chunk_overlap: int = 10):
+            if chunk_overlap >= chunk_size:
+                # same contract as chunk_by_tokens — a silent step clamp
+                # would fan out ~n_tokens chunks per document
+                raise ValueError("chunk_overlap must be smaller than chunk_size")
             toks = (text or "").split()
             if not toks:
                 return

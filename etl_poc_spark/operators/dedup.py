@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -276,9 +277,10 @@ def verify_jaccard(
 _DRIVER_UNION_FIND_EDGE_CAP = 100_000
 
 
-def _driver_union_find(edge_rows, spark) -> DataFrame:
+def _driver_union_find(edge_rows, spark, id_field) -> DataFrame:
     """Exact union-find over a small collected edge list; returns the same
-    (id, component=min reachable id) frame as the distributed path."""
+    (id, component=min reachable id) frame as the distributed path, typed
+    like the input id column."""
     parent: dict = {}
 
     def find(x):
@@ -296,9 +298,11 @@ def _driver_union_find(edge_rows, spark) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     nodes = {v for e in edge_rows for v in e}
-    return spark.createDataFrame(
-        [(n, find(n)) for n in sorted(nodes)], "id long, component long"
+    id_type = id_field.dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("component", id_type)]
     )
+    return spark.createDataFrame([(n, find(n)) for n in sorted(nodes)], schema)
 
 
 def connected_components(
@@ -344,7 +348,9 @@ def connected_components(
     if cap > 0:
         probe = edges.limit(cap + 1).collect()
         if len(probe) <= cap:
-            return _driver_union_find([(r["src"], r["dst"]) for r in probe], pairs.sparkSession)
+            return _driver_union_find(
+                [(r["src"], r["dst"]) for r in probe], pairs.sparkSession, pairs.schema[id_a]
+            )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -369,6 +375,14 @@ def connected_components(
         labels = updated.drop("__changed")
         if n_changed == 0:
             break
+    else:
+        # min-label propagation advances ~1 hop per pass: a graph with
+        # diameter > max_iters would exit here with SPLIT components —
+        # returning them silently would ship wrong dedup groups
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations; "
+            "raise max_iters (graph diameter exceeds it)"
+        )
     return labels
 
 

@@ -70,14 +70,19 @@ def _pair_cosine(
     not provably under the row cap is left unhinted for AQE. Callers that
     already probed a side pass small_q/small_b to avoid re-running the
     probe job (each probe re-executes that frame's upstream plan)."""
-    if small_q is None:
-        small_q = _provably_small(queries)
-    if small_b is None:
-        small_b = small_q if base is queries else _provably_small(base)
+    # ONE probe per distinct unprobed side, at the larger vec cap: the same
+    # bounded read answers both thresholds. Caller-passed flags are trusted
+    # as-is (no surprise probe jobs re-running their upstream plans); the
     # whole-vector (id, vec) frames are compact (~300 B/row at dim 64), so
-    # they broadcast safely at a higher row cap than generic frames
-    vec_b = small_b or _provably_small(base, _BROADCAST_VEC_ROW_CAP)
-    vec_q = vec_b if base is queries else (small_q or _provably_small(queries, _BROADCAST_VEC_ROW_CAP))
+    # they broadcast safely at the higher cap.
+    def tiers(side, passed):
+        if passed is not None:
+            return passed, passed
+        n = len(side.select(F.lit(1).alias("__one")).limit(_BROADCAST_VEC_ROW_CAP + 1).take(_BROADCAST_VEC_ROW_CAP + 1))
+        return n <= _BROADCAST_ROW_CAP, n <= _BROADCAST_VEC_ROW_CAP
+
+    small_q, vec_q = tiers(queries, small_q)
+    small_b, vec_b = (small_q, vec_q) if base is queries and small_b is None else tiers(base, small_b)
     hint_q = F.broadcast if small_q else (lambda df: df)
     hint_b = F.broadcast if small_b else (lambda df: df)
     hint_vq = F.broadcast if vec_q else (lambda df: df)

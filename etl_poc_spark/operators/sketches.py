@@ -50,8 +50,12 @@ def count_min_estimate(
     probes = keys.select(F.col(key_col)).distinct().withColumn(
         "j", F.explode(F.sequence(F.lit(0), F.lit(d - 1)))
     ).withColumn("bucket", cm_bucket(F.col(key_col), F.col("j"), w))
+    # LEFT join + coalesce(0): an absent (j, bucket) cell is a ZERO counter.
+    # An inner join would silently drop keys whose cells are all empty and
+    # overestimate keys with some empty cells (min over a subset) — the
+    # count-min answer for a never-seen key must be 0.
     return (
-        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cm_estimate"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
     )

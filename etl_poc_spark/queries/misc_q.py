@@ -249,6 +249,7 @@ def count_min_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY lang) AS n,
              SUM(n_chars) OVER (PARTITION BY lang) AS total
       FROM documents
+      WHERE n_chars IS NOT NULL  -- mirror the UDAF's dropna semantics
     )
     SELECT lang,
            COUNT(*) AS n_docs,

@@ -105,7 +105,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = words.select(
         "doc_id", F.size("words").alias("dl"), F.explode("words").alias("term")
     ).join(F.broadcast(terms), "term")
-    tf = postings.groupBy("doc_id", "term", "dl").agg(F.count(F.lit(1)).alias("f"))
+    # tf feeds both the scoring join and the document-frequency aggregate —
+    # persist so the scan+explode postings pipeline runs once
+    tf = postings.groupBy("doc_id", "term", "dl").agg(F.count(F.lit(1)).alias("f")).persist()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_df"))
     scored = (
         tf.join(F.broadcast(df_), "term")
@@ -124,5 +126,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     agg = scored.groupBy("doc_id").agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    # orderBy+limit plans TakeOrderedAndProject (per-partition top-k, driver
+    # merge); the rank window then runs over just the 20 surviving rows —
+    # a global row_number window here would instead force every scored doc
+    # through a single-partition sort
+    top = agg.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return agg.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    return top.withColumn("rank", F.row_number().over(w))

@@ -39,27 +39,32 @@ def upsert_rollup_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame
     the day partitions the batch covers."""
     import os
 
-    inc = _partial_rollup(batch_df)
-    if not inc.take(1):
-        return
-    affected = [r["day"] for r in inc.select("day").distinct().collect()]
-    merged = inc
-    if os.path.exists(store_dir):
-        old = spark.read.parquet(store_dir).filter(F.col("day").isin(affected))
-        merged = (
-            old.unionByName(inc)
-            .groupBy(*ROLLUP_KEYS)
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("total_value").alias("total_value"),
-            )
-        )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # persist: the batch aggregate feeds the affected-day probe AND the
+    # merged write — without it the batch source re-aggregates per use
+    inc = _partial_rollup(batch_df).persist()
     try:
-        merged.write.mode("overwrite").partitionBy("day").parquet(store_dir)
+        affected = [r["day"] for r in inc.select("day").distinct().collect()]
+        if not affected:
+            return
+        merged = inc
+        if os.path.exists(store_dir):
+            old = spark.read.parquet(store_dir).filter(F.col("day").isin(affected))
+            merged = (
+                old.unionByName(inc)
+                .groupBy(*ROLLUP_KEYS)
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("day").parquet(store_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        inc.unpersist()
 
 
 def incremental_hourly_rollup(stream: DataFrame, store_dir: str, checkpoint_dir: str):

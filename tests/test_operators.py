@@ -235,3 +235,31 @@ def test_chunk_udtf_matches_column_chunker(spark):
     key = lambda r: (r["doc_id"], r["chunk_id"])
     assert sorted([(r["doc_id"], r["chunk_id"], r["chunk_text"], r["chunk_n_tokens"]) for r in via_sql]) == \
            sorted([(r["doc_id"], r["chunk_id"], r["chunk_text"], r["chunk_n_tokens"]) for r in via_col])
+
+
+def test_count_min_unknown_key_estimates_zero(spark):
+    from etl_poc_spark.operators.sketches import count_min_build, count_min_estimate
+
+    build = spark.createDataFrame([("a",)] * 10 + [("b",)] * 3, "k string")
+    sketch = count_min_build(build, "k", d=4, w=32)
+    probe = spark.createDataFrame([("a",), ("never-seen-key-xyz",)], "k string")
+    est = {r["k"]: r["cm_estimate"] for r in count_min_estimate(sketch, probe, "k", d=4, w=32).collect()}
+    assert est["a"] >= 10
+    # a key absent from the corpus must answer 0 (empty cell = zero counter),
+    # not disappear or report another key's counts via a partial min
+    assert est["never-seen-key-xyz"] == 0
+
+
+def test_connected_components_string_ids_and_nonconvergence(spark):
+    import pytest as _pytest
+
+    from etl_poc_spark.operators.dedup import connected_components
+
+    # string ids work on the driver path (schema follows the input type)
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "id_a string, id_b string")
+    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {"a": "a", "b": "a", "c": "a"}
+    # the distributed path refuses to return split components silently
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a int, id_b int")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2, driver_edge_cap=0)
