@@ -31,10 +31,17 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of join: append, to every left row, the payload
-    of the latest right row with right_ts <= left_ts within the same `by`
-    group (nulls when no prior right row exists — left-join semantics)."""
+    """Inclusive as-of join: append, to every left row, the payload of the
+    latest right row with right_ts <= left_ts (direction='backward') or the
+    earliest right row with right_ts >= left_ts (direction='forward')
+    within the same `by` group (nulls when no match — left-join
+    semantics). Same single-shuffle union + window plan either way; only
+    the tie-order of left vs right at equal timestamps and the frame
+    direction flip."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (*by, right_ts)]
     l_payload = [c for c in left.columns if c not in (*by,)]
 
@@ -54,14 +61,25 @@ def asof_join(
         F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("__ts"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows (side 0) sort before left at equal ts -> inclusive
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__ts"), F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(F.col(c), ignorenulls=True)  # noqa: E731
+    else:
+        # forward: left rows sort before right at equal ts, frame looks ahead
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__ts"), (1 - F.col("__side")))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(F.col(c), ignorenulls=True)  # noqa: E731
     matched = l_tag.unionByName(r_tag)
     for c in right_cols:
-        matched = matched.withColumn(f"__m_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w))
+        matched = matched.withColumn(f"__m_{c}", pick(f"__r_{c}").over(w))
     return matched.filter(F.col("__side") == 1).select(
         *by,
         *[F.col(c) for c in l_payload],

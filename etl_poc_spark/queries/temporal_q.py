@@ -91,3 +91,44 @@ def orders_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
     )
+
+
+@query(
+    "events_asof_next_error",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), errors AS (
+      SELECT user_id, ts, MAX(event_id) AS error_event_id
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    )
+    SELECT c.event_id,
+           c.user_id,
+           e.error_event_id AS asof_error_event_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+    FROM clicks c
+    ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts <= e.ts
+    """,
+)
+def events_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: every click gets the next at-or-after error of
+    the same user (time-to-failure attribution). Identical union + window
+    plan as the backward variant, with the frame looking ahead."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("error_event_id"))
+        .withColumn("error_ts", F.col("ts"))
+    )
+    joined = asof_join(
+        clicks, errors, by=["user_id"],
+        right_cols=["error_event_id", "error_ts"], direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_error_event_id"),
+        (F.unix_micros(F.col("asof_error_ts")) - F.unix_micros(F.col("ts"))).alias("gap_us"),
+    )

@@ -263,3 +263,21 @@ def test_connected_components_string_ids_and_nonconvergence(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a int, id_b int")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iters=2, driver_edge_cap=0)
+
+
+def test_asof_join_forward_inclusive(spark):
+    from etl_poc_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 30, 102), (2, 5, 103)],
+        "k int, ts int, lid int",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (2, 1, "c")], "k int, ts int, tag string"
+    )
+    out = {r["lid"]: r["asof_tag"]
+           for r in asof_join(left, right, by=["k"], right_cols=["tag"], direction="forward").collect()}
+    assert out[100] == "a"   # equal ts matches (inclusive)
+    assert out[101] == "b"   # earliest at-or-after 20 is ts=25
+    assert out[102] is None  # nothing at or after ts=30
+    assert out[103] is None  # right row for k=2 is in the past
