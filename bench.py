@@ -55,6 +55,7 @@ BENCH_ALL_REGISTERED = True
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_poc_spark import registry
+    from etl_poc_spark.operators.pins import release_pins
     from etl_poc_spark.session import get_spark
 
     registry.load_all()
@@ -79,6 +80,7 @@ def main() -> None:
         # drop persisted frames the query pinned (dedup/similarity stage
         # tables): leaked cache accumulates across 60+ queries and skews
         # later timings with memory pressure
+        release_pins()
         spark.catalog.clearCache()
 
     # `value` stays the HEADLINE subtotal so the metric is comparable round

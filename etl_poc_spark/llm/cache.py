@@ -79,7 +79,10 @@ def cached_llm_map(
             # nonexistent path would throw, and there is nothing to join.
             return spark.createDataFrame([], fresh.select(*result_cols).schema)
 
-        cache = spark.read.parquet(cache_path)
+        # dropDuplicates guards against a cache table holding two entries for
+        # one key (two concurrent runs both missing it, or a legacy append):
+        # without it every matching input row fans out per duplicate entry
+        cache = spark.read.parquet(cache_path).dropDuplicates(["__cache_key"])
         joined = keyed.join(cache, "__cache_key", "inner").select(*result_cols)
         # joined reads hits + appended misses from the parquet table, so it
         # no longer depends on the persisted plan.

@@ -154,8 +154,11 @@ def pack_stream_cut(
     part = group_cols or []
     w = Window.partitionBy(*part).orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, -1)
     start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    # integer division (`div`), not float `/`: double division loses exact
+    # integers past 2^53, so at extreme stream lengths the float path would
+    # diverge from the oracle's integer `//`
     return df.withColumn("start_offset", start).withColumn(
-        "seq_id", (F.col("start_offset") / cap).cast("long")
+        "seq_id", F.expr(f"start_offset div {int(cap)}")
     )
 
 

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_poc_spark.operators.pins import pin
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Representative-per-duplicate-group: groups rows by `key_cols` and keeps
@@ -114,7 +116,10 @@ def lsh_candidate_pairs(
     buckets before the self-join — see cap_buckets."""
     banded = signatures.groupBy(
         F.col(id_col), (F.col("seed") / rows_per_band).cast("int").alias("band")
-    ).agg(F.concat_ws("", F.sort_array(F.collect_list(F.concat_ws(":", F.col("seed"), F.col("minhash"))))).alias("band_val")).persist()
+    ).agg(F.concat_ws("", F.sort_array(F.collect_list(F.concat_ws(":", F.col("seed"), F.col("minhash"))))).alias("band_val"))
+    # tracked pin: feeds the bucket-size probe and both self-join sides;
+    # callers drop it with operators.pins.release_pins() after their action
+    banded = pin(banded)
     if max_bucket_size is not None:
         banded = cap_buckets(banded, ["band", "band_val"], max_bucket_size)
     a = banded.alias("a")
@@ -210,8 +215,9 @@ def simhash64_near_dup_pairs(
     )
     # banded feeds up to four plan branches (bucket sizes, the semi-join
     # probe, and both sides of the self-join) — persist so the signature
-    # pipeline runs once (cluster-scale jobs would checkpoint it to parquet)
-    banded = banded.persist()
+    # pipeline runs once (cluster-scale jobs would checkpoint it to parquet);
+    # tracked so callers can release_pins() after their action
+    banded = pin(banded)
     if max_bucket_size is not None:
         banded = cap_buckets(banded, ["band", "band_val"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_poc_spark.io import load_table
+from etl_poc_spark.operators.pins import pin
 from etl_poc_spark.operators.similarity import _pair_cosine  # shared exact-cosine kernel
 from etl_poc_spark.registry import query
 
@@ -169,11 +170,10 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.shiftleft(F.when(F.col(f"b{j}") == "1", F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), 15 - j) for j in range(16)],
         F.lit(0).cast("long"),
     )
-    sigs = (
+    sigs = pin(
         joined.groupBy("doc_id")
         .agg(*sig_cols)
         .select("doc_id", sig_int.alias("sig"))
-        .persist()
     )
 
     banded = sigs.select(

@@ -20,6 +20,7 @@ from etl_poc_spark.operators.dedup import (
     shingle_docs,
     verify_jaccard,
 )
+from etl_poc_spark.operators.pins import pin
 from etl_poc_spark.registry import query
 
 # corpus with exact duplicates: every doc_id % 5 == 0 doc appears twice
@@ -157,7 +158,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle and band frames each feed two plan branches (self-join /
     # verify); persist so the expensive md5+explode pipeline runs once —
     # at cluster scale these would be checkpointed parquet stage tables
-    sh = shingle_docs(corpus, "doc_id", "text", shingle_words=3).persist()
+    sh = pin(shingle_docs(corpus, "doc_id", "text", shingle_words=3))
     sig = minhash_signatures(sh, "doc_id", n_hashes=8, hash_mode="md5")
     pairs = lsh_candidate_pairs(sig, "doc_id", rows_per_band=2, max_bucket_size=50)
     return verify_jaccard(sh, pairs, "doc_id", threshold=0.8)
@@ -204,7 +205,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf_dir)
     sh_all = shingle_docs(corpus, "doc_id", "text", shingle_words=5)
     rare = sh_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).filter(F.col("__df") <= 50).drop("__df")
-    sh = sh_all.join(rare, "shingle", "left_semi").persist()
+    sh = pin(sh_all.join(rare, "shingle", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")

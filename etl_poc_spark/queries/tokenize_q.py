@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_poc_spark.io import load_table
+from etl_poc_spark.operators.pins import pin
 from etl_poc_spark.registry import query
 
 BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -106,8 +107,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("words").alias("dl"), F.explode("words").alias("term")
     ).join(F.broadcast(terms), "term")
     # tf feeds both the scoring join and the document-frequency aggregate —
-    # persist so the scan+explode postings pipeline runs once
-    tf = postings.groupBy("doc_id", "term", "dl").agg(F.count(F.lit(1)).alias("f")).persist()
+    # persist (tracked; release via operators.pins.release_pins) so the
+    # scan+explode postings pipeline runs once
+    tf = pin(postings.groupBy("doc_id", "term", "dl").agg(F.count(F.lit(1)).alias("f")))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_df"))
     scored = (
         tf.join(F.broadcast(df_), "term")

@@ -57,6 +57,15 @@ def upsert_rollup_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame
                     F.sum("total_value").alias("total_value"),
                 )
             )
+        # Pin one physical schema for every store file: sum() widens decimals
+        # differently on first-write (sum over 18,2 -> 28,2) vs merged rewrite
+        # (sum over 28,2 -> 38,2), which would leave the store with mixed
+        # parquet types readable only by type-widening readers.
+        merged = merged.select(
+            *ROLLUP_KEYS,
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("total_value").cast("decimal(38,2)").alias("total_value"),
+        )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -68,8 +77,9 @@ def upsert_rollup_batch(spark: SparkSession, store_dir: str, batch_df: DataFrame
 
 
 def incremental_hourly_rollup(stream: DataFrame, store_dir: str, checkpoint_dir: str):
-    """Attach the upsert as a foreachBatch sink; returns the StreamingQuery
-    (caller picks the trigger via .trigger() before .start() if desired)."""
+    """Attach the upsert as a foreachBatch sink; returns a configured
+    DataStreamWriter — the caller picks the trigger and launches it via
+    .trigger(...).start(), which yields the StreamingQuery."""
     spark = stream.sparkSession
 
     def handle(batch_df: DataFrame, _batch_id: int) -> None:

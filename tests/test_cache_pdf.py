@@ -50,6 +50,22 @@ def test_cached_llm_map_hits_skip_provider(spark, tmp_path):
     assert spark.read.parquet(cache).count() == 30
 
 
+def test_cached_llm_map_dedupes_duplicate_cache_entries(spark, tmp_path):
+    """A cache table holding two entries for one key (e.g. two concurrent
+    runs both missing it) must not fan input rows out into duplicates."""
+    df = spark.createDataFrame([(i, f"dup text {i}") for i in range(4)], "doc_id int, text string")
+    schema = to_struct_type({"title": "string"})
+    cache = str(tmp_path / "llm_cache_dup")
+    out1 = cached_llm_map(df, "Extract {{ input.text }}", schema, cache, provider=StubProvider())
+    assert out1.count() == 4
+    # simulate the concurrent-writer race: append the cache table to itself
+    dup = spark.read.parquet(cache)
+    dup.write.mode("append").parquet(cache)
+    assert spark.read.parquet(cache).count() == 8  # keys now duplicated
+    out2 = cached_llm_map(df, "Extract {{ input.text }}", schema, cache, provider=StubProvider())
+    assert out2.count() == 4  # one row per input row, not per cache entry
+
+
 def test_download_pdfs_idempotent(spark, tmp_path):
     src = ArxivSource()
     papers = src.search(spark, "cs.AI", 5)

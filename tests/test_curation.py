@@ -86,6 +86,22 @@ def test_pack_stream_cut_offsets(spark):
     assert [rows[i]["seq_id"] for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
 
 
+def test_pack_stream_cut_exact_past_double_mantissa(spark):
+    """seq_id must use integer division: offsets past 2^53 lose exactness in
+    double arithmetic, and the float path would disagree with the oracle's
+    integer `//` at extreme stream lengths."""
+    # 2^53+2047 is not double-representable; IEEE round-half-to-even lifts
+    # it to 2^53+2048 — ACROSS the bin boundary — so the float path yields
+    # seq_id 2^42+1 while exact integer division yields 2^42
+    big = (1 << 53) + 2047
+    df = spark.createDataFrame(
+        [(1, big), (2, 1)], "doc_id int, n_tokens long"
+    )
+    rows = {r["doc_id"]: r for r in pack_stream_cut(df, cap=2048).collect()}
+    assert rows[2]["start_offset"] == big
+    assert rows[2]["seq_id"] == big // 2048 == (1 << 42)
+
+
 def test_pack_sequences_greedy_invariants(spark):
     df = spark.createDataFrame(
         [("en", i, 150 + (i * 37) % 300) for i in range(40)]

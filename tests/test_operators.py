@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from etl_poc_spark.functions.text import slugify, word_count
 from etl_poc_spark.operators.chunker import chunk_by_tokens
 from etl_poc_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, shingle_docs, verify_jaccard
+from etl_poc_spark.operators.pins import _PINNED, release_pins
 from etl_poc_spark.operators.similarity import cosine_topk
 
 
@@ -281,3 +282,26 @@ def test_asof_join_forward_inclusive(spark):
     assert out[101] == "b"   # earliest at-or-after 20 is ts=25
     assert out[102] is None  # nothing at or after ts=30
     assert out[103] is None  # right row for k=2 is in the past
+
+
+def test_pin_tracking_releases_persisted_frames(spark):
+    """Operators register intra-query persists with pins.pin(); after the
+    caller's action, release_pins() must drop every pinned block so a
+    long-lived session doesn't accumulate stage caches."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(10)],
+        "doc_id int, text string",
+    )
+    release_pins()  # clean slate
+    sh = shingle_docs(docs, "doc_id", "text", shingle_words=3)
+    sig = minhash_signatures(sh, "doc_id", n_hashes=4)
+    pairs = lsh_candidate_pairs(sig, "doc_id", rows_per_band=2)
+    pairs.count()  # the action that populates the pinned banded frame
+    assert len(_PINNED) >= 1
+    pinned = list(_PINNED)
+    assert any(df.storageLevel.useMemory or df.storageLevel.useDisk for df in pinned)
+    released = release_pins()
+    assert released == len(pinned) and not _PINNED
+    assert all(
+        not (df.storageLevel.useMemory or df.storageLevel.useDisk) for df in pinned
+    )

@@ -281,3 +281,31 @@ def test_incremental_rollup_equals_batch(spark, stream_dir, tmp_path):
     import os
 
     assert any(name.startswith("day=") for name in os.listdir(store))
+
+
+def test_rollup_store_physical_schema_is_stable(spark, stream_dir, tmp_path):
+    """First-batch writes and merged rewrites must store ONE physical decimal
+    width: without the pinned cast, sum() over decimal(18,2) writes 28,2 on
+    first write but 38,2 on merged rewrites, leaving a store readable only by
+    type-widening parquet readers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_poc_spark.streaming.rollup import upsert_rollup_batch
+
+    store = str(tmp_path / "rollup_store_schema")
+    events = spark.read.parquet(stream_dir)
+    # batch 1 creates the store; batch 2 forces the merged-rewrite path over
+    # the same days
+    upsert_rollup_batch(spark, store, events)
+    upsert_rollup_batch(spark, store, events)
+    types = {
+        (f.name, str(f.type))
+        for path in glob.glob(f"{store}/day=*/*.parquet")
+        for f in pq.read_schema(path)
+    }
+    value_types = {t for name, t in types if name == "total_value"}
+    assert value_types == {"decimal128(38, 2)"}, value_types
+    count_types = {t for name, t in types if name == "n_events"}
+    assert count_types == {"int64"}, count_types
