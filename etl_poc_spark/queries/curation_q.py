@@ -216,13 +216,40 @@ def pack_stream_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pack_sequences_greedy")
+@query(
+    "pack_sequences_greedy",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT lang, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents WHERE trim(text) <> ''
+    ), packed(lang, doc_id, n_tokens, rn, bin_id, bin_fill) AS (
+      -- next-fit restart-cumsum: each step advances every language stratum
+      -- by one document (rn), carrying (bin_id, bin_fill) state
+      SELECT lang, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT), CAST(n_tokens AS BIGINT)
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN p.bin_fill + t.n_tokens > 512
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.bin_fill + t.n_tokens > 512
+                  THEN CAST(t.n_tokens AS BIGINT)
+                  ELSE p.bin_fill + t.n_tokens END
+      FROM packed p JOIN toks t ON t.lang = p.lang AND t.rn = p.rn + 1
+    )
+    SELECT lang, doc_id, n_tokens, bin_id, bin_fill FROM packed
+    """,
+)
 def pack_sequences_greedy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-fit greedy packing (cap 512) per language stratum via
     applyInPandas — no doc straddles a bin; a doc that would overflow opens
-    the next bin. Rows-only check: the bin boundary is a recursive
-    restart-cumsum, not plain-SQL-expressible; invariants (fill <= cap,
-    every doc packed once, id order preserved) are pytest-asserted."""
+    the next bin. The bin boundary is a restart-cumsum, beyond plain
+    window SQL, but a DuckDB RECURSIVE CTE walks each stratum in doc_id
+    order carrying (bin_id, bin_fill) — so the greedy packer is fully
+    hash-checked; invariants (fill <= cap, every doc packed once, id order
+    preserved) are additionally pytest-asserted."""
     d = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     toks = d.select(
         "lang", "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")

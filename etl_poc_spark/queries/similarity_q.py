@@ -134,7 +134,121 @@ def embedding_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_kmeans_ivf_topk")
+def _lloyd_iter_sql(n: int, prev: str) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTE fragments: cosine sims
+    against `prev` centroids -> stable argmax assignment -> decimal-exact
+    per-dimension means -> COALESCE keeps the old centroid for an empty
+    cluster (operators/similarity.py::train_kmeans_centroids parity)."""
+    return f"""
+    , s{n} AS (
+      SELECT b.vec_id, ce.cluster,
+             SUM((CAST(b.embedding[ce.i] AS DOUBLE) / bn.n) * (ce.c / cn.n)) AS sim
+      FROM b, bnorm bn, {prev} ce, {prev}_norm cn
+      WHERE bn.vec_id = b.vec_id AND cn.cluster = ce.cluster
+      GROUP BY b.vec_id, ce.cluster
+    ), a{n} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rk
+        FROM s{n}) WHERE rk = 1
+    ), m{n} AS (
+      SELECT a.cluster, d.i,
+             CAST(SUM(CAST(CAST(b.embedding[d.i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM a{n} a, b, dims d
+      WHERE b.vec_id = a.vec_id
+      GROUP BY a.cluster, d.i
+    ), cf{n} AS (
+      SELECT p.cluster, p.i, COALESCE(m.c, p.c) AS c
+      FROM {prev} p LEFT JOIN m{n} m ON m.cluster = p.cluster AND m.i = p.i
+    ), cf{n}_norm AS (
+      SELECT cluster,
+             CASE WHEN sqrt(SUM(c * c)) = 0 THEN 1 ELSE sqrt(SUM(c * c)) END AS n
+      FROM cf{n} GROUP BY cluster
+    )"""
+
+
+_KMEANS_IVF_ORACLE = (
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+    dims AS (SELECT unnest(range(1, 65)) AS i),
+    -- init: the vectors of the 8 smallest base ids, cluster = rank order
+    -- (rank the 8 vectors FIRST, then expand dims — ranking after the dim
+    -- expansion would number all 512 (vec, dim) rows)
+    ce0v AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, embedding
+      FROM (SELECT vec_id, embedding FROM b ORDER BY vec_id LIMIT 8)
+    ), ce0 AS (
+      SELECT cluster, d.i, CAST(embedding[d.i] AS DOUBLE) AS c FROM ce0v, dims d
+    ), ce0_norm AS (
+      SELECT cluster,
+             CASE WHEN sqrt(SUM(c * c)) = 0 THEN 1 ELSE sqrt(SUM(c * c)) END AS n
+      FROM ce0 GROUP BY cluster
+    ), bnorm AS (
+      SELECT b.vec_id,
+             CASE WHEN sqrt(SUM(CAST(b.embedding[d.i] AS DOUBLE) * CAST(b.embedding[d.i] AS DOUBLE))) = 0
+                  THEN 1
+                  ELSE sqrt(SUM(CAST(b.embedding[d.i] AS DOUBLE) * CAST(b.embedding[d.i] AS DOUBLE))) END AS n
+      FROM b, dims d GROUP BY b.vec_id
+    ), qnorm AS (
+      SELECT q.vec_id,
+             CASE WHEN sqrt(SUM(CAST(q.embedding[d.i] AS DOUBLE) * CAST(q.embedding[d.i] AS DOUBLE))) = 0
+                  THEN 1
+                  ELSE sqrt(SUM(CAST(q.embedding[d.i] AS DOUBLE) * CAST(q.embedding[d.i] AS DOUBLE))) END AS n
+      FROM q, dims d GROUP BY q.vec_id
+    )"""
+    + _lloyd_iter_sql(1, "ce0")
+    + _lloyd_iter_sql(2, "cf1")
+    + """
+    , ba AS (
+      SELECT vec_id AS neighbor_id, cluster FROM (
+        SELECT s.vec_id, s.cluster,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cluster) AS rk
+        FROM (
+          SELECT b.vec_id, ce.cluster,
+                 SUM((CAST(b.embedding[ce.i] AS DOUBLE) / bn.n) * (ce.c / cn.n)) AS sim
+          FROM b, bnorm bn, cf2 ce, cf2_norm cn
+          WHERE bn.vec_id = b.vec_id AND cn.cluster = ce.cluster
+          GROUP BY b.vec_id, ce.cluster
+        ) s) WHERE rk = 1
+    ), qa AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT s.vec_id, s.cluster,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cluster) AS rk
+        FROM (
+          SELECT q.vec_id, ce.cluster,
+                 SUM((CAST(q.embedding[ce.i] AS DOUBLE) / qn.n) * (ce.c / cn.n)) AS sim
+          FROM q, qnorm qn, cf2 ce, cf2_norm cn
+          WHERE qn.vec_id = q.vec_id AND cn.cluster = ce.cluster
+          GROUP BY q.vec_id, ce.cluster
+        ) s) WHERE rk <= 3
+    ), cand AS (
+      SELECT qa.query_id, ba.neighbor_id, q.embedding AS qv, b.embedding AS bv
+      FROM qa JOIN ba USING (cluster)
+      JOIN q ON q.vec_id = qa.query_id
+      JOIN b ON b.vec_id = ba.neighbor_id
+    ), expanded AS (
+      SELECT query_id, neighbor_id, qv, bv, unnest(range(1, 65)) AS i FROM cand
+    ), dots AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS qn2,
+             CAST(SUM(CAST(CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS bn2
+      FROM expanded GROUP BY query_id, neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (sqrt(qn2) * sqrt(bn2)), 7) AS cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(dot / (sqrt(qn2) * sqrt(bn2)), 7) DESC, neighbor_id) AS rank
+      FROM dots
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+    """
+)
+
+
+@query("embedding_kmeans_ivf_topk", oracle=_KMEANS_IVF_ORACLE)
 def embedding_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 with a TRAINED coarse quantizer: 8 KMeans
     centroids (2 deterministic Lloyd iterations — decimal-accumulated
@@ -142,9 +256,15 @@ def embedding_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate space shrinks ~2.7x versus brute force. The synthetic
     embeddings are near-uniform (little cluster structure), which bounds
     IVF recall here (~0.6 measured); on real corpus embeddings, which
-    cluster heavily, the same shape holds recall far higher. Rows-only
-    check (iterative training isn't single-statement SQL); recall vs the
-    exact baseline is pytest-asserted."""
+    cluster heavily, the same shape holds recall far higher.
+
+    Hash-checked oracle: the 2 Lloyd iterations unroll into chained DuckDB
+    CTEs (init = 8 smallest base ids; assignment = stable cosine argmax
+    over 8 centroids; means decimal-accumulated exactly as the operator).
+    Assignment parity note: cosine VALUES differ from numpy's matmul in
+    the last float bits (different summation order), but only the argmax
+    ORDER matters, and inter-centroid gaps dwarf summation noise; the
+    decimal means and the final ranked cosines are bit-exact."""
     from etl_poc_spark.operators.similarity import kmeans_ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
