@@ -136,15 +136,27 @@ def lsh_candidate_pairs(
     )
 
 
+# 64-bit word hash from md5: nibble i (hex char i+1) of the digest occupies
+# bits 4i..4i+3, so bit j of the hash is bit (j%4) of nibble (j//4) — the
+# same engine-portable nibble expression as the 16-bit demo, extended to 16
+# nibbles. DuckDB reproduces it exactly (strpos/substr/md5), which is what
+# makes the md5 mode hash-checkable.
+_MD5_WORD_HASH_SQL = " | ".join(
+    f"shiftleft(CAST(instr('0123456789abcdef', substr(md5(word), {i + 1}, 1)) - 1 AS BIGINT), {4 * i})"
+    for i in range(16)
+)
+
+
 def simhash64_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document, packed into one BIGINT column `sig`.
 
     This is the production/scale variant of the 16-bit md5 demo
-    (queries/dedup2_q.py): bit j of word w is bit j of xxhash64(w), and
+    (queries/dedup2_q.py): bit j of word w is bit j of hash64(w), and
     signature bit j is the sign of the count-weighted vote over the
     document's words. Everything is JVM-side integer math:
 
@@ -154,14 +166,24 @@ def simhash64_signatures(
     - the 64 votes are one groupBy with 64 integer SUM aggregates
       (map-side partial agg), then packed with shiftleft/OR-sum.
 
-    Not oracle-checkable (xxhash64 is Spark-specific); the 16-bit md5
-    variant remains the DuckDB-verified demo of the identical plan shape.
+    hash_mode="xxhash64" (default) is the production path — fastest JVM
+    hashing, not oracle-checkable (xxhash64 is Spark-specific).
+    hash_mode="md5" is the PORTABLE mode: the word hash is the first 16
+    md5 nibbles packed little-nibble-first into a long, reproducible in
+    DuckDB — identical signature/band/verify geometry, hash-checked by
+    the simhash64_md5_near_dup_pairs oracle.
     """
     words = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
     wc = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab = words.select("word").distinct().withColumn("__h", F.xxhash64("word"))
+    if hash_mode == "xxhash64":
+        word_hash = F.xxhash64("word")
+    elif hash_mode == "md5":
+        word_hash = F.expr(_MD5_WORD_HASH_SQL)
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    vocab = words.select("word").distinct().withColumn("__h", word_hash)
     # broadcast the vocabulary only when it is provably bounded (limit-probed
     # row cap) — a web-scale corpus has tens of millions of distinct words,
     # where a forced broadcast would OOM the driver; over the cap the

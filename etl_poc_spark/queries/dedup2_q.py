@@ -209,6 +209,75 @@ def simhash64_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "simhash64_md5_near_dup_pairs",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 2,
+                             len(string_split_regex(trim(text), '\\s+'))), ' ') AS text
+      FROM documents
+      WHERE doc_id % 10 = 0
+        AND len(string_split_regex(trim(text), '\\s+')) >= 5
+    ), w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM corpus WHERE trim(text) <> ''
+    ), wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY doc_id, word
+    ), bits AS (
+      -- bit j of the 64-bit md5 word hash = bit (j%4) of nibble (j//4)
+      SELECT wc.doc_id, b.j,
+             CASE WHEN (CAST(strpos('0123456789abcdef', substr(md5(word), CAST(b.j // 4 AS INT) + 1, 1)) - 1 AS INT)
+                        // CAST(power(2, CAST(b.j % 4 AS INT)) AS INT)) % 2 = 1
+                  THEN cnt ELSE -cnt END AS vote
+      FROM wc CROSS JOIN (SELECT unnest(range(64)) AS j) b
+    ), sig_bits AS (
+      SELECT doc_id, j, CASE WHEN SUM(vote) > 0 THEN 1 ELSE 0 END AS bit
+      FROM bits GROUP BY doc_id, j
+    ), bands AS (
+      -- production band geometry: 4 bands x 16 bits, value in [0, 65535]
+      SELECT doc_id, CAST(j // 16 AS INT) AS band,
+             CAST(SUM(bit * CAST(power(2, CAST(j % 16 AS INT)) AS INT)) AS INT) AS band_val
+      FROM sig_bits GROUP BY doc_id, CAST(j // 16 AS INT)
+    ), under_cap AS (
+      SELECT band, band_val FROM bands GROUP BY band, band_val HAVING COUNT(*) <= 200
+    ), capped AS (
+      SELECT bands.* FROM bands JOIN under_cap USING (band, band_val)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ), hams AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CASE WHEN sa.bit <> sb.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+      FROM cand c
+      JOIN sig_bits sa ON sa.doc_id = c.id_a
+      JOIN sig_bits sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, hamming FROM hams WHERE hamming <= 3
+    """,
+)
+def simhash64_md5_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE-hash twin of simhash64_near_dup_pairs: identical 64-bit
+    signature pipeline and production band geometry (4 x 16-bit bands,
+    65,536 values/band, bucket cap 200, bit_count Hamming verify <= 3),
+    but the word hash is 16 packed md5 nibbles instead of xxhash64 — so
+    DuckDB reproduces every signature bit and the whole banded self-join
+    is value-hash-checked. xxhash64 stays the production default (faster,
+    no string digest); this query proves the band/cap/verify geometry."""
+    from etl_poc_spark.operators.dedup import simhash64_near_dup_pairs, simhash64_signatures
+    from etl_poc_spark.queries.dedup_q import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sigs = simhash64_signatures(corpus, "doc_id", "text", hash_mode="md5")
+    return simhash64_near_dup_pairs(
+        sigs, "doc_id", n_bands=4, band_bits=16, max_hamming=3, max_bucket_size=200
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
 # --- embedding-cosine near-dup --------------------------------------------
 
 
