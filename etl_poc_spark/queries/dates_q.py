@@ -56,10 +56,32 @@ def order_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median, p90) per return flag —
     Spark's percentile() matches DuckDB's quantile_cont interpolation;
-    rounded to 4 decimals to absorb last-ulp formula differences."""
+    rounded to 4 decimals to absorb last-ulp formula differences.
+
+    SCALE NOTE: exact percentile() buffers every value of a group on one
+    executor; safe here and at moderate group sizes, but a hot group at
+    100x is a memory hazard — price_quantiles_approx is the documented
+    scale path (see SCALING.md)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("price_quantiles_approx")
+def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile scale twin of price_quantiles: Greenwald-Khanna
+    sketch at accuracy 10000 (rank error <= n/10000) keeps O(accuracy)
+    state per group with map-side partial merge — no per-group value
+    buffering, so a hot l_returnflag group cannot OOM an executor at
+    100x. Rows-only check: the GK sketch has no engine-portable value
+    (DuckDB's approx_quantile uses t-digest); the error bound versus the
+    exact query is pytest-asserted instead (test_scale_techniques)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("median_price_approx"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_price_approx"),
         F.count(F.lit(1)).alias("n_rows"),
     )

@@ -31,6 +31,22 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert p == s
 
 
+def test_salted_join_left_matches_and_outer_refused(spark):
+    """left joins preserve the equivalence contract (unmatched LARGE rows
+    appear exactly once); right/full are refused — an unmatched small-side
+    key exists in every salt replica and would duplicate null-padded rows."""
+    large = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, v string"
+    )
+    small = spark.createDataFrame([(1, "one"), (4, "four")], "k int, label string")
+    plain = {tuple(r) for r in large.join(small, "k", "left").collect()}
+    salted = {tuple(r) for r in salted_join(large, small, "k", n_salts=4, how="left").collect()}
+    assert salted == plain
+    for bad in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(large, small, "k", n_salts=4, how=bad)
+
+
 def test_salted_join_spreads_hot_key(spark):
     # one key carries 10k rows; salted plan spreads it over 4 salts
     hot = spark.range(10000).select(F.lit(1).alias("k"), F.col("id"))
@@ -38,6 +54,35 @@ def test_salted_join_spreads_hot_key(spark):
     out = salted_join(hot, dim, "k", n_salts=4)
     assert out.count() == 10000
     assert out.select("label").distinct().collect()[0]["label"] == "hot"
+
+
+def test_approx_percentile_within_rank_error_of_exact(spark, sf_dir):
+    """The approx_percentile scale twin must land within the GK rank-error
+    bound of the exact query: at accuracy 10000 the sketch's rank error is
+    <= n/10000, so the approximate median must lie between the exact 0.49
+    and 0.51 quantiles (generous envelope), likewise p90 in [0.89, 0.91]."""
+    from etl_poc_spark.queries.dates_q import price_quantiles_approx
+
+    from etl_poc_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    envelope = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.49)").alias("p49"),
+            F.expr("percentile(l_extendedprice, 0.51)").alias("p51"),
+            F.expr("percentile(l_extendedprice, 0.89)").alias("p89"),
+            F.expr("percentile(l_extendedprice, 0.91)").alias("p91"),
+        )
+        .collect()
+    }
+    approx = {r["l_returnflag"]: r for r in price_quantiles_approx(spark, sf_dir).collect()}
+    assert set(approx) == set(envelope) and len(approx) > 0
+    for flag, r in approx.items():
+        env = envelope[flag]
+        assert env["p49"] <= r["median_price_approx"] <= env["p51"], flag
+        assert env["p89"] <= r["p90_price_approx"] <= env["p91"], flag
 
 
 @pytest.mark.usefixtures("spark")
