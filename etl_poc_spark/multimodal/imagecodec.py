@@ -259,6 +259,47 @@ def resize_nearest(w: int, h: int, rgb: bytes, target_w: int, target_h: int) -> 
     return bytes(out)
 
 
+def gray_downsample(w: int, h: int, rgb: bytes, gw: int, gh: int) -> list[int]:
+    """Nearest-neighbor downsample to gw*gh, then integer BT.601 luma per
+    pixel (0..255). The shared first stage of the perceptual hashes."""
+    small = resize_nearest(w, h, rgb, gw, gh)
+    return [
+        (299 * small[i * 3] + 587 * small[i * 3 + 1] + 114 * small[i * 3 + 2]) // 1000
+        for i in range(gw * gh)
+    ]
+
+
+def _to_signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def ahash64(w: int, h: int, rgb: bytes) -> int:
+    """Average hash: 8x8 grayscale, bit i = 1 iff pixel i is strictly above
+    the mean. Integer-exact (compares g[i]*64 vs the sum, no float mean).
+    Returned as a SIGNED 64-bit int (two's complement) so it fits Spark's
+    LongType; banding/XOR/bit_count work on the bit pattern unchanged."""
+    g = gray_downsample(w, h, rgb, 8, 8)
+    total = sum(g)
+    v = 0
+    for i in range(64):
+        if g[i] * 64 > total:
+            v |= 1 << i
+    return _to_signed64(v)
+
+
+def dhash64(w: int, h: int, rgb: bytes) -> int:
+    """Difference hash: 9x8 grayscale, bit (y*8+x) = 1 iff luma[y][x] >
+    luma[y][x+1]. More robust than aHash to global brightness shifts.
+    Returned as a signed 64-bit int (see ahash64)."""
+    g = gray_downsample(w, h, rgb, 9, 8)
+    v = 0
+    for y in range(8):
+        for x in range(8):
+            if g[y * 9 + x] > g[y * 9 + x + 1]:
+                v |= 1 << (y * 8 + x)
+    return _to_signed64(v)
+
+
 def luminance_histogram(rgb: bytes, bins: int = 64) -> list[float]:
     """Normalized luma (BT.601 integer approximation) histogram — a real,
     deterministic image feature vector suitable for cosine similarity."""

@@ -193,6 +193,70 @@ def feature_extract(df: DataFrame, dim: int = 64,
     return df.select(path_col, content_col).mapInPandas(fn, schema=out_schema)
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def perceptual_hashes(df: DataFrame, content_col: str = "content",
+                      path_col: str = "path", strict: bool = False) -> DataFrame:
+    """binary image column -> 64-bit perceptual hashes (aHash + dHash) as
+    signed longs, via mapInPandas over the real stdlib decoders.
+
+    This is the image leg of the near-dup dedup stack: feed the output to
+    operators.dedup.simhash64_near_dup_pairs (any 64-bit signature column
+    works — same 4x16-bit banding, bucket caps, bit_count Hamming verify),
+    so image near-dup search is banded-bucket scale, never all-pairs.
+
+    Undecodable formats (JPEG etc.) fall back to deterministic md5-derived
+    hashes (decoded=False) so pipelines run end to end; strict=True raises
+    at the decode seam instead. Reference parity: the reference treats media
+    as opaque payloads (parhampr/ETL-POC has no image pipeline); this is the
+    training-data-curation extension the build brief asks for."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[content_col])
+                decoded = _try_decode(data, strict)
+                if decoded is not None:
+                    w, h, rgb = decoded
+                    ah = imagecodec.ahash64(w, h, rgb)
+                    dh = imagecodec.dhash64(w, h, rgb)
+                else:
+                    dig = hashlib.md5(data).digest()
+                    ah = int.from_bytes(dig[:8], "big", signed=True)
+                    dh = int.from_bytes(dig[8:16], "big", signed=True)
+                rows.append({"path": str(row[path_col]), "ahash": ah,
+                             "dhash": dh, "decoded": decoded is not None})
+            yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    return df.select(path_col, content_col).mapInPandas(fn, schema=PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(df: DataFrame, content_col: str = "content",
+                         path_col: str = "path", hash_col: str = "dhash",
+                         max_hamming: int = 3,
+                         max_bucket_size: int | None = 200,
+                         strict: bool = False) -> DataFrame:
+    """Image near-duplicate pairs: perceptual hash -> banded self-join ->
+    Hamming verify, i.e. the simhash64 scale geometry applied to images.
+    Returns (id_a, id_b, hamming) keyed by path."""
+    from etl_poc_spark.operators.dedup import simhash64_near_dup_pairs
+
+    hashes = perceptual_hashes(df, content_col, path_col, strict=strict)
+    return simhash64_near_dup_pairs(
+        hashes, id_col="path", sig_col=hash_col,
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+    )
+
+
 # Backwards-compatible names from when these kernels were stubs; the
 # fallback path (undecodable formats) still behaves exactly like the stubs.
 resize_image_stub = resize_image

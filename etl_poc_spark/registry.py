@@ -48,6 +48,7 @@ def load_all() -> None:
         events_q,
         extra_q,
         misc_q,
+        multimodal_q,
         pipeline_q,
         pivot_q,
         relational,

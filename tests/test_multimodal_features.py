@@ -8,16 +8,24 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_poc_spark.multimodal.imagecodec import (
+    ahash64,
     decode_bmp,
     decode_png,
     decode_ppm,
+    dhash64,
     encode_bmp,
     encode_png,
     encode_ppm,
     luminance_histogram,
     resize_nearest,
 )
-from etl_poc_spark.multimodal.media import feature_extract, read_binary_dir, resize_image
+from etl_poc_spark.multimodal.media import (
+    feature_extract,
+    image_near_dup_pairs,
+    perceptual_hashes,
+    read_binary_dir,
+    resize_image,
+)
 from etl_poc_spark.operators.similarity import cosine_topk
 
 
@@ -140,6 +148,78 @@ def test_undecodable_fallback_is_deterministic(spark, tmp_path):
     assert len(payloads.pop()) == 4 * 4 * 3
     with pytest.raises(Exception, match="NotImplementedError|image library"):
         resize_image(df, strict=True).collect()
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_kernels_properties():
+    w, h = 32, 24
+    base = _gradient_rgb(w, h)
+    # container invariance: the hash is a function of pixels, not bytes
+    for enc, dec in ((encode_ppm, decode_ppm), (encode_bmp, decode_bmp), (encode_png, decode_png)):
+        dw, dh_, drgb = dec(enc(w, h, base))
+        assert (ahash64(dw, dh_, drgb), dhash64(dw, dh_, drgb)) == (
+            ahash64(w, h, base),
+            dhash64(w, h, base),
+        )
+    # signed-long range (fits Spark LongType)
+    for v in (ahash64(w, h, base), dhash64(w, h, base)):
+        assert -(1 << 63) <= v < (1 << 63)
+    # small perturbation -> small Hamming distance; unrelated image -> large
+    tweaked = bytearray(base)
+    for i in range(0, 30, 3):
+        tweaked[i] = (tweaked[i] + 8) % 256
+    near = dhash64(w, h, bytes(tweaked))
+    assert _hamming(near, dhash64(w, h, base)) <= 6
+    other = bytes((p * 7 + 13) % 256 for p in range(w * h * 3))
+    assert _hamming(dhash64(w, h, other), dhash64(w, h, base)) > 10
+    # dHash is invariant to a global brightness shift (all lumas +delta)
+    brighter = bytes(min(v + 10, 255) for v in base)
+    assert dhash64(w, h, brighter) == dhash64(w, h, base) or _hamming(
+        dhash64(w, h, brighter), dhash64(w, h, base)
+    ) <= 4
+
+
+def test_image_near_dup_pairs_spark(spark, tmp_path):
+    """Constructed near-dups are found by the banded pair search; unrelated
+    images are not; identical pixels across containers give Hamming 0."""
+    w, h = 20, 16
+    base = _gradient_rgb(w, h)
+    tweaked = bytearray(base)
+    tweaked[0] = (tweaked[0] + 60) % 256  # one perturbed pixel
+    (tmp_path / "a_base.png").write_bytes(encode_png(w, h, base))
+    (tmp_path / "b_same.bmp").write_bytes(encode_bmp(w, h, base))
+    (tmp_path / "c_near.png").write_bytes(encode_png(w, h, bytes(tweaked)))
+    (tmp_path / "d_other.png").write_bytes(
+        encode_png(w, h, bytes((p * 11 + 5) % 256 for p in range(w * h * 3)))
+    )
+    df = read_binary_dir(spark, str(tmp_path))
+    hashes = {r["path"].rsplit("/", 1)[-1]: r for r in perceptual_hashes(df).collect()}
+    assert all(r["decoded"] for r in hashes.values())
+    assert hashes["a_base.png"]["dhash"] == hashes["b_same.bmp"]["dhash"]
+    pairs = image_near_dup_pairs(df, max_hamming=3).collect()
+    got = {
+        (p["id_a"].rsplit("/", 1)[-1], p["id_b"].rsplit("/", 1)[-1]): p["hamming"]
+        for p in pairs
+    }
+    assert got[("a_base.png", "b_same.bmp")] == 0
+    assert all("d_other.png" not in k for pair in got for k in pair)
+
+
+def test_image_near_dup_query_registered(spark):
+    """Registered query runs on testdata: exact-dup documents render
+    byte-identical images, so Hamming-0 pairs must exist."""
+    from etl_poc_spark.queries.multimodal_q import image_near_dup_pairs_q, image_phash_stats
+
+    pairs = image_near_dup_pairs_q(spark, "/root/testdata/sf0.001")
+    rows = pairs.collect()
+    assert rows and all(r["hamming"] <= 3 and r["id_a"] < r["id_b"] for r in rows)
+    assert any(r["hamming"] == 0 for r in rows)
+    stats = image_phash_stats(spark, "/root/testdata/sf0.001").collect()[0]
+    assert stats["n_decoded"] == stats["n_images"] > 0
+    assert 0 < stats["distinct_dhash"] <= stats["n_images"]
 
 
 def test_corrupt_images_fall_back_not_crash(spark, tmp_path):

@@ -205,6 +205,50 @@ def test_connected_components_long_chain_converges(spark):
     assert set(comps.values()) == {0} and len(comps) == 31
 
 
+def test_star_components_log_rounds_on_long_chain(spark):
+    """Large-star/small-star converges in O(log n) ROUNDS on a path graph
+    where min-label propagation needs O(diameter) passes — the property
+    that makes it the high-diameter scale path."""
+    import math
+
+    from etl_poc_spark.operators.dedup import _star_components, connected_components
+
+    n = 64  # path 0-1-...-64: diameter 64, min-label would need ~64 passes
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a int, id_b int")
+    edges = pairs.selectExpr("id_a as src", "id_b as dst").union(
+        pairs.selectExpr("id_b as src", "id_a as dst")
+    )
+    labels, rounds = _star_components(edges, max_rounds=25)
+    comps = {r["id"]: r["component"] for r in labels.collect()}
+    assert comps == {i: 0 for i in range(n + 1)}
+    assert rounds <= 2 * math.log2(n)  # 12 rounds for n=64
+    # same answer through the public API; min-label with max_iters=12 would
+    # raise on this graph (diameter 64), star converges comfortably
+    via_api = {r["id"]: r["component"]
+               for r in connected_components(pairs, max_iters=12, driver_edge_cap=0,
+                                             algorithm="star").collect()}
+    assert via_api == comps
+
+
+def test_star_components_matches_union_find_random_graph(spark):
+    """Star contraction and exact driver union-find agree on a random-ish
+    mixed graph (cliques + chains + isolated pairs)."""
+    from etl_poc_spark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(0, 20)]             # chain 0..20
+        + [(100 + a, 100 + b) for a in range(5) for b in range(a)]  # clique
+        + [(200, 201), (300, 301), (301, 302), (300, 302)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    exact = {r["id"]: r["component"]
+             for r in connected_components(pairs).collect()}  # driver path
+    star = {r["id"]: r["component"]
+            for r in connected_components(pairs, driver_edge_cap=0,
+                                          algorithm="star").collect()}
+    assert star == exact
+
+
 def test_count_min_never_underestimates(spark):
     from etl_poc_spark.operators.sketches import count_min_build, count_min_estimate
 
