@@ -51,6 +51,11 @@ BENCH_QUERIES = [
 # regression anywhere in the surface is visible round over round.
 BENCH_ALL_REGISTERED = True
 
+# Per-query timing = MEDIAN of 3 runs: the first run eats plan compilation /
+# codegen / cache warmup, a single best-of can still catch a lucky OS-cache
+# hit — the median is the noise-robust round-over-round number.
+RUNS_PER_QUERY = 3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,29 +68,27 @@ def main() -> None:
     # warm the JVM + parquet footers so per-query numbers measure the plan
     registry.QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-2: the second run amortizes JIT/codegen compilation and OS
-    # cache warming, so numbers reflect steady-state engine throughput
     names = list(BENCH_QUERIES)
     if BENCH_ALL_REGISTERED:
         names += sorted(set(registry.QUERIES) - set(BENCH_QUERIES))
     timings: dict[str, float] = {}
     for name in names:
         fn = registry.QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(RUNS_PER_QUERY):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         # drop persisted frames the query pinned (dedup/similarity stage
         # tables): leaked cache accumulates across 60+ queries and skews
         # later timings with memory pressure
         release_pins()
         spark.catalog.clearCache()
 
-    # `value` stays the HEADLINE subtotal so the metric is comparable round
-    # over round (round 1 recorded these same 22 queries); the full-surface
-    # total is reported alongside it
+    # `value` stays the HEADLINE subtotal (the PINNED 22-query set rounds 1
+    # and 2 both recorded) so the metric is comparable round over round even
+    # as the full-surface sweep grows; the full total is reported alongside
     headline_total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
     full_total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -97,6 +100,9 @@ def main() -> None:
                 "unit": "sec",
                 "full_surface_total": full_total,
                 "n_queries": len(timings),
+                "runs_per_query": RUNS_PER_QUERY,
+                "timing": "median",
+                "headline_set_size": len(BENCH_QUERIES),
                 "queries": timings,
                 "sf": float(sf) if sf else sf_dir,
             }

@@ -222,8 +222,8 @@ def perceptual_hashes(df: DataFrame, content_col: str = "content",
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                data = bytes(row[content_col])
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(content)
                 decoded = _try_decode(data, strict)
                 if decoded is not None:
                     w, h, rgb = decoded
@@ -233,7 +233,7 @@ def perceptual_hashes(df: DataFrame, content_col: str = "content",
                     dig = hashlib.md5(data).digest()
                     ah = int.from_bytes(dig[:8], "big", signed=True)
                     dh = int.from_bytes(dig[8:16], "big", signed=True)
-                rows.append({"path": str(row[path_col]), "ahash": ah,
+                rows.append({"path": str(path), "ahash": ah,
                              "dhash": dh, "decoded": decoded is not None})
             yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA.fields])
 

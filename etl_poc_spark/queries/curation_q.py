@@ -300,6 +300,108 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOPWORDS = "'the','a','of','and','to','in'"
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS total_wlen
+      FROM documents WHERE trim(text) <> ''
+    ), scal AS (
+      SELECT doc_id, total_wlen,
+             len(w) AS n_words,
+             len(list_distinct(w)) AS n_distinct,
+             len(list_filter(w, x -> x IN ({_STOPWORDS}))) AS n_stop,
+             w
+      FROM base
+    ), bg AS (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+      FROM scal WHERE n_words >= 2
+    ), bcnt AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
+    ), btop AS (
+      SELECT doc_id, MAX(c) AS top_bigram_cnt FROM bcnt GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_words AS BIGINT) AS n_words,
+           s.total_wlen / s.n_words AS mean_word_len,
+           (s.n_words - s.n_distinct) / s.n_words AS dup_word_frac,
+           CASE WHEN s.n_words > 1
+                THEN COALESCE(b.top_bigram_cnt, 0) / (s.n_words - 1)
+                ELSE 0.0 END AS top_bigram_frac,
+           CAST(s.n_stop AS BIGINT) AS n_stop,
+           (s.total_wlen >= 3 * s.n_words AND s.total_wlen <= 10 * s.n_words
+            AND (s.n_words - s.n_distinct) * 2 < s.n_words
+            AND COALESCE(b.top_bigram_cnt, 0) * 100 <= 18 * (s.n_words - 1)
+            AND s.n_stop >= 2) AS keep
+    FROM scal s LEFT JOIN btop b USING (doc_id)
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality heuristics per document (public
+    rules from Rae et al. 2021 'Scaling Language Models' appendix A,
+    word-level subset): mean word length in [3,10], duplicate-word
+    fraction < 0.5, top-bigram fraction <= 0.18, >= 2 stopwords.
+
+    Plan shape: the scalar stats are a narrow PROJECTION (array builtins +
+    one filter/zip_with lambda per row — linear CPU, no shuffle); only the
+    top-bigram mode needs a groupBy(doc_id, bigram) -> max shuffle, which
+    is linear in corpus token count and partitions by doc_id. All flag
+    comparisons are integer-exact (no float thresholds), ratios are single
+    int/int double divisions — bit-exact vs the DuckDB oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    base = d.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("w"),
+        F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")).alias("total_wlen"),
+    )
+    scal = base.select(
+        "doc_id",
+        "total_wlen",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.size(F.expr(f"filter(w, x -> x IN ({_STOPWORDS}))")).alias("n_stop"),
+        "w",
+    )
+    bigrams = scal.filter(F.col("n_words") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("bg"),
+    )
+    btop = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_cnt"))
+    )
+    s = scal.drop("w").join(btop, "doc_id", "left")
+    top_cnt = F.coalesce(F.col("top_bigram_cnt"), F.lit(0))
+    return s.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.col("total_wlen") / F.col("n_words")).alias("mean_word_len"),
+        ((F.col("n_words") - F.col("n_distinct")) / F.col("n_words")).alias("dup_word_frac"),
+        F.when(F.col("n_words") > 1, top_cnt / (F.col("n_words") - 1))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.col("n_stop").cast("long").alias("n_stop"),
+        (
+            (F.col("total_wlen") >= 3 * F.col("n_words"))
+            & (F.col("total_wlen") <= 10 * F.col("n_words"))
+            & ((F.col("n_words") - F.col("n_distinct")) * 2 < F.col("n_words"))
+            & (top_cnt * 100 <= 18 * (F.col("n_words") - 1))
+            & (F.col("n_stop") >= 2)
+        ).alias("keep"),
+    )
+
+
 _MIX_RATES = {"src0": 100, "src1": 50, "src2": 25, "src3": 10}
 
 

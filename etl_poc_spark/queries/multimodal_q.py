@@ -52,12 +52,12 @@ def render_document_images(docs: DataFrame) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                raw = str(row["text"]).encode("utf-8")[:_PAYLOAD]
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:_PAYLOAD]
                 payload = raw + b"\x00" * (_PAYLOAD - len(raw))
                 rows.append(
                     {
-                        "path": "%012d" % int(row["doc_id"]),
+                        "path": "%012d" % int(doc_id),
                         "content": imagecodec.encode_ppm(_IMG_W, _IMG_H, payload),
                     }
                 )

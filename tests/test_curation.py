@@ -160,3 +160,40 @@ def test_pack_sequences_greedy_invariants(spark):
     # de docs are each alone in a bin (600 > 512)
     de_bins = {r["bin_id"] for r in out if r["lang"] == "de"}
     assert len(de_bins) == 3
+
+
+def test_gopher_quality_flags_constructed(spark, tmp_path):
+    """Constructed docs hit each rejection rule exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_poc_spark.queries.curation_q import gopher_quality_flags
+
+    docs = [
+        # good: varied words, stopwords present, mean len in range
+        (1, "the quick brown fox jumps over a lazy dog near the river bank today"),
+        # repetition: one bigram dominates (top_bigram_frac > 0.18)
+        (2, "the spam ham spam ham spam ham spam ham spam ham spam ham spam ham"),
+        # mean word length too long (> 10)
+        (3, "the a extraordinarily incomprehensibilities overqualification internationalization"),
+        # duplicate-word fraction >= 0.5
+        (4, "the a dup dup dup dup dup dup dup dup"),
+        # no stopwords
+        (5, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["src0"] * len(docs)),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in gopher_quality_flags(spark, str(tmp_path)).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["top_bigram_frac"] > 0.18
+    assert out[3]["keep"] is False and out[3]["mean_word_len"] > 10
+    assert out[4]["keep"] is False and out[4]["dup_word_frac"] >= 0.5
+    assert out[5]["keep"] is False and out[5]["n_stop"] == 0
