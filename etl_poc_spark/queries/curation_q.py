@@ -302,10 +302,9 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOPWORDS = "'the','a','of','and','to','in'"
 
-
-@query(
-    "gopher_quality_flags",
-    oracle=f"""
+# shared CTE chain: per-doc word stats + top-bigram mode + keep flag —
+# reused by the gopher_quality_flags and curation_funnel oracles
+_GOPHER_CTE = f"""
     WITH base AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
              length(regexp_replace(trim(text), '\\s+', '', 'g')) AS total_wlen
@@ -324,7 +323,7 @@ _STOPWORDS = "'the','a','of','and','to','in'"
       SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
     ), btop AS (
       SELECT doc_id, MAX(c) AS top_bigram_cnt FROM bcnt GROUP BY doc_id
-    )
+    ), flags AS (
     SELECT s.doc_id,
            CAST(s.n_words AS BIGINT) AS n_words,
            s.total_wlen / s.n_words AS mean_word_len,
@@ -338,6 +337,16 @@ _STOPWORDS = "'the','a','of','and','to','in'"
             AND COALESCE(b.top_bigram_cnt, 0) * 100 <= 18 * (s.n_words - 1)
             AND s.n_stop >= 2) AS keep
     FROM scal s LEFT JOIN btop b USING (doc_id)
+    )
+"""
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=_GOPHER_CTE + """
+    SELECT doc_id, n_words, mean_word_len, dup_word_frac, top_bigram_frac,
+           n_stop, keep
+    FROM flags
     """,
 )
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,11 +361,18 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     is linear in corpus token count and partitions by doc_id. All flag
     comparisons are integer-exact (no float thresholds), ratios are single
     int/int double divisions — bit-exact vs the DuckDB oracle."""
+    from etl_poc_spark.operators.pins import pin
+
     d = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    base = d.select(
-        "doc_id",
-        F.split(F.trim(F.col("text")), r"\s+").alias("w"),
-        F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")).alias("total_wlen"),
+    # the tokenized projection feeds both the scalar branch and the bigram
+    # branch — pin it so the scan + split runs once (a cluster job would
+    # checkpoint this stage table); callers release via release_pins()
+    base = pin(
+        d.select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), r"\s+").alias("w"),
+            F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")).alias("total_wlen"),
+        )
     )
     scal = base.select(
         "doc_id",
@@ -399,6 +415,37 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (top_cnt * 100 <= 18 * (F.col("n_words") - 1))
             & (F.col("n_stop") >= 2)
         ).alias("keep"),
+    )
+
+
+@query(
+    "curation_funnel",
+    oracle=_GOPHER_CTE + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE trim(d.text) <> '') AS BIGINT) AS n_nonempty,
+           CAST(COUNT(*) FILTER (WHERE f.keep) AS BIGINT) AS n_quality,
+           CAST(COUNT(DISTINCT CASE WHEN f.keep THEN md5(d.text) END) AS BIGINT)
+             AS n_unique_quality
+    FROM documents d LEFT JOIN flags f USING (doc_id)
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel in ONE pass: corpus size -> non-empty ->
+    quality-kept (Gopher rules) -> exact-dedup unique among the kept. The
+    composition query a pipeline dashboard shows after every ingest.
+
+    Scale: the flags join is doc_id-keyed (co-partitioned with the corpus);
+    the dedup leg shuffles only 128-bit md5 digests, never bodies. One row
+    out."""
+    d = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    j = d.join(flags, "doc_id", "left")
+    keep = F.col("keep") & F.col("keep").isNotNull()
+    return j.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.trim(F.col("text")) != "", 1)).alias("n_nonempty"),
+        F.count(F.when(keep, 1)).alias("n_quality"),
+        F.countDistinct(F.when(keep, F.md5(F.col("text")))).alias("n_unique_quality"),
     )
 
 

@@ -48,9 +48,9 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bm25_search",
-    oracle="""
+# shared CTE chain: BM25 scoring + ranking — reused by the bm25_search and
+# hybrid_rrf_search oracles
+_BM25_CTE = """
     WITH docs AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words
       FROM documents WHERE trim(text) <> ''
@@ -78,6 +78,12 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, bm25, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
       FROM agg
     )
+"""
+
+
+@query(
+    "bm25_search",
+    oracle=_BM25_CTE + """
     SELECT doc_id, bm25, rank FROM ranked WHERE rank <= 20
     """,
 )
@@ -134,4 +140,76 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through a single-partition sort
     top = agg.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "hybrid_rrf_search",
+    oracle=_BM25_CTE + """
+    , bm AS (
+      SELECT doc_id, rank AS bm25_rank FROM ranked WHERE rank <= 20
+    ), qv AS (
+      SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+    ), base AS (
+      SELECT vec_id AS doc_id, embedding AS bv FROM embeddings WHERE vec_id > 0
+    ), expanded AS (
+      SELECT doc_id, q, bv, unnest(range(1, 65)) AS i FROM base CROSS JOIN qv
+    ), dots AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(CAST(q[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS qn2,
+             CAST(SUM(CAST(CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS bn2
+      FROM expanded GROUP BY doc_id
+    ), cranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(dot / (sqrt(qn2) * sqrt(bn2)), 7) DESC, doc_id) AS cos_rank
+      FROM dots
+    ), ctop AS (
+      SELECT doc_id, cos_rank FROM cranked WHERE cos_rank <= 20
+    ), fused AS (
+      SELECT COALESCE(bm.doc_id, ct.doc_id) AS doc_id,
+             bm.bm25_rank, ct.cos_rank,
+             round(COALESCE(1.0 / (60 + bm.bm25_rank), 0.0)
+                   + COALESCE(1.0 / (60 + ct.cos_rank), 0.0), 9) AS rrf_score
+      FROM bm FULL OUTER JOIN ctop ct ON bm.doc_id = ct.doc_id
+    ), final AS (
+      SELECT doc_id, bm25_rank, cos_rank, rrf_score,
+             row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    )
+    SELECT doc_id, bm25_rank, cos_rank, rrf_score, rank FROM final WHERE rank <= 10
+    """,
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (k=60): the BM25 top-20
+    for the fixed 3-term query fused with the cosine top-20 against query
+    vector vec_id=0 (vec_id aligns with doc_id in the testdata) —
+    rrf = 1/(60+bm25_rank) + 1/(60+cos_rank), missing leg contributes 0.
+
+    Engine-exact by construction: ranks are integers, each leg is a single
+    1.0/(60+int) division, and the fusion adds exactly two doubles
+    (commutative, no associativity hazard). Scale: both legs end in
+    top-k'd frames (tens of rows), so the fusion join is trivially
+    broadcast; the heavy lifting stays in the already-scale-shaped BM25
+    postings join and cosine kernel."""
+    from etl_poc_spark.operators.similarity import cosine_topk
+
+    bm = bm25_search(spark, sf_dir).select("doc_id", F.col("rank").alias("bm25_rank"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    cos = (
+        cosine_topk(emb.filter(F.col("vec_id") == 0), emb.filter(F.col("vec_id") > 0), k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("cos_rank"))
+    )
+    fused = bm.join(cos, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("cos_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    top = fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w))
