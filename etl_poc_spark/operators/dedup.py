@@ -103,6 +103,19 @@ def cap_buckets(
     return banded.join(ok, bucket_cols, "left_semi")
 
 
+def lsh_band_signatures(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, seed, minhash) -> (id, band, band_val): concatenate each band's
+    `rows_per_band` minhashes into one joinable band value. The shared first
+    stage of the self-join pair search AND the incremental store filter."""
+    return signatures.groupBy(
+        F.col(id_col), (F.col("seed") / rows_per_band).cast("int").alias("band")
+    ).agg(F.concat_ws("", F.sort_array(F.collect_list(F.concat_ws(":", F.col("seed"), F.col("minhash"))))).alias("band_val"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -114,9 +127,7 @@ def lsh_candidate_pairs(
 
     `max_bucket_size` (recommended at scale) drops oversized (band, band_val)
     buckets before the self-join — see cap_buckets."""
-    banded = signatures.groupBy(
-        F.col(id_col), (F.col("seed") / rows_per_band).cast("int").alias("band")
-    ).agg(F.concat_ws("", F.sort_array(F.collect_list(F.concat_ws(":", F.col("seed"), F.col("minhash"))))).alias("band_val"))
+    banded = lsh_band_signatures(signatures, id_col, rows_per_band)
     # tracked pin: feeds the bucket-size probe and both self-join sides;
     # callers drop it with operators.pins.release_pins() after their action
     banded = pin(banded)

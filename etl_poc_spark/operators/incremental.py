@@ -1,0 +1,115 @@
+"""Incremental near-dup ingestion: dedup a NEW batch against a persisted
+LSH band store, then fold the survivors into the store.
+
+The production shape for continuous corpus growth (the reference ingests
+arXiv batches daily — zara_hybrid_etl.py's idempotent download loop — but
+dedups only within a run; this closes that gap Spark-first):
+
+- the store holds only (band, band_val, id) rows — a few hundred bytes per
+  document regardless of body size, partitioned by band so the probe join
+  prunes partitions;
+- an incoming batch NEVER joins against historical bodies: batch bands
+  semi/anti-join the store on (band, band_val), so history participates
+  as an equi-join build side of signature rows only;
+- batch-internal near-dups collapse via the existing pair search +
+  connected components (representative = min id);
+- surviving documents append their bands to the store — the loop is
+  idempotent at the band level: re-ingesting an already-stored batch drops
+  every row as a store hit.
+
+LSH decision rule: sharing >= 1 full band is the near-dup verdict (the
+standard banding guarantee — for docs above the jaccard threshold the
+miss probability is (1 - s^r)^b). Body-level jaccard verification against
+HISTORY is intentionally not offered: it would require retaining shingle
+sets for the whole corpus, which is exactly what the band store avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_poc_spark.operators.dedup import (
+    connected_components,
+    lsh_band_signatures,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_docs,
+)
+
+
+def batch_band_signatures(
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, band_val) LSH band signatures for a document batch."""
+    sh = shingle_docs(batch, id_col, text_col)
+    sigs = minhash_signatures(sh, id_col, n_hashes=n_hashes, hash_mode=hash_mode)
+    return lsh_band_signatures(sigs, id_col, rows_per_band).select(
+        F.col(id_col), "band", F.col("band_val").cast("string").alias("band_val")
+    )
+
+
+def incremental_near_dup_ingest(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    hash_mode: str = "xxhash64",
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Ingest `batch` against the band store at `store_dir`; returns the
+    kept (novel, batch-deduped) rows of `batch` and appends their bands to
+    the store. See module docstring for the decision rule and scale shape."""
+    bands = batch_band_signatures(
+        batch, id_col, text_col, n_hashes, rows_per_band, hash_mode
+    )
+    try:
+        store = spark.read.parquet(store_dir)
+        have_store = True
+    except Exception:  # first ingest: no store yet (AnalysisException)
+        have_store = False
+    if have_store:
+        # ids sharing >= 1 full band with history are near-dups of history
+        hit_ids = (
+            bands.join(store, ["band", "band_val"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        batch = batch.join(hit_ids, id_col, "left_anti")
+        bands = bands.join(hit_ids, id_col, "left_anti")
+    # collapse near-dup groups WITHIN the surviving batch: keep min id
+    sh = shingle_docs(batch, id_col, text_col)
+    sigs = minhash_signatures(sh, id_col, n_hashes=n_hashes, hash_mode=hash_mode)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, rows_per_band, max_bucket_size=max_bucket_size
+    )
+    comps = connected_components(pairs)
+    drop_ids = (
+        comps.filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias(id_col))
+    )
+    # MATERIALIZE before appending to the store: the kept/kept_bands plans
+    # reference the store parquet through hit_ids, and Spark lists parquet
+    # files at ACTION time — without this, an action on the returned frame
+    # after the append would see the batch's own bands in the store and
+    # drop every row as a self-hit
+    kept = batch.join(drop_ids, id_col, "left_anti").localCheckpoint(eager=True)
+    kept_bands = bands.join(drop_ids, id_col, "left_anti").localCheckpoint(eager=True)
+    # documents too short to shingle produce no bands: they can never be
+    # caught by the store filter, so they pass through (documented; exact
+    # dedup upstream is the right guard for tiny docs)
+    kept_bands.write.partitionBy("band").mode("append").parquet(store_dir)
+    return kept
+
+
+from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)

@@ -1,0 +1,68 @@
+"""Incremental near-dup ingestion against a persisted LSH band store."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_poc_spark.operators.incremental import incremental_near_dup_ingest
+
+
+def _doc(i: int, words: list[str]) -> tuple[int, str]:
+    return (i, " ".join(words))
+
+
+_BASE = [
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split(),
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray".split(),
+    "zulu apple banana cherry date elder fig grape honey iris jasmine kiwi".split(),
+    "lemon mango nectar olive peach quince rose sage thyme umber violet wren".split(),
+]
+
+
+def test_incremental_ingest_store_and_batch_dedup(spark, tmp_path):
+    store = str(tmp_path / "band_store")
+    batch1 = spark.createDataFrame(
+        [_doc(i, w) for i, w in enumerate(_BASE)], "doc_id long, text string"
+    )
+    kept1 = incremental_near_dup_ingest(spark, batch1, store)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [0, 1, 2, 3]
+
+    near_of_1 = list(_BASE[1])
+    near_of_1[-1] = "yankee"  # one word changed -> high jaccard vs doc 1
+    fresh = "one two three four five six seven eight nine ten eleven twelve".split()
+    fresh_near = list(fresh)
+    fresh_near[-1] = "thirteen"
+    batch2 = spark.createDataFrame(
+        [
+            _doc(10, _BASE[0]),      # exact dup of stored doc 0
+            _doc(11, near_of_1),     # near-dup of stored doc 1
+            _doc(12, fresh),         # novel
+            _doc(13, fresh_near),    # near-dup of 12 WITHIN the batch
+        ],
+        "doc_id long, text string",
+    )
+    kept2 = incremental_near_dup_ingest(spark, batch2, store)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [12]
+
+    # idempotence: re-ingesting the same batch drops everything as store hits
+    kept3 = incremental_near_dup_ingest(spark, batch2, store)
+    assert kept3.count() == 0
+
+    # the store holds bands only for surviving representatives
+    store_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(store).select("doc_id").distinct().collect()
+    }
+    assert store_ids == {0, 1, 2, 3, 12}
+
+
+def test_incremental_ingest_short_docs_pass_through(spark, tmp_path):
+    """Docs too short to shingle produce no bands — they pass through (the
+    documented contract; exact dedup is the guard for tiny docs)."""
+    store = str(tmp_path / "band_store")
+    b1 = spark.createDataFrame([(1, "hi"), (2, " ".join(_BASE[0]))], "doc_id long, text string")
+    kept = incremental_near_dup_ingest(spark, b1, store)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+    b2 = spark.createDataFrame([(3, "hi")], "doc_id long, text string")
+    kept2 = incremental_near_dup_ingest(spark, b2, store)
+    assert [r["doc_id"] for r in kept2.collect()] == [3]
