@@ -265,3 +265,72 @@ def mixture_resample(
     )
     rate = F.coalesce(mapping[F.col(stratum_col)], F.lit(default_pct))
     return df.filter(hash_bucket(F.col(id_col), 100, salt) < rate)
+
+
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def gopher_flags(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style word-level quality flags per row (Rae et al. 2021,
+    appendix A subset): mean word length in [3,10], duplicate-word fraction
+    < 0.5, top-bigram fraction <= 0.18, >= 2 stopwords -> one `keep` bool
+    plus the underlying ratios.
+
+    The scalar stats are a narrow projection; only the top-bigram mode
+    aggregates (groupBy id+bigram -> max, map-side partial). All thresholds
+    compare integers, ratios are single int/int divisions — bit-stable
+    across engines and partitionings (oracle-checked via the
+    gopher_quality_flags query)."""
+    from etl_poc_spark.operators.pins import pin
+
+    stoplist = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    d = df.filter(F.trim(F.col(text_col)) != "")
+    base = pin(
+        d.select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
+            F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")).alias("total_wlen"),
+        )
+    )
+    scal = base.select(
+        id_col,
+        "total_wlen",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.size(F.expr(f"filter(w, x -> x IN ({stoplist}))")).alias("n_stop"),
+        "w",
+    )
+    bigrams = scal.filter(F.col("n_words") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("bg"),
+    )
+    btop = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_cnt"))
+    )
+    s = scal.drop("w").join(btop, id_col, "left")
+    top_cnt = F.coalesce(F.col("top_bigram_cnt"), F.lit(0))
+    return s.select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.col("total_wlen") / F.col("n_words")).alias("mean_word_len"),
+        ((F.col("n_words") - F.col("n_distinct")) / F.col("n_words")).alias("dup_word_frac"),
+        F.when(F.col("n_words") > 1, top_cnt / (F.col("n_words") - 1))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.col("n_stop").cast("long").alias("n_stop"),
+        (
+            (F.col("total_wlen") >= 3 * F.col("n_words"))
+            & (F.col("total_wlen") <= 10 * F.col("n_words"))
+            & ((F.col("n_words") - F.col("n_distinct")) * 2 < F.col("n_words"))
+            & (top_cnt * 100 <= 18 * (F.col("n_words") - 1))
+            & (F.col("n_stop") >= 2)
+        ).alias("keep"),
+    )

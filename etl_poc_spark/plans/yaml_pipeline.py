@@ -15,6 +15,10 @@ docetl/config/article_pipeline.yaml.j2):
       - {name: synthesize, type: reduce, reduce_key: doc_id, prompt: "...",
          output_schema: {...}}
       - {name: keep_good, type: filter, condition: "wc > 200"}   # engine extension
+      # curation vocabulary (engine extension): exact_dedup {keys, id},
+      # near_dedup {id, text_key, n_hashes, rows_per_band, max_bucket_size},
+      # quality_filter {id, text_key}, pii_redact {text_key},
+      # sample {percent, id, salt}
     pipeline:
       steps: [{name: s1, input: papers, operations: [chunk, extract]}]
       output: {type: file, path: /out, intermediate_dir: /tmp/int}
@@ -145,6 +149,73 @@ def _apply_op(df: DataFrame, op: dict[str, Any], provider: LLMProvider) -> DataF
         return df.filter(op["condition"])
     if t == "select":
         return df.selectExpr(*op["columns"])
+    # --- curation vocabulary (engine extension; composes the operators a
+    # training-data pipeline needs into the same declarative surface) ---
+    if t == "exact_dedup":
+        # keep the minimum-id row per duplicate group — deterministic
+        # representative, unlike dropDuplicates
+        from pyspark.sql import functions as F
+
+        key_cols = op.get("keys") or ["text"]
+        id_col = op.get("id", "doc_id")
+        reps = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+        return df.join(reps, key_cols + [id_col], "left_semi")
+    if t == "near_dedup":
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.dedup import (
+            connected_components,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingle_docs,
+        )
+
+        id_col = op.get("id", "doc_id")
+        text_col = op.get("text_key", "text")
+        sh = shingle_docs(df, id_col, text_col, int(op.get("shingle_words", 3)))
+        sigs = minhash_signatures(
+            sh, id_col, n_hashes=int(op.get("n_hashes", 8)), hash_mode="xxhash64"
+        )
+        pairs = lsh_candidate_pairs(
+            sigs, id_col, int(op.get("rows_per_band", 2)),
+            max_bucket_size=int(op.get("max_bucket_size", 200)),
+        )
+        comps = connected_components(pairs)
+        drop = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(drop, id_col, "left_anti")
+    if t == "quality_filter":
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.curation import gopher_flags
+
+        id_col = op.get("id", "doc_id")
+        keep_ids = gopher_flags(df, id_col, op.get("text_key", "text")).filter(
+            F.col("keep")
+        ).select(id_col)
+        return df.join(keep_ids, id_col, "left_semi")
+    if t == "pii_redact":
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.curation import PII_PATTERNS, redact_pii
+
+        text_col = op.get("text_key", "text")
+        counters = [f"n_{name}" for name, _, _ in PII_PATTERNS]
+        return (
+            redact_pii(df, text_col)
+            .withColumn(text_col, F.col("redacted"))
+            .drop("redacted", *counters)
+        )
+    if t == "sample":
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.curation import hash_bucket
+
+        pct = int(op.get("percent", 10))
+        id_col = op.get("id", "doc_id")
+        salt = str(op.get("salt", "sample"))
+        return df.filter(hash_bucket(F.col(id_col), 100, salt) < pct)
     raise PipelineConfigError(f"unknown operation type {t!r}")
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from etl_poc_spark.io import load_table
 from etl_poc_spark.operators.curation import (
+    GOPHER_STOPWORDS,
     PII_PATTERNS,
     contamination_check,
     pack_sequences_greedy,
@@ -300,7 +301,9 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STOPWORDS = "'the','a','of','and','to','in'"
+# one shared constant generates BOTH the Spark filter and the oracle SQL
+# (SCALING.md "Oracle authoring discipline")
+_STOPWORDS = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
 
 # shared CTE chain: per-doc word stats + top-bigram mode + keep flag —
 # reused by the gopher_quality_flags and curation_funnel oracles
@@ -360,62 +363,12 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-bigram mode needs a groupBy(doc_id, bigram) -> max shuffle, which
     is linear in corpus token count and partitions by doc_id. All flag
     comparisons are integer-exact (no float thresholds), ratios are single
-    int/int double divisions — bit-exact vs the DuckDB oracle."""
-    from etl_poc_spark.operators.pins import pin
+    int/int double divisions — bit-exact vs the DuckDB oracle.
+    Implementation lives in operators/curation.py::gopher_flags (shared
+    with the YAML pipeline's quality_filter op)."""
+    from etl_poc_spark.operators.curation import gopher_flags
 
-    d = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    # the tokenized projection feeds both the scalar branch and the bigram
-    # branch — pin it so the scan + split runs once (a cluster job would
-    # checkpoint this stage table); callers release via release_pins()
-    base = pin(
-        d.select(
-            "doc_id",
-            F.split(F.trim(F.col("text")), r"\s+").alias("w"),
-            F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")).alias("total_wlen"),
-        )
-    )
-    scal = base.select(
-        "doc_id",
-        "total_wlen",
-        F.size("w").alias("n_words"),
-        F.size(F.array_distinct("w")).alias("n_distinct"),
-        F.size(F.expr(f"filter(w, x -> x IN ({_STOPWORDS}))")).alias("n_stop"),
-        "w",
-    )
-    bigrams = scal.filter(F.col("n_words") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
-                " (x, y) -> concat(x, ' ', y))"
-            )
-        ).alias("bg"),
-    )
-    btop = (
-        bigrams.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bigram_cnt"))
-    )
-    s = scal.drop("w").join(btop, "doc_id", "left")
-    top_cnt = F.coalesce(F.col("top_bigram_cnt"), F.lit(0))
-    return s.select(
-        "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        (F.col("total_wlen") / F.col("n_words")).alias("mean_word_len"),
-        ((F.col("n_words") - F.col("n_distinct")) / F.col("n_words")).alias("dup_word_frac"),
-        F.when(F.col("n_words") > 1, top_cnt / (F.col("n_words") - 1))
-        .otherwise(F.lit(0.0))
-        .alias("top_bigram_frac"),
-        F.col("n_stop").cast("long").alias("n_stop"),
-        (
-            (F.col("total_wlen") >= 3 * F.col("n_words"))
-            & (F.col("total_wlen") <= 10 * F.col("n_words"))
-            & ((F.col("n_words") - F.col("n_distinct")) * 2 < F.col("n_words"))
-            & (top_cnt * 100 <= 18 * (F.col("n_words") - 1))
-            & (F.col("n_stop") >= 2)
-        ).alias("keep"),
-    )
+    return gopher_flags(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(

@@ -141,3 +141,48 @@ def test_time_rollup_is_one_expand_one_shuffle(spark, sf_dir):
     # formatted mode prints each node twice (tree + detail): one Expand node
     assert p.count("Expand") == 2  # all four grains from one pass
     assert p.index("HashAggregate") < p.index("Exchange")  # partial agg first
+
+
+def test_yaml_curation_vocabulary(spark):
+    """The declarative pipeline runs the curation ops end to end:
+    quality_filter -> exact_dedup -> near_dedup -> pii_redact -> sample."""
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    good = "the quick brown fox jumps over a lazy dog near the river bank today"
+    near = good.rsplit(" ", 1)[0] + " tonight"  # one-word tail edit
+    mail = "the contact a address of bob is bob@example.com and more the a words here now"
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),          # exact dup of 1 -> dropped (higher id)
+            (3, near),          # near dup of 1 -> dropped
+            (4, "alpha beta gamma delta"),  # no stopwords -> quality reject
+            (5, mail),          # kept, email redacted
+        ],
+        "doc_id long, text string",
+    )
+    config = {
+        "default_model": "stub",
+        "datasets": {"docs": {"path": "injected.json"}},
+        "operations": [
+            {"name": "quality", "type": "quality_filter"},
+            {"name": "exact", "type": "exact_dedup", "keys": ["text"], "id": "doc_id"},
+            {"name": "near", "type": "near_dedup"},
+            {"name": "redact", "type": "pii_redact"},
+            {"name": "samp", "type": "sample", "percent": 100},
+        ],
+        "pipeline": {
+            "steps": [
+                {
+                    "name": "curate",
+                    "input": "docs",
+                    "operations": ["quality", "exact", "near", "redact", "samp"],
+                }
+            ]
+        },
+    }
+    out = run_pipeline(spark, config, datasets={"docs": docs})
+    rows = {r["doc_id"]: r["text"] for r in out["__final__"].collect()}
+    assert set(rows) == {1, 5}
+    assert rows[1] == good
+    assert "[EMAIL]" in rows[5] and "bob@example.com" not in rows[5]
