@@ -110,6 +110,38 @@ def incremental_near_dup_ingest(
     return kept
 
 
+def streaming_near_dup_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    kept_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **ingest_kwargs,
+):
+    """Continuous ingestion: each micro-batch runs the same
+    incremental_near_dup_ingest against the shared band store and appends
+    its survivors to `kept_dir`. Returns a configured DataStreamWriter —
+    call .trigger(...).start() to run.
+
+    foreachBatch is the right seam: the dedup decision needs the batch as
+    a finite frame (self-pairs + store anti-join), which pure streaming
+    operators can't express; the store append stays idempotent per batch
+    at the band level, and checkpointing gives exactly-once batch replay
+    semantics on restart."""
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        kept = incremental_near_dup_ingest(
+            batch_df.sparkSession, batch_df, store_dir,
+            id_col=id_col, text_col=text_col, **ingest_kwargs,
+        )
+        kept.write.mode("append").parquet(kept_dir)
+
+    return stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
 from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
 
 _rbv(__name__)

@@ -66,3 +66,60 @@ def test_incremental_ingest_short_docs_pass_through(spark, tmp_path):
     b2 = spark.createDataFrame([(3, "hi")], "doc_id long, text string")
     kept2 = incremental_near_dup_ingest(spark, b2, store)
     assert [r["doc_id"] for r in kept2.collect()] == [3]
+
+
+def test_streaming_ingest_matches_sequential_batches(spark, tmp_path):
+    """A 2-file stream through streaming_near_dup_ingest keeps the same ids
+    as two sequential batch ingests (maxFilesPerTrigger=1 -> one micro-batch
+    per file; file order by modification time)."""
+    import time as _time
+
+    from etl_poc_spark.operators.incremental import streaming_near_dup_ingest
+
+    near_of_0 = list(_BASE[0])
+    near_of_0[-1] = "changed"
+    b1 = [_doc(i, w) for i, w in enumerate(_BASE[:2])]
+    b2 = [_doc(10, near_of_0), _doc(11, _BASE[2])]
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(in_dir / "f1")
+    )
+    _time.sleep(1.1)  # file-source batch order follows modification time
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(in_dir / "f2")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    writer = streaming_near_dup_ingest(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        kept_dir=str(tmp_path / "kept"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    kept_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+    )
+    # sequential-batch reference on a fresh store
+    ref_store = str(tmp_path / "ref_store")
+    ref1 = incremental_near_dup_ingest(
+        spark, spark.createDataFrame(b1, schema), ref_store
+    )
+    ref2 = incremental_near_dup_ingest(
+        spark, spark.createDataFrame(b2, schema), ref_store
+    )
+    ref_ids = sorted(
+        [r["doc_id"] for r in ref1.collect()] + [r["doc_id"] for r in ref2.collect()]
+    )
+    assert kept_ids == ref_ids
+    assert 10 not in kept_ids  # near-dup of stored doc 0 was dropped
+    assert 11 in kept_ids
