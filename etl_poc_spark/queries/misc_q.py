@@ -275,3 +275,26 @@ def gini_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows(F.col("n_chars")).alias("n_docs"),
         gini(F.col("n_chars")).alias("gini"),
     )
+
+
+@query("hll_sketch_union_users")  # no oracle: sketch bytes are engine-specific (rows-only)
+def hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct counting (the incremental/scale path that
+    approx_count_distinct alone doesn't give you): build one DataSketches
+    HLL sketch per day with hll_sketch_agg, then union the per-day sketches
+    with hll_union_agg for the overall distinct-user estimate — the exact
+    pattern of a partitioned rollup store where each partition keeps its
+    sketch and totals never rescan history. Exact counts alongside for the
+    error-bound test."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(cast(user_id as string))").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("approx_total_users"),
+        F.sum("exact_users").alias("sum_daily_exact"),
+    ).crossJoin(
+        e.agg(F.countDistinct("user_id").alias("exact_total_users"))
+    )

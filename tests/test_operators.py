@@ -349,3 +349,16 @@ def test_pin_tracking_releases_persisted_frames(spark):
     assert all(
         not (df.storageLevel.useMemory or df.storageLevel.useDisk) for df in pinned
     )
+
+
+def test_hll_sketch_union_error_bound(spark, sf_dir):
+    """The merged per-day sketches estimate total distinct users within 5%
+    of exact — the mergeability contract that makes sketch stores safe."""
+    from etl_poc_spark.registry import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["hll_sketch_union_users"](spark, sf_dir).collect()[0]
+    assert r["n_days"] > 0
+    assert r["sum_daily_exact"] >= r["exact_total_users"]  # day-sum overcounts repeats
+    rel_err = abs(r["approx_total_users"] - r["exact_total_users"]) / max(r["exact_total_users"], 1)
+    assert rel_err < 0.05
