@@ -446,9 +446,23 @@ def connected_components(
       rounds independent of diameter (see _star_components). Pick this for
       high-diameter graphs where min-label would need one shuffle per hop;
       the driver fast path still applies under the cap."""
-    # the union references the pairs subplan twice — persist so the
-    # (potentially expensive) pair-producing pipeline runs once, then drop
-    # the pin as soon as the symmetric edge list is materialized
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    cap = _DRIVER_UNION_FIND_EDGE_CAP if driver_edge_cap is None else driver_edge_cap
+    if cap > 0:
+        # probe the RAW pair list: union-find needs neither symmetrization
+        # nor distinct, so the common (small-graph) case pays one limited
+        # pass over pairs instead of a union+distinct shuffle plus an eager
+        # checkpoint of the symmetric edge list
+        probe = pairs.select(F.col(id_a), F.col(id_b)).limit(cap + 1).collect()
+        if len(probe) <= cap:
+            return _driver_union_find(
+                [(r[id_a], r[id_b]) for r in probe], pairs.sparkSession, pairs.schema[id_a]
+            )
+    # distributed path: the union references the pairs subplan twice —
+    # persist so the (potentially expensive) pair-producing pipeline runs
+    # once, then drop the pin as soon as the symmetric edge list is
+    # materialized
     pairs_p = pairs.persist()
     try:
         edges = (
@@ -459,15 +473,6 @@ def connected_components(
         )
     finally:
         pairs_p.unpersist()
-    if algorithm not in ("auto", "label", "star"):
-        raise ValueError(f"unknown algorithm {algorithm!r}")
-    cap = _DRIVER_UNION_FIND_EDGE_CAP if driver_edge_cap is None else driver_edge_cap
-    if cap > 0:
-        probe = edges.limit(cap + 1).collect()
-        if len(probe) <= cap:
-            return _driver_union_find(
-                [(r["src"], r["dst"]) for r in probe], pairs.sparkSession, pairs.schema[id_a]
-            )
     if algorithm == "star":
         return _star_components(edges, max_rounds=max_iters)[0]
     labels = (
