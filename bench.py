@@ -71,15 +71,22 @@ def main() -> None:
     names = list(BENCH_QUERIES)
     if BENCH_ALL_REGISTERED:
         names += sorted(set(registry.QUERIES) - set(BENCH_QUERIES))
+    # fault-isolated per query: one broken query records an {"err": ...}
+    # entry and the sweep continues — a single analysis error must never
+    # erase the whole round's perf signal (round 4 lost its bench this way)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         fn = registry.QUERIES[name]
         runs: list[float] = []
-        for _ in range(RUNS_PER_QUERY):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        try:
+            for _ in range(RUNS_PER_QUERY):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        except Exception as exc:  # noqa: BLE001 — record and keep sweeping
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         # drop persisted frames the query pinned (dedup/similarity stage
         # tables): leaked cache accumulates across 60+ queries and skews
         # later timings with memory pressure
@@ -89,7 +96,7 @@ def main() -> None:
     # `value` stays the HEADLINE subtotal (the PINNED 22-query set rounds 1
     # and 2 both recorded) so the metric is comparable round over round even
     # as the full-surface sweep grows; the full total is reported alongside
-    headline_total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
+    headline_total = round(sum(timings.get(n, 0.0) for n in BENCH_QUERIES), 3)
     full_total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -103,11 +110,15 @@ def main() -> None:
                 "runs_per_query": RUNS_PER_QUERY,
                 "timing": "median",
                 "headline_set_size": len(BENCH_QUERIES),
-                "queries": timings,
+                "queries": {**timings, **{n: {"err": e} for n, e in errors.items()}},
+                "n_errors": len(errors),
                 "sf": float(sf) if sf else sf_dir,
             }
         )
     )
+    if errors:
+        print(f"bench: {len(errors)} queries errored: {sorted(errors)}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -45,11 +45,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read nanos as long (legacy conf) and convert to
-    a microsecond timestamp by integer floor-division — the same truncation
-    DuckDB applies when casting ns to its native micro timestamps, so the
-    two engines see identical values."""
+    """Normalize `ts` to TIMESTAMP (LTZ) whatever the parquet encoding.
+
+    The driver has shipped events.parquet in three encodings across rounds:
+    TIMESTAMP(NANOS) (Spark's vectorized reader rejects it -> read nanos as
+    long via the legacy conf and floor-divide to micros, matching DuckDB's
+    ns->us truncation), timestamp[us] with the UTC flag (reads as TIMESTAMP
+    directly), and timestamp[us] WITHOUT the flag (reads as TIMESTAMP_NTZ —
+    `unix_micros` and friends reject NTZ at analysis time). The session
+    timezone is pinned to UTC (session.py), so casting NTZ -> TIMESTAMP is
+    value-preserving and oracle-neutral: DuckDB sees the same micros."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -57,6 +62,8 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
