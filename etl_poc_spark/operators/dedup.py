@@ -171,9 +171,11 @@ def simhash64_signatures(
     signature bit j is the sign of the count-weighted vote over the
     document's words. Everything is JVM-side integer math:
 
-    - word bit-vectors are computed once per DISTINCT word (vocabulary
-      table, broadcast back to per-doc word counts), so each vocabulary
-      word is hashed once — not once per occurrence per bit;
+    - the word hash is computed directly on the (doc, word, cnt) rows —
+      hashing is embarrassingly parallel and orders of magnitude cheaper
+      than the distinct+join it would take to hash each vocabulary word
+      exactly once (an earlier vocabulary-broadcast variant spent more
+      time probing and joining the vocab than the whole signature pass);
     - the 64 votes are one groupBy with 64 integer SUM aggregates
       (map-side partial agg), then packed with shiftleft/OR-sum.
 
@@ -194,14 +196,7 @@ def simhash64_signatures(
         word_hash = F.expr(_MD5_WORD_HASH_SQL)
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    vocab = words.select("word").distinct().withColumn("__h", word_hash)
-    # broadcast the vocabulary only when it is provably bounded (limit-probed
-    # row cap) — a web-scale corpus has tens of millions of distinct words,
-    # where a forced broadcast would OOM the driver; over the cap the
-    # word equi-join is left to AQE (sort-merge/shuffle-hash on `word`)
-    vocab_cap = 100_000
-    small_vocab = len(vocab.select(F.lit(1).alias("__one")).limit(vocab_cap + 1).take(vocab_cap + 1)) <= vocab_cap
-    joined = wc.join(F.broadcast(vocab) if small_vocab else vocab, "word")
+    joined = wc.withColumn("__h", word_hash)
     # vote_j = sum(cnt * (+1 if bit j of hash else -1))
     vote_aggs = [
         F.sum(
@@ -449,22 +444,26 @@ def connected_components(
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     cap = _DRIVER_UNION_FIND_EDGE_CAP if driver_edge_cap is None else driver_edge_cap
-    if cap > 0:
-        # probe the RAW pair list: union-find needs neither symmetrization
-        # nor distinct, so the common (small-graph) case pays one limited
-        # pass over pairs instead of a union+distinct shuffle plus an eager
-        # checkpoint of the symmetric edge list
-        probe = pairs.select(F.col(id_a), F.col(id_b)).limit(cap + 1).collect()
-        if len(probe) <= cap:
+    # persist FIRST, then probe with count(): a bare limit(cap+1).collect()
+    # on an uncached frame runs Spark's incremental take — several scale-up
+    # jobs, each re-executing the (expensive) pair-producing pipeline from
+    # scratch. count() is one full pass that also populates the cache, so
+    # the small-graph collect and the distributed union both read cached
+    # blocks instead of recomputing the LSH pipeline.
+    pairs_p = pairs.select(F.col(id_a), F.col(id_b)).persist()
+    try:
+        n_edges = pairs_p.count()
+        if 0 < cap and n_edges <= cap:
+            # union-find needs neither symmetrization nor distinct — the
+            # common (small-graph) case reads the cached pairs and runs on
+            # the driver, skipping several Spark jobs of fixed overhead
+            probe = pairs_p.collect()
             return _driver_union_find(
                 [(r[id_a], r[id_b]) for r in probe], pairs.sparkSession, pairs.schema[id_a]
             )
-    # distributed path: the union references the pairs subplan twice —
-    # persist so the (potentially expensive) pair-producing pipeline runs
-    # once, then drop the pin as soon as the symmetric edge list is
-    # materialized
-    pairs_p = pairs.persist()
-    try:
+        # distributed path: the union references the pairs subplan twice —
+        # both sides read the cache; drop the pin as soon as the symmetric
+        # edge list is materialized
         edges = (
             pairs_p.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
             .union(pairs_p.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
