@@ -171,11 +171,18 @@ def simhash64_signatures(
     signature bit j is the sign of the count-weighted vote over the
     document's words. Everything is JVM-side integer math:
 
-    - the word hash is computed directly on the (doc, word, cnt) rows —
-      hashing is embarrassingly parallel and orders of magnitude cheaper
-      than the distinct+join it would take to hash each vocabulary word
-      exactly once (an earlier vocabulary-broadcast variant spent more
-      time probing and joining the vocab than the whole signature pass);
+    - word occurrences are counted by GROUPING ON THE HASH, not the word:
+      the hash is a pure function of the word, so hash-equal words
+      contribute identically to every vote and merging them is exact.
+      This computes the (md5-parse or xxhash64) digest once per
+      occurrence inside the first aggregate's grouping key, materializes
+      it as a real int64 column (the 64 vote expressions then do pure
+      integer bit math — Catalyst cannot inline the digest into them),
+      and narrows the count shuffle to (id, int64, cnt) — no word
+      strings cross the wire. An earlier vocabulary-distinct+broadcast
+      variant spent more time probing and joining the vocab than the
+      whole signature pass; hashing per row is shuffle-free and cheaper
+      at any corpus size;
     - the 64 votes are one groupBy with 64 integer SUM aggregates
       (map-side partial agg), then packed with shiftleft/OR-sum.
 
@@ -189,14 +196,21 @@ def simhash64_signatures(
     words = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
-    wc = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
     if hash_mode == "xxhash64":
         word_hash = F.xxhash64("word")
     elif hash_mode == "md5":
         word_hash = F.expr(_MD5_WORD_HASH_SQL)
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    joined = wc.withColumn("__h", word_hash)
+    # group on the HASH (exact: hash-equal words vote identically) — the
+    # digest evaluates once per occurrence in the grouping key, `__h`
+    # reaches the vote aggregate as a materialized int64, and the shuffle
+    # carries (id, int64, cnt) instead of word strings
+    hc = (
+        words.select(F.col(id_col), word_hash.alias("__h"))
+        .groupBy(id_col, "__h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     # vote_j = sum(cnt * (+1 if bit j of hash else -1))
     vote_aggs = [
         F.sum(
@@ -205,7 +219,7 @@ def simhash64_signatures(
         ).alias(f"v{j}")
         for j in range(64)
     ]
-    votes = joined.groupBy(id_col).agg(*vote_aggs)
+    votes = hc.groupBy(id_col).agg(*vote_aggs)
     packed = None
     for j in range(64):
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))

@@ -55,14 +55,22 @@ VOTE_EXPR = (
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit md5-nibble SimHash signature per document. One explode + two
-    aggregations; everything JVM-side."""
+    aggregations; everything JVM-side. The md5 digest is hoisted BELOW the
+    16-way bit-position explode (the Generate node is a projection-collapse
+    barrier, so Catalyst cannot inline it back): one digest per word
+    occurrence instead of sixteen, the per-j vote is then substr math."""
     d = load_table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     words = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
-    bits = words.select(
-        "doc_id",
-        "word",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
-    ).withColumn("vote", F.expr(VOTE_EXPR))
+    bits = (
+        words.withColumn("__md5", F.md5("word"))
+        .select(
+            "doc_id",
+            "word",
+            "__md5",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+        )
+        .withColumn("vote", F.expr(VOTE_EXPR.replace("md5(word)", "__md5")))
+    )
     sig_bits = bits.groupBy("doc_id", "j").agg(
         F.when(F.sum("vote") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit")
     )
