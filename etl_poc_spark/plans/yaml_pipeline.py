@@ -216,6 +216,29 @@ def _apply_op(df: DataFrame, op: dict[str, Any], provider: LLMProvider) -> DataF
         id_col = op.get("id", "doc_id")
         salt = str(op.get("salt", "sample"))
         return df.filter(hash_bucket(F.col(id_col), 100, salt) < pct)
+    if t == "line_dedup":
+        # CCNet-style segment dedup: rewrite each doc's text with cross-doc
+        # duplicated segments removed (ALL copies drop); docs that became
+        # all-boilerplate keep an empty text for a later filter to judge
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.linededup import line_dedup
+
+        id_col = op.get("id", "doc_id")
+        text_col = op.get("text_key", "text")
+        deduped = line_dedup(
+            df,
+            id_col,
+            text_col,
+            words_per_segment=int(op.get("words_per_segment", 10)),
+            min_docs=int(op.get("min_docs", 2)),
+        )
+        rewritten = deduped.select(id_col, F.col("dedup_text").alias("__dedup_text"))
+        return (
+            df.join(rewritten, id_col, "left")
+            .withColumn(text_col, F.coalesce(F.col("__dedup_text"), F.col(text_col)))
+            .drop("__dedup_text")
+        )
     raise PipelineConfigError(f"unknown operation type {t!r}")
 
 

@@ -186,3 +186,37 @@ def test_yaml_curation_vocabulary(spark):
     assert set(rows) == {1, 5}
     assert rows[1] == good
     assert "[EMAIL]" in rows[5] and "bob@example.com" not in rows[5]
+
+
+def test_yaml_line_dedup_op(spark):
+    """The line_dedup pipeline op rewrites text with cross-doc duplicated
+    segments removed (all copies drop), keeps every row, and leaves docs
+    without duplicated segments untouched."""
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    bp = "subscribe our newsletter"  # one full 3-word segment
+    docs = spark.createDataFrame(
+        [
+            (1, f"{bp} unique alpha words"),
+            (2, f"other beta stuff {bp}"),
+            (3, "clean gamma text here"),
+        ],
+        "doc_id long, text string",
+    )
+    config = {
+        "default_model": "stub",
+        "datasets": {"docs": {"path": "injected.json"}},
+        "operations": [
+            {"name": "ld", "type": "line_dedup", "words_per_segment": 3},
+        ],
+        "pipeline": {
+            "steps": [{"name": "curate", "input": "docs", "operations": ["ld"]}]
+        },
+    }
+    out = run_pipeline(spark, config, datasets={"docs": docs})
+    rows = {r["doc_id"]: r["text"] for r in out["__final__"].collect()}
+    assert rows == {
+        1: "unique alpha words",
+        2: "other beta stuff",
+        3: "clean gamma text here",
+    }
