@@ -261,12 +261,18 @@ def kmeans_ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k with TRAINED coarse centroids (real IVF): queries
     probe their `nprobe` nearest clusters, so the candidate space shrinks
     ~n_centroids/nprobe versus brute force while recall stays high where
-    sign-bit buckets would split dense regions arbitrarily."""
-    centroids = train_kmeans_centroids(base, n_centroids, n_iters, id_col, vec_col)
+    sign-bit buckets would split dense regions arbitrarily.
+
+    Pass `centroids` to serve from a pre-trained quantizer (the production
+    shape: train offline once, probe many times); omitted, the model is
+    trained inline from `base`."""
+    if centroids is None:
+        centroids = train_kmeans_centroids(base, n_centroids, n_iters, id_col, vec_col)
     b_tag = _assign_centroid(base, centroids, id_col, vec_col, nprobe=1) \
         .withColumnRenamed(id_col, "neighbor_id")
     q_tag = _assign_centroid(queries, centroids, id_col, vec_col, nprobe=nprobe) \

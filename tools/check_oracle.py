@@ -106,6 +106,8 @@ def main() -> int:
     spark = get_spark("oracle_check")
     con = duckdb_conn(args.sf_dir)
 
+    from etl_poc_spark.operators.pins import release_pins
+
     names = args.queries or sorted(registry.QUERIES)
     n_fail = 0
     for name in names:
@@ -117,6 +119,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # drop per-query pinned stage frames — 80 queries of leaked
+            # cache otherwise build memory pressure that skews the sweep
+            release_pins()
+            spark.catalog.clearCache()
         t_spark = time.perf_counter() - t0
         if name not in registry.ORACLES:
             print(f"skip  {name}: no oracle (rows-only) — {len(spark_pdf)} rows, {t_spark:.1f}s")
