@@ -76,6 +76,26 @@ def _rebuild(seg_idx: str, seg: str) -> Column:
     )
 
 
+def _rebuild_stats(segments: DataFrame, kept: DataFrame, id_col: str) -> DataFrame:
+    """(id, n_segments, n_kept, n_dropped, dedup_text) from the full and the
+    surviving segment frames — shared tail of batch and incremental modes."""
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        _rebuild("seg_idx", "seg").alias("dedup_text"),
+    )
+    totals = segments.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_segments"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_dropped"),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -97,18 +117,103 @@ def line_dedup(
     kept = segments.withColumn("__h", F.md5(F.col("seg"))).join(
         dup.select(F.col("seg_hash").alias("__h")), "__h", "left_anti"
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        _rebuild("seg_idx", "seg").alias("dedup_text"),
-    )
-    totals = segments.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_segments"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-            (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_dropped"),
-            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+    return _rebuild_stats(segments, kept, id_col)
+
+
+def incremental_line_dedup_ingest(
+    spark,
+    batch: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_segment: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Segment-dedup a NEW batch against a persisted boilerplate store and
+    fold the batch's segment counts into the store.
+
+    Store shape: append-only (seg_hash, n_docs) rows — one per (batch,
+    segment-hash), a few dozen bytes per distinct segment regardless of
+    body size. A segment is boilerplate once its CUMULATIVE distinct-doc
+    count (history + this batch) reaches `min_docs`; all of its copies in
+    THIS batch drop. Semantics are forward-only by design: copies that
+    shipped in earlier batches, before the segment crossed the threshold,
+    are not retroactively rewritten — that is a compaction job over the
+    kept corpus (re-run batch `line_dedup`), not an ingest step. Within a
+    single first batch this reduces exactly to `line_dedup` (equivalence
+    is pytest-pinned).
+
+    Scale shape mirrors `incremental_near_dup_ingest`: only hashes and
+    counts shuffle or persist — historical segment BODIES are never stored
+    or joined; the per-batch count aggregation is the only wide stage, and
+    the store can be periodically compacted with a groupBy(seg_hash) sum.
+
+    Cumulative counts double-count a document that carries the same
+    segment across DIFFERENT batches (re-ingest); exact cross-batch
+    distinctness would require storing doc ids. Acceptable by design:
+    boilerplate detection needs a threshold signal, not an exact census —
+    CCNet itself thresholds on rough document frequency."""
+    segments = segment_docs(batch, id_col, text_col, words_per_segment)
+    seg_h = segments.withColumn("__h", F.md5(F.col("seg")))
+    batch_counts = seg_h.groupBy("__h").agg(F.countDistinct(id_col).alias("n_docs"))
+    try:
+        store = spark.read.parquet(store_dir)
+        have_store = True
+    except Exception:  # first ingest: no store yet (AnalysisException)
+        have_store = False
+    if have_store:
+        hist = store.groupBy("seg_hash").agg(F.sum("n_docs").alias("hist_docs"))
+        total = (
+            batch_counts.join(hist.withColumnRenamed("seg_hash", "__h"), "__h", "left")
+            .select(
+                "__h",
+                (F.col("n_docs") + F.coalesce(F.col("hist_docs"), F.lit(0))).alias("total_docs"),
+            )
         )
+    else:
+        total = batch_counts.select("__h", F.col("n_docs").alias("total_docs"))
+    dup = total.filter(F.col("total_docs") >= min_docs).select("__h")
+    kept = seg_h.join(dup, "__h", "left_anti")
+    # MATERIALIZE before the store append: the output plan reads the store
+    # parquet through `dup`, and Spark lists parquet files at ACTION time —
+    # without this, an action on the returned frame after the append would
+    # recount the batch's own rows as history
+    out = _rebuild_stats(segments, kept, id_col).localCheckpoint(eager=True)
+    batch_counts.withColumnRenamed("__h", "seg_hash").write.mode("append").parquet(store_dir)
+    return out
+
+
+def streaming_line_dedup_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    kept_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **ingest_kwargs,
+):
+    """Continuous segment dedup: each micro-batch runs
+    incremental_line_dedup_ingest against the shared boilerplate store and
+    appends its rewritten documents to `kept_dir`. Returns a configured
+    DataStreamWriter — call .trigger(...).start() to run.
+
+    foreachBatch is the right seam (as in streaming_near_dup_ingest): the
+    boilerplate decision needs the batch as a finite frame for the
+    cross-document count, and checkpointing gives exactly-once batch
+    replay on restart."""
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        out = incremental_line_dedup_ingest(
+            batch_df.sparkSession, batch_df, store_dir,
+            id_col=id_col, text_col=text_col, **ingest_kwargs,
+        )
+        out.write.mode("append").parquet(kept_dir)
+
+    return stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
     )
+
+
+from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)
