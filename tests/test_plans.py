@@ -143,6 +143,36 @@ def test_time_rollup_is_one_expand_one_shuffle(spark, sf_dir):
     assert p.index("HashAggregate") < p.index("Exchange")  # partial agg first
 
 
+def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
+    """Sweep every registered query's physical plan for scale-killers:
+    CartesianProduct anywhere is a failure; BroadcastNestedLoopJoin is
+    allowed only where the broadcast side is provably tiny by construction
+    (whitelisted below with the reason). Keeps a future query from quietly
+    shipping an O(n^2) join."""
+    from etl_poc_spark.operators.pins import release_pins
+
+    # BNLJ whitelist: every entry broadcasts a bounded side
+    bnlj_ok = {
+        "bm25_search",          # 1-row corpus-stats (avgdl) scalar join
+        "hybrid_rrf_search",    # same scalar join via the bm25 leg
+        "orders_price_band_range_join",  # documented non-equi broadcast interval join (bands dim is tiny)
+        "embedding_topk",       # exact baseline: bounded query side (10 vectors) x base
+        "hll_sketch_union_users",  # 1-row sketch-union scalar join
+    }
+    offenders = {}
+    for name, fn in registry.QUERIES.items():
+        try:
+            p = formatted_plan(spark, name, sf_dir)
+        finally:
+            release_pins()
+            spark.catalog.clearCache()
+        if "CartesianProduct" in p:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in p and name not in bnlj_ok:
+            offenders[name] = "BroadcastNestedLoopJoin (not whitelisted)"
+    assert not offenders, f"scale-killer join shapes: {offenders}"
+
+
 def test_yaml_curation_vocabulary(spark):
     """The declarative pipeline runs the curation ops end to end:
     quality_filter -> exact_dedup -> near_dedup -> pii_redact -> sample."""
