@@ -286,3 +286,160 @@ def embedding_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = train_kmeans_centroids(b, n_centroids=8, n_iters=2)
         _KMEANS_MODELS[sf_dir] = centroids
     return kmeans_ivf_topk(q, b, k=5, nprobe=3, centroids=centroids)
+
+
+# --- SemDeDup: semantic dedup via cluster-bounded pairwise cosine ----------
+
+# trained-on-corpus quantizer cache (distinct from _KMEANS_MODELS: SemDeDup
+# trains on the duplicated corpus, not the base split)
+_SEMDEDUP_MODELS: dict[str, list[list[float]]] = {}
+
+_SEMDEDUP_K = 64  # coarse clusters: pair work is sum(c^2)/2 per cluster
+
+_SEMDEDUP_ORACLE = (
+    """
+    WITH emb_d AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, embedding FROM emb_d
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> x * 1.5) AS embedding
+      FROM emb_d WHERE vec_id % 10 = 0
+    ),
+    dims AS (SELECT unnest(range(1, 65)) AS i),
+    ce0v AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, embedding
+      FROM (SELECT vec_id, embedding FROM b ORDER BY vec_id LIMIT 64)
+    ), ce0 AS (
+      SELECT cluster, d.i, CAST(embedding[d.i] AS DOUBLE) AS c FROM ce0v, dims d
+    ), ce0_norm AS (
+      SELECT cluster,
+             CASE WHEN sqrt(SUM(c * c)) = 0 THEN 1 ELSE sqrt(SUM(c * c)) END AS n
+      FROM ce0 GROUP BY cluster
+    ), bnorm AS (
+      SELECT b.vec_id,
+             CASE WHEN sqrt(SUM(CAST(b.embedding[d.i] AS DOUBLE) * CAST(b.embedding[d.i] AS DOUBLE))) = 0
+                  THEN 1
+                  ELSE sqrt(SUM(CAST(b.embedding[d.i] AS DOUBLE) * CAST(b.embedding[d.i] AS DOUBLE))) END AS n
+      FROM b, dims d GROUP BY b.vec_id
+    )"""
+    + _lloyd_iter_sql(1, "ce0")
+    + """
+    , ba AS (
+      SELECT vec_id, cluster FROM (
+        SELECT s.vec_id, s.cluster,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cluster) AS rk
+        FROM (
+          SELECT b.vec_id, ce.cluster,
+                 SUM((CAST(b.embedding[ce.i] AS DOUBLE) / bn.n) * (ce.c / cn.n)) AS sim
+          FROM b, bnorm bn, cf1 ce, cf1_norm cn
+          WHERE bn.vec_id = b.vec_id AND cn.cluster = ce.cluster
+          GROUP BY b.vec_id, ce.cluster
+        ) s) WHERE rk = 1
+    ), vnorm AS (
+      -- pair-cosine norms mirror operators/similarity.py::_norms exactly:
+      -- decimal-accumulated sum of squares, cast double, THEN sqrt (no
+      -- zero-guard — _pair_cosine has none)
+      SELECT b.vec_id,
+             sqrt(CAST(SUM(CAST(b.embedding[d.i] * b.embedding[d.i] AS DECIMAL(25,15))) AS DOUBLE)) AS n
+      FROM b, dims d GROUP BY b.vec_id
+    ), pr AS (
+      SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
+      FROM ba a1 JOIN ba a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+    ), pexp AS (
+      SELECT pr.id_a, pr.id_b, va.embedding AS qv, vb.embedding AS bv, d.i
+      FROM pr JOIN b va ON va.vec_id = pr.id_a
+              JOIN b vb ON vb.vec_id = pr.id_b, dims d
+    ), pdots AS (
+      SELECT id_a, id_b,
+             CAST(SUM(CAST(qv[i] * bv[i] AS DECIMAL(25,15))) AS DOUBLE) AS dot
+      FROM pexp GROUP BY id_a, id_b
+    ), cos AS (
+      SELECT p.id_a, p.id_b, round(p.dot / (na.n * nb.n), 7) AS cos_sim
+      FROM pdots p JOIN vnorm na ON na.vec_id = p.id_a
+                   JOIN vnorm nb ON nb.vec_id = p.id_b
+    ), dropped AS (
+      SELECT DISTINCT id_b AS vec_id FROM cos WHERE cos_sim >= 0.99
+    )
+    SELECT ba.vec_id, ba.cluster, (d.vec_id IS NOT NULL) AS is_dropped
+    FROM ba LEFT JOIN dropped d ON d.vec_id = ba.vec_id
+    """
+)
+
+
+def _semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus exact-direction duplicates: every vec_id % 10 == 0
+    vector reappears at vec_id + 100000 scaled by 1.5 — scaling preserves
+    direction, so each copy has cosine 1.0 with its original (well above
+    the 0.99 threshold) while the near-uniform synthetic vectors keep all
+    OTHER pairs far below it."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(1.5 AS DOUBLE))").alias("embedding"),
+    )
+    return emb.unionByName(dups)
+
+
+@query("semdedup_flags", oracle=_SEMDEDUP_ORACLE)
+def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the duplicated embedding corpus:
+    cluster with the trained coarse quantizer (64 centroids, one
+    deterministic Lloyd iteration — a coarse partition is all SemDeDup
+    needs), compute exact cosine only WITHIN clusters, and drop the
+    larger id of every pair with cosine >= 0.99. Output, one row per
+    vector: (vec_id, cluster, is_dropped).
+
+    Scale shape: the pairwise stage is bounded by cluster occupancy —
+    sum(c_k^2)/2 candidate pairs instead of n^2/2 (the SemDeDup insight:
+    semantic duplicates land in the same coarse cluster, so cross-cluster
+    pairs never materialize). Training reuses the cached deterministic
+    quantizer; assignment is one Arrow-batched pass; the cosine kernel is
+    the decimal-exact _pair_cosine used by every ANN query. A production
+    run adds a per-cluster occupancy cap exactly like LSH bucket caps.
+
+    Hash-checked oracle: unrolled-Lloyd CTEs (the embedding_kmeans_ivf_topk
+    machinery, 64 centroids) + per-cluster self-join + the same decimal
+    dot/norm arithmetic, so cluster ids, cosines, and drop flags all
+    match bit-for-bit."""
+    from etl_poc_spark.operators.pins import pin
+    from etl_poc_spark.operators.similarity import (
+        _assign_centroid,
+        _pair_cosine,
+        train_kmeans_centroids,
+    )
+
+    # the corpus feeds MANY driver actions (training collects, broadcast
+    # probes, both pair sides, both norm frames) — pin it so the cast+union
+    # runs once; at cluster scale this is the materialized corpus table
+    corpus = pin(_semdedup_corpus(spark, sf_dir))
+    centroids = _SEMDEDUP_MODELS.get(sf_dir)
+    if centroids is None:
+        centroids = train_kmeans_centroids(corpus, n_centroids=_SEMDEDUP_K, n_iters=1)
+        _SEMDEDUP_MODELS[sf_dir] = centroids
+    assigned = _assign_centroid(corpus, centroids, "vec_id", "embedding", nprobe=1)
+    a = assigned.select(F.col("vec_id").alias("query_id"), "cluster")
+    bb = assigned.select(F.col("vec_id").alias("neighbor_id"), "cluster")
+    pairs = (
+        a.join(bb, "cluster")
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    scored = _pair_cosine(corpus, corpus, pairs, "vec_id", "embedding")
+    dropped = (
+        scored.filter(F.col("cos_sim") >= 0.99)
+        .select(F.col("neighbor_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__d", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("__d"), F.lit(False)).alias("is_dropped"),
+        )
+    )

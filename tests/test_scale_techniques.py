@@ -107,3 +107,19 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_semdedup_drops_exactly_the_scaled_copies(spark, sf_dir):
+    """SemDeDup over the duplicated corpus: every vec_id+100000 scaled copy
+    (cosine 1.0 with its original) is dropped; originals survive (smaller
+    id wins); near-uniform synthetic vectors produce no false positives."""
+    from etl_poc_spark.queries.similarity_q import semdedup_flags
+
+    rows = semdedup_flags(spark, sf_dir).collect()
+    dropped = {r.vec_id for r in rows if r.is_dropped}
+    kept = {r.vec_id for r in rows if not r.is_dropped}
+    copies = {r.vec_id for r in rows if r.vec_id >= 100000}
+    assert copies, "constructed corpus must contain scaled copies"
+    assert copies <= dropped, "every scaled copy has cosine 1.0 with its original"
+    assert dropped == copies, "no false-positive drops among near-uniform vectors"
+    assert all(v - 100000 in kept for v in copies), "originals survive"
