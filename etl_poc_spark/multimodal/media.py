@@ -20,6 +20,7 @@ stages never shuffle raw bytes.
 from __future__ import annotations
 
 import hashlib
+from struct import error as struct_error
 from typing import Iterator
 
 import pandas as pd
@@ -281,3 +282,84 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
 from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
 
 _rbv(__name__)
+
+
+# --- audio -----------------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def decode_audio_features(df: DataFrame, content_col: str = "content",
+                          path_col: str = "path", strict: bool = False) -> DataFrame:
+    """binary audio column -> typed metadata + signal features via
+    mapInPandas (same contract as decode_image_meta).
+
+    RIFF/WAVE PCM is decoded for REAL with the stdlib `wave` module
+    (audiocodec.py): true sample rate / channels / duration plus rms, peak,
+    and zero-crossing rate over a capped mono prefix. Compressed formats
+    (mp3/ogg/flac — stdlib has no entropy decoders) get deterministic
+    content-hash fake values with decoded=False, or NotImplementedError
+    under strict=True. Only metadata rows leave this operator — raw audio
+    bytes never shuffle."""
+    import wave as _wave
+
+    from etl_poc_spark.multimodal import audiocodec
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[content_col])
+                fmt = audiocodec.sniff_audio_format(data)
+                try:
+                    sr, nch, nframes, mono = audiocodec.decode_wav(data)
+                    rms, peak, zcr = audiocodec.audio_stats(mono)
+                    decoded = True
+                except (_wave.Error, ValueError, struct_error, EOFError) as e:
+                    if strict:
+                        raise NotImplementedError(
+                            f"cannot decode these bytes with the stdlib wave codec ({e}); "
+                            "install an audio library and extend audiocodec"
+                        ) from e
+                    dig = hashlib.md5(data).digest()
+                    sr = 8000 + (dig[0] % 5) * 8000
+                    nch = 1 + dig[1] % 2
+                    nframes = 1000 + int.from_bytes(dig[2:4], "big")
+                    rms = (dig[4] % 100) / 200.0
+                    peak = min(1.0, rms * 2)
+                    zcr = (dig[5] % 100) / 100.0
+                    decoded = False
+                rows.append(
+                    {
+                        "path": str(row[path_col]),
+                        "n_bytes": len(data),
+                        "content_hash": hashlib.md5(data).hexdigest(),
+                        "format": fmt,
+                        "sample_rate": sr,
+                        "n_channels": nch,
+                        "n_frames": nframes,
+                        "duration_sec": (nframes / sr) if sr else 0.0,
+                        "rms": rms,
+                        "peak": peak,
+                        "zero_crossing_rate": zcr,
+                        "decoded": decoded,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields])
+
+    return df.select(path_col, content_col).mapInPandas(fn, schema=AUDIO_META_SCHEMA)

@@ -237,3 +237,71 @@ def test_corrupt_images_fall_back_not_crash(spark, tmp_path):
     for name in ("trunc_idat.png", "cut_ihdr.png", "bad.bmp"):
         assert not out[name]["decoded"]
         assert len(out[name]["resized"]) == 4 * 4 * 3  # fallback keeps the shape
+
+
+# --- audio -----------------------------------------------------------------
+
+
+def _sine_wav_bytes(freq=440, sr=8000, seconds=1.0, amp=0.5, nch=1):
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(sr * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        frames = bytearray()
+        for i in range(n):
+            v = int(amp * 32767 * math.sin(2 * math.pi * freq * i / sr))
+            frames += struct.pack("<h", v) * nch
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_wav_decode_real_features(spark, tmp_path):
+    """A synthesized 440 Hz sine WAV decodes for real: rms ~= amp/sqrt(2),
+    zero-crossing rate ~= 2f/sr, duration exact."""
+    from etl_poc_spark.multimodal.media import decode_audio_features
+
+    wav = _sine_wav_bytes(freq=440, sr=8000, seconds=1.0, amp=0.5)
+    df = spark.createDataFrame([("a.wav", wav)], "path string, content binary")
+    row = decode_audio_features(df).collect()[0]
+    assert row.decoded and row.format == "wav"
+    assert row.sample_rate == 8000 and row.n_channels == 1 and row.n_frames == 8000
+    assert abs(row.duration_sec - 1.0) < 1e-9
+    assert abs(row.rms - 0.5 / 2 ** 0.5) < 0.01
+    assert abs(row.zero_crossing_rate - 2 * 440 / 8000) < 0.005
+    assert 0.49 < row.peak <= 0.5
+
+
+def test_wav_stereo_downmix(spark):
+    from etl_poc_spark.multimodal.media import decode_audio_features
+
+    wav = _sine_wav_bytes(nch=2, seconds=0.25)
+    df = spark.createDataFrame([("s.wav", wav)], "path string, content binary")
+    row = decode_audio_features(df).collect()[0]
+    assert row.decoded and row.n_channels == 2
+    assert abs(row.duration_sec - 0.25) < 1e-9
+
+
+def test_non_wav_fallback_and_strict(spark):
+    """mp3-sniffed bytes: deterministic fallback features (decoded=False);
+    strict mode raises at the decode seam instead."""
+    import pytest
+
+    from etl_poc_spark.multimodal.media import decode_audio_features
+
+    fake_mp3 = b"ID3" + b"\x00" * 64
+    df = spark.createDataFrame([("x.mp3", fake_mp3)], "path string, content binary")
+    row = decode_audio_features(df).collect()[0]
+    assert not row.decoded and row.format == "mp3"
+    row2 = decode_audio_features(df).collect()[0]
+    assert (row.sample_rate, row.rms, row.zero_crossing_rate) == (
+        row2.sample_rate, row2.rms, row2.zero_crossing_rate
+    )  # fallback is deterministic
+    with pytest.raises(Exception, match="NotImplementedError|cannot decode"):
+        decode_audio_features(df, strict=True).collect()
