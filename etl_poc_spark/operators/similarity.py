@@ -281,3 +281,56 @@ def kmeans_ivf_topk(
     hint_q = F.broadcast if small_q else (lambda df: df)
     pairs = hint_q(q_tag).join(b_tag, "cluster").select("query_id", "neighbor_id")
     return _rank_topk(_pair_cosine(queries, base, pairs, id_col, vec_col, small_q=small_q), k)
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.99,
+    max_cluster_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign each vector to its nearest
+    trained centroid, compute exact cosine ONLY within clusters, and drop
+    the larger id of every pair at cosine >= `threshold`. Output, one row
+    per vector: (id, cluster, is_dropped).
+
+    Pair volume is sum(c_k^2)/2 instead of n^2/2 — semantic duplicates
+    share a coarse cluster, so cross-cluster pairs never materialize.
+    `max_cluster_size` is the degenerate-cluster guard (same role as the
+    LSH bucket caps): clusters above the cap are EXCLUDED from the
+    pairwise stage — one collapsed cluster of m vectors would alone
+    contribute m(m-1)/2 pairs. Their members are flagged kept; an
+    oversized cluster means the quantizer needs more centroids, not that
+    its members are duplicates of each other."""
+    from etl_poc_spark.operators.dedup import cap_buckets
+
+    assigned = _assign_centroid(corpus, centroids, id_col, vec_col, nprobe=1)
+    pairable = (
+        cap_buckets(assigned, ["cluster"], max_cluster_size)
+        if max_cluster_size is not None
+        else assigned
+    )
+    a = pairable.select(F.col(id_col).alias("query_id"), "cluster")
+    b = pairable.select(F.col(id_col).alias("neighbor_id"), "cluster")
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    scored = _pair_cosine(corpus, corpus, pairs, id_col, vec_col)
+    dropped = (
+        scored.filter(F.col("cos_sim") >= threshold)
+        .select(F.col("neighbor_id").alias(id_col))
+        .distinct()
+        .withColumn("__d", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(F.col("__d"), F.lit(False)).alias("is_dropped"),
+        )
+    )

@@ -295,6 +295,7 @@ def embedding_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_MODELS: dict[str, list[list[float]]] = {}
 
 _SEMDEDUP_K = 64  # coarse clusters: pair work is sum(c^2)/2 per cluster
+_SEMDEDUP_CLUSTER_CAP = 2000  # degenerate-cluster guard (inert at test SFs)
 
 _SEMDEDUP_ORACLE = (
     """
@@ -344,9 +345,13 @@ _SEMDEDUP_ORACLE = (
       SELECT b.vec_id,
              sqrt(CAST(SUM(CAST(b.embedding[d.i] * b.embedding[d.i] AS DECIMAL(25,15))) AS DOUBLE)) AS n
       FROM b, dims d GROUP BY b.vec_id
+    ), csize AS (
+      SELECT cluster FROM ba GROUP BY cluster HAVING COUNT(*) <= 2000
+    ), bok AS (
+      SELECT ba.* FROM ba JOIN csize USING (cluster)
     ), pr AS (
       SELECT a1.vec_id AS id_a, a2.vec_id AS id_b
-      FROM ba a1 JOIN ba a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+      FROM bok a1 JOIN bok a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
     ), pexp AS (
       SELECT pr.id_a, pr.id_b, va.embedding AS qv, vb.embedding AS bv, d.i
       FROM pr JOIN b va ON va.vec_id = pr.id_a
@@ -396,21 +401,19 @@ def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the pairwise stage is bounded by cluster occupancy —
     sum(c_k^2)/2 candidate pairs instead of n^2/2 (the SemDeDup insight:
     semantic duplicates land in the same coarse cluster, so cross-cluster
-    pairs never materialize). Training reuses the cached deterministic
-    quantizer; assignment is one Arrow-batched pass; the cosine kernel is
-    the decimal-exact _pair_cosine used by every ANN query. A production
-    run adds a per-cluster occupancy cap exactly like LSH bucket caps.
+    pairs never materialize). Clusters above the occupancy cap are
+    excluded from the pairwise stage (degenerate-cluster guard, mirrored
+    in the oracle — same role as the LSH bucket caps). Training reuses
+    the cached deterministic quantizer; assignment is one Arrow-batched
+    pass; the cosine kernel is the decimal-exact _pair_cosine used by
+    every ANN query.
 
     Hash-checked oracle: unrolled-Lloyd CTEs (the embedding_kmeans_ivf_topk
     machinery, 64 centroids) + per-cluster self-join + the same decimal
     dot/norm arithmetic, so cluster ids, cosines, and drop flags all
     match bit-for-bit."""
     from etl_poc_spark.operators.pins import pin
-    from etl_poc_spark.operators.similarity import (
-        _assign_centroid,
-        _pair_cosine,
-        train_kmeans_centroids,
-    )
+    from etl_poc_spark.operators.similarity import semdedup, train_kmeans_centroids
 
     # the corpus feeds MANY driver actions (training collects, broadcast
     # probes, both pair sides, both norm frames) — pin it so the cast+union
@@ -420,26 +423,6 @@ def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     if centroids is None:
         centroids = train_kmeans_centroids(corpus, n_centroids=_SEMDEDUP_K, n_iters=1)
         _SEMDEDUP_MODELS[sf_dir] = centroids
-    assigned = _assign_centroid(corpus, centroids, "vec_id", "embedding", nprobe=1)
-    a = assigned.select(F.col("vec_id").alias("query_id"), "cluster")
-    bb = assigned.select(F.col("vec_id").alias("neighbor_id"), "cluster")
-    pairs = (
-        a.join(bb, "cluster")
-        .filter(F.col("query_id") < F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
-    scored = _pair_cosine(corpus, corpus, pairs, "vec_id", "embedding")
-    dropped = (
-        scored.filter(F.col("cos_sim") >= 0.99)
-        .select(F.col("neighbor_id").alias("vec_id"))
-        .distinct()
-        .withColumn("__d", F.lit(True))
-    )
-    return (
-        assigned.join(dropped, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cluster",
-            F.coalesce(F.col("__d"), F.lit(False)).alias("is_dropped"),
-        )
+    return semdedup(
+        corpus, centroids, threshold=0.99, max_cluster_size=_SEMDEDUP_CLUSTER_CAP
     )

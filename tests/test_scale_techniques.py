@@ -123,3 +123,20 @@ def test_semdedup_drops_exactly_the_scaled_copies(spark, sf_dir):
     assert copies <= dropped, "every scaled copy has cosine 1.0 with its original"
     assert dropped == copies, "no false-positive drops among near-uniform vectors"
     assert all(v - 100000 in kept for v in copies), "originals survive"
+
+
+def test_semdedup_cluster_cap_guards_degenerate_clusters(spark):
+    """A collapsed corpus (all vectors identical in direction) lands in ONE
+    cluster: uncapped, everything but the min id drops; with the occupancy
+    cap, the oversized cluster is excluded from the pairwise stage and all
+    rows are flagged kept — the m^2 blowup never materializes."""
+    from etl_poc_spark.operators.similarity import semdedup, train_kmeans_centroids
+
+    rows = [(i, [float(i + 1)] * 8) for i in range(10)]  # same direction, any norm
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_kmeans_centroids(corpus, n_centroids=2, n_iters=1)
+    uncapped = semdedup(corpus, cents, threshold=0.99)
+    assert sum(r.is_dropped for r in uncapped.collect()) == 9  # min id survives
+    capped = semdedup(corpus, cents, threshold=0.99, max_cluster_size=5)
+    out = capped.collect()
+    assert len(out) == 10 and not any(r.is_dropped for r in out)
