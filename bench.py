@@ -96,7 +96,12 @@ def main() -> None:
     # `value` stays the HEADLINE subtotal (the PINNED 22-query set rounds 1
     # and 2 both recorded) so the metric is comparable round over round even
     # as the full-surface sweep grows; the full total is reported alongside
-    headline_total = round(sum(timings.get(n, 0.0) for n in BENCH_QUERIES), 3)
+    # A headline query that errored must not silently deflate the
+    # round-over-round metric: emit null instead of a too-small total.
+    headline_errs = [n for n in BENCH_QUERIES if n in errors]
+    headline_total = (
+        None if headline_errs else round(sum(timings[n] for n in BENCH_QUERIES), 3)
+    )
     full_total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -110,8 +115,25 @@ def main() -> None:
                 "runs_per_query": RUNS_PER_QUERY,
                 "timing": "median",
                 "headline_set_size": len(BENCH_QUERIES),
+                "headline_incomplete": bool(headline_errs),
                 "queries": {**timings, **{n: {"err": e} for n, e in errors.items()}},
                 "n_errors": len(errors),
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+    # The per-query map above can exceed the driver's tail capture; repeat the
+    # totals on a SHORT final line so the headline metric always survives.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": headline_total,
+                "unit": "sec",
+                "full_surface_total": full_total,
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "headline_incomplete": bool(headline_errs),
                 "sf": float(sf) if sf else sf_dir,
             }
         )

@@ -69,10 +69,16 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly), and timestamp[us] WITHOUT the flag (reads as TIMESTAMP_NTZ —
     `unix_micros` and friends reject NTZ at analysis time). The session
     timezone is pinned to UTC (session.py), so casting NTZ -> TIMESTAMP is
-    value-preserving and oracle-neutral: DuckDB sees the same micros."""
+    value-preserving and oracle-neutral: DuckDB sees the same micros.
+
+    The `nanosAsLong` legacy conf the NANOS branch needs is set at session
+    creation for our own sessions (session.py); the external driver builds
+    a VANILLA session, so it is also ensured here — but only when absent,
+    so loading a table normally mutates no session state."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":

@@ -22,6 +22,7 @@ Spark-first shape, designed for 100 TB:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -128,6 +129,7 @@ def incremental_line_dedup_ingest(
     text_col: str = "text",
     words_per_segment: int = 10,
     min_docs: int = 2,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Segment-dedup a NEW batch against a persisted boilerplate store and
     fold the batch's segment counts into the store.
@@ -152,16 +154,31 @@ def incremental_line_dedup_ingest(
     segment across DIFFERENT batches (re-ingest); exact cross-batch
     distinctness would require storing doc ids. Acceptable by design:
     boilerplate detection needs a threshold signal, not an exact census —
-    CCNet itself thresholds on rough document frequency."""
+    CCNet itself thresholds on rough document frequency.
+
+    `batch_id` (the streaming seam): when set, the store rows are written
+    PARTITIONED by batch_id with dynamic partition overwrite, and the
+    history read EXCLUDES the current batch_id — so a replayed micro-batch
+    (foreachBatch is at-least-once) overwrites its own partition instead of
+    double-appending, and never sees its prior attempt's rows as history.
+    Replay therefore produces byte-identical store state and output."""
     segments = segment_docs(batch, id_col, text_col, words_per_segment)
     seg_h = segments.withColumn("__h", F.md5(F.col("seg")))
     batch_counts = seg_h.groupBy("__h").agg(F.countDistinct(id_col).alias("n_docs"))
     try:
         store = spark.read.parquet(store_dir)
         have_store = True
-    except Exception:  # first ingest: no store yet (AnalysisException)
+    except AnalysisException as exc:
+        # first ingest only: the store path does not exist yet. Any OTHER
+        # analysis failure (corrupt footer, schema mismatch) must surface —
+        # treating it as "no history" would silently dedup against nothing
+        # and mask real history loss as success.
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
         have_store = False
     if have_store:
+        if batch_id is not None and "batch_id" in store.columns:
+            store = store.filter(F.col("batch_id") != batch_id)
         hist = store.groupBy("seg_hash").agg(F.sum("n_docs").alias("hist_docs"))
         total = (
             batch_counts.join(hist.withColumnRenamed("seg_hash", "__h"), "__h", "left")
@@ -179,7 +196,17 @@ def incremental_line_dedup_ingest(
     # without this, an action on the returned frame after the append would
     # recount the batch's own rows as history
     out = _rebuild_stats(segments, kept, id_col).localCheckpoint(eager=True)
-    batch_counts.withColumnRenamed("__h", "seg_hash").write.mode("append").parquet(store_dir)
+    counts_out = batch_counts.withColumnRenamed("__h", "seg_hash")
+    if batch_id is None:
+        counts_out.write.mode("append").parquet(store_dir)
+    else:
+        (
+            counts_out.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
     return out
 
 
@@ -199,15 +226,25 @@ def streaming_line_dedup_ingest(
 
     foreachBatch is the right seam (as in streaming_near_dup_ingest): the
     boilerplate decision needs the batch as a finite frame for the
-    cross-document count, and checkpointing gives exactly-once batch
-    replay on restart."""
+    cross-document count. foreachBatch delivery is AT-LEAST-ONCE — a batch
+    interrupted mid-write replays on restart — so both side effects are
+    keyed by batch_id and written with dynamic partition overwrite: the
+    replay overwrites its own store and kept partitions (never
+    double-appends), and the store read excludes the current batch_id, so
+    the composed result is effectively-once."""
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
         out = incremental_line_dedup_ingest(
             batch_df.sparkSession, batch_df, store_dir,
-            id_col=id_col, text_col=text_col, **ingest_kwargs,
+            id_col=id_col, text_col=text_col, batch_id=batch_id, **ingest_kwargs,
         )
-        out.write.mode("append").parquet(kept_dir)
+        (
+            out.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(kept_dir)
+        )
 
     return stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

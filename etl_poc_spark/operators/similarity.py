@@ -105,9 +105,24 @@ def _pair_cosine(
         .agg(F.sum(prod).cast("double").alias("dot"))
     )
     q_ex = _explode_vec(queries, id_col, vec_col, "query_id")
-    b_ex = _explode_vec(base, id_col, vec_col, "neighbor_id")
     qn = _norms(q_ex, "query_id", "qn")
-    bn = _norms(b_ex, "neighbor_id", "bn")
+    if base is queries:
+        # Self-join callers (semdedup, self-similarity): ONE norm
+        # aggregation reused under both aliases — the second explode +
+        # groupBy pass over the corpus would be a full extra wide shuffle.
+        # Pinned because exchange reuse does not fire across the two join
+        # references (verified on the executed plan); the pinned frame is
+        # tiny (one (id, norm) row per vector) and released with the
+        # query's other stage pins.
+        from etl_poc_spark.operators.pins import pin
+
+        qn = pin(qn)
+        bn = qn.select(
+            F.col("query_id").alias("neighbor_id"), F.col("qn").alias("bn")
+        )
+    else:
+        b_ex = _explode_vec(base, id_col, vec_col, "neighbor_id")
+        bn = _norms(b_ex, "neighbor_id", "bn")
     return (
         dots.join(hint_q(qn), "query_id")
         .join(hint_b(bn), "neighbor_id")
@@ -175,11 +190,21 @@ def ivf_cosine_topk(
 # --- KMeans-trained IVF ------------------------------------------------------
 
 
-def _assign_centroid(df: DataFrame, centroids, id_col: str, vec_col: str, nprobe: int = 1) -> DataFrame:
-    """(id, cluster) for the nprobe nearest centroids by cosine — Arrow-
-    batched numpy matmul per batch (vectors x the small centroid matrix);
-    the centroid model ships to executors as a closure, the vectors never
-    leave their partitions."""
+def _assign_centroid(
+    df: DataFrame,
+    centroids,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+    with_sim: bool = False,
+) -> DataFrame:
+    """(id, cluster[, cent_sim]) for the nprobe nearest centroids by cosine —
+    Arrow-batched numpy matmul per batch (vectors x the small centroid
+    matrix); the centroid model ships to executors as a closure, the vectors
+    never leave their partitions. `with_sim` adds the cosine to each
+    assigned centroid (rounded to 7 decimals — used as an ORDERING key by
+    the SemDeDup keep-closest-to-centroid policy, never compared across
+    engines unrounded)."""
     import numpy as np
     import pandas as pd
 
@@ -187,9 +212,10 @@ def _assign_centroid(df: DataFrame, centroids, id_col: str, vec_col: str, nprobe
     cnorm = np.linalg.norm(cmat, axis=1)
     cnorm[cnorm == 0] = 1.0
     cunit = cmat / cnorm[:, None]
-    out_schema = T.StructType(
-        [df.schema[id_col], T.StructField("cluster", T.IntegerType())]
-    )
+    fields = [df.schema[id_col], T.StructField("cluster", T.IntegerType())]
+    if with_sim:
+        fields.append(T.StructField("cent_sim", T.DoubleType()))
+    out_schema = T.StructType(fields)
 
     def fn(batches):
         for pdf in batches:
@@ -201,10 +227,14 @@ def _assign_centroid(df: DataFrame, centroids, id_col: str, vec_col: str, nprobe
             sims = (v / vn[:, None]) @ cunit.T
             # top-nprobe clusters per vector, deterministic tie-break by index
             order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-            yield pd.DataFrame({
+            out = {
                 id_col: pdf[id_col].to_numpy().repeat(nprobe),
                 "cluster": order.reshape(-1).astype("int32"),
-            })
+            }
+            if with_sim:
+                picked = np.take_along_axis(sims, order, axis=1)
+                out["cent_sim"] = np.round(picked.reshape(-1), 7)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(fn, schema=out_schema)
 
@@ -290,11 +320,20 @@ def semdedup(
     max_cluster_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: str = "min_id",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): assign each vector to its nearest
-    trained centroid, compute exact cosine ONLY within clusters, and drop
-    the larger id of every pair at cosine >= `threshold`. Output, one row
+    trained centroid, compute exact cosine ONLY within clusters, and for
+    every pair at cosine >= `threshold` drop one member. Output, one row
     per vector: (id, cluster, is_dropped).
+
+    `keep` selects which member of a duplicate pair survives:
+      - "min_id" (default, the paper's rule): drop the larger id — fully
+        deterministic from ids alone, oracle-checkable in pure SQL.
+      - "centroid" (the common production variant): drop the member
+        FARTHER from its cluster centroid, keeping the most prototypical
+        copy (ties broken toward the smaller id). Uses the assignment
+        pass's cosine-to-centroid, so it costs nothing extra.
 
     Pair volume is sum(c_k^2)/2 instead of n^2/2 — semantic duplicates
     share a coarse cluster, so cross-cluster pairs never materialize.
@@ -306,7 +345,12 @@ def semdedup(
     its members are duplicates of each other."""
     from etl_poc_spark.operators.dedup import cap_buckets
 
-    assigned = _assign_centroid(corpus, centroids, id_col, vec_col, nprobe=1)
+    if keep not in ("min_id", "centroid"):
+        raise ValueError(f"keep must be 'min_id' or 'centroid', got {keep!r}")
+    with_sim = keep == "centroid"
+    assigned = _assign_centroid(
+        corpus, centroids, id_col, vec_col, nprobe=1, with_sim=with_sim
+    )
     pairable = (
         cap_buckets(assigned, ["cluster"], max_cluster_size)
         if max_cluster_size is not None
@@ -320,14 +364,32 @@ def semdedup(
         .select("query_id", "neighbor_id")
     )
     scored = _pair_cosine(corpus, corpus, pairs, id_col, vec_col)
+    dup = scored.filter(F.col("cos_sim") >= threshold)
+    if with_sim:
+        # attach each member's cosine-to-centroid onto the (small,
+        # post-threshold) duplicate-pair frame, then drop the member
+        # FARTHER from its centroid; on an exact tie keep the smaller id
+        # (the default rule) so the choice stays total
+        sims = assigned.select(id_col, "cent_sim")
+        dup = dup.join(
+            sims.select(F.col(id_col).alias("query_id"), F.col("cent_sim").alias("__qs")),
+            "query_id",
+        ).join(
+            sims.select(F.col(id_col).alias("neighbor_id"), F.col("cent_sim").alias("__ns")),
+            "neighbor_id",
+        )
+        drop_id = F.when(F.col("__qs") < F.col("__ns"), F.col("query_id")).otherwise(
+            F.col("neighbor_id")
+        )
+    else:
+        drop_id = F.col("neighbor_id")
     dropped = (
-        scored.filter(F.col("cos_sim") >= threshold)
-        .select(F.col("neighbor_id").alias(id_col))
+        dup.select(drop_id.alias(id_col))
         .distinct()
         .withColumn("__d", F.lit(True))
     )
     return (
-        assigned.join(dropped, id_col, "left")
+        assigned.select(id_col, "cluster").join(dropped, id_col, "left")
         .select(
             id_col,
             "cluster",

@@ -18,7 +18,10 @@ docetl/config/article_pipeline.yaml.j2):
       # curation vocabulary (engine extension): exact_dedup {keys, id},
       # near_dedup {id, text_key, n_hashes, rows_per_band, max_bucket_size},
       # quality_filter {id, text_key}, pii_redact {text_key},
-      # sample {percent, id, salt}
+      # sample {percent, id, salt},
+      # line_dedup {id, text_key, words_per_segment, min_docs},
+      # semdedup {id, embedding_key, n_centroids, threshold,
+      #           max_cluster_size, keep: min_id|centroid}
     pipeline:
       steps: [{name: s1, input: papers, operations: [chunk, extract]}]
       output: {type: file, path: /out, intermediate_dir: /tmp/int}
@@ -239,6 +242,40 @@ def _apply_op(df: DataFrame, op: dict[str, Any], provider: LLMProvider) -> DataF
             .withColumn(text_col, F.coalesce(F.col("__dedup_text"), F.col(text_col)))
             .drop("__dedup_text")
         )
+    if t == "semdedup":
+        # semantic dedup over an embedding column (Abbas et al. 2023):
+        # train a coarse quantizer on the incoming frame, compute exact
+        # cosine only within clusters, drop one member of every pair at
+        # cosine >= threshold (keep: min_id | centroid)
+        from etl_poc_spark.operators.similarity import (
+            semdedup,
+            train_kmeans_centroids,
+        )
+
+        id_col = op.get("id", "doc_id")
+        vec_col = op.get("embedding_key", "embedding")
+        centroids = train_kmeans_centroids(
+            df,
+            n_centroids=int(op.get("n_centroids", 64)),
+            n_iters=int(op.get("n_iters", 1)),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        flags = semdedup(
+            df,
+            centroids,
+            threshold=float(op.get("threshold", 0.99)),
+            max_cluster_size=(
+                int(op["max_cluster_size"]) if op.get("max_cluster_size") else None
+            ),
+            id_col=id_col,
+            vec_col=vec_col,
+            keep=op.get("keep", "min_id"),
+        )
+        from pyspark.sql import functions as F
+
+        drop = flags.filter(F.col("is_dropped")).select(id_col)
+        return df.join(drop, id_col, "left_anti")
     raise PipelineConfigError(f"unknown operation type {t!r}")
 
 

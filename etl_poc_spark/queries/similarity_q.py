@@ -14,9 +14,24 @@ from etl_poc_spark.io import load_table
 from etl_poc_spark.operators.similarity import cosine_topk, ivf_cosine_topk
 from etl_poc_spark.registry import query
 
-# trained coarse-quantizer cache, keyed by sf_dir: training is deterministic
-# so the reuse is exact (see embedding_kmeans_ivf_topk docstring)
-_KMEANS_MODELS: dict[str, list[list[float]]] = {}
+# trained coarse-quantizer cache: training is deterministic so the reuse is
+# exact (see embedding_kmeans_ivf_topk docstring). Keyed by sf_dir PLUS a
+# cheap fingerprint of the embeddings parquet (mtime+size) so a long-lived
+# process retrains if the data at the same path is regenerated — serving
+# centroids trained on the old table would silently drift from an oracle
+# trained on the new one.
+_KMEANS_MODELS: dict[tuple, list[list[float]]] = {}
+
+
+def _model_key(sf_dir: str) -> tuple:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        return (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (sf_dir,)
 
 # DuckDB fragment: exact decimal dot product between two list<float> columns
 # expanded positionally. {a}/{b} are column refs.
@@ -279,20 +294,22 @@ def embedding_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # calls over the same table reuse the centroids instead of re-running
     # two Lloyd collects per query — exactly how a production IVF serves
     # (train offline once, probe many times)
-    centroids = _KMEANS_MODELS.get(sf_dir)
+    key = _model_key(sf_dir)
+    centroids = _KMEANS_MODELS.get(key)
     if centroids is None:
         from etl_poc_spark.operators.similarity import train_kmeans_centroids
 
         centroids = train_kmeans_centroids(b, n_centroids=8, n_iters=2)
-        _KMEANS_MODELS[sf_dir] = centroids
+        _KMEANS_MODELS[key] = centroids
     return kmeans_ivf_topk(q, b, k=5, nprobe=3, centroids=centroids)
 
 
 # --- SemDeDup: semantic dedup via cluster-bounded pairwise cosine ----------
 
 # trained-on-corpus quantizer cache (distinct from _KMEANS_MODELS: SemDeDup
-# trains on the duplicated corpus, not the base split)
-_SEMDEDUP_MODELS: dict[str, list[list[float]]] = {}
+# trains on the duplicated corpus, not the base split); same data-fingerprint
+# key so regenerated testdata retrains
+_SEMDEDUP_MODELS: dict[tuple, list[list[float]]] = {}
 
 _SEMDEDUP_K = 64  # coarse clusters: pair work is sum(c^2)/2 per cluster
 _SEMDEDUP_CLUSTER_CAP = 2000  # degenerate-cluster guard (inert at test SFs)
@@ -419,10 +436,11 @@ def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probes, both pair sides, both norm frames) — pin it so the cast+union
     # runs once; at cluster scale this is the materialized corpus table
     corpus = pin(_semdedup_corpus(spark, sf_dir))
-    centroids = _SEMDEDUP_MODELS.get(sf_dir)
+    key = _model_key(sf_dir)
+    centroids = _SEMDEDUP_MODELS.get(key)
     if centroids is None:
         centroids = train_kmeans_centroids(corpus, n_centroids=_SEMDEDUP_K, n_iters=1)
-        _SEMDEDUP_MODELS[sf_dir] = centroids
+        _SEMDEDUP_MODELS[key] = centroids
     return semdedup(
         corpus, centroids, threshold=0.99, max_cluster_size=_SEMDEDUP_CLUSTER_CAP
     )

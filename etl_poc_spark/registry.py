@@ -39,28 +39,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every query module so registration side effects run.
 
-    Import order is registration order. Modules whose queries were never
-    sampled by the round-4 driver gate (bm25/hybrid_rrf, both as-of joins,
-    kmeans-IVF, salted join, gini UDAF) are imported FIRST so that, if the
-    driver's 50-query sample follows registration order, the historically
-    under-sampled surface lands in the sample; the committed full gate log
-    (tools/check_oracle.py) remains the backstop either way."""
+    Neutral alphabetical order — registration order encodes nothing about how
+    any external gate samples the surface. Full-surface evidence comes from
+    the committed `tools/check_oracle.py` gate log, which runs every query."""
     from etl_poc_spark.queries import (  # noqa: F401
-        tokenize_q,
-        temporal_q,
-        similarity_q,
-        extra_q,
         analytics_q,
-        relational,
-        pivot_q,
-        pipeline_q,
-        multimodal_q,
-        linededup_q,
-        dates_q,
-        misc_q,
-        events_q,
-        documents_q,
-        dedup_q,
-        dedup2_q,
         curation_q,
+        dates_q,
+        dedup2_q,
+        dedup_q,
+        documents_q,
+        events_q,
+        extra_q,
+        linededup_q,
+        misc_q,
+        multimodal_q,
+        pipeline_q,
+        pivot_q,
+        relational,
+        similarity_q,
+        temporal_q,
+        tokenize_q,
     )

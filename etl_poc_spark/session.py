@@ -36,6 +36,12 @@ def get_spark(app_name: str = "etl_poc_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # events.parquet has shipped as TIMESTAMP(NANOS) in past rounds,
+        # which Spark's vectorized reader rejects; with this legacy conf the
+        # column reads as bigint and io._load_events floor-divides to micros
+        # (DuckDB-parity truncation). Set once here so table loading has no
+        # hidden session side effects.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

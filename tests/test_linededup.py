@@ -158,7 +158,10 @@ def test_streaming_line_dedup_matches_sequential_batches(spark, tmp_path):
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination(180)
 
-    got = sorted(map(tuple, spark.read.parquet(str(tmp_path / "kept")).collect()))
+    cols = ["doc_id", "n_segments", "n_kept", "n_dropped", "dedup_text"]
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "kept")).select(cols).collect())
+    )
     ref_store = str(tmp_path / "ref_store")
     ref = sorted(
         map(
@@ -174,6 +177,50 @@ def test_streaming_line_dedup_matches_sequential_batches(spark, tmp_path):
     assert got == ref
     texts = {r[0]: r[4] for r in got}
     assert texts[1] == f"{BP} a b c" and texts[10] == "j k l"
+
+
+def test_incremental_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch with the same
+    batch_id must overwrite its own store partition (no double-counted
+    history) and produce identical output — the boilerplate threshold must
+    not trip early because a replayed batch saw its prior attempt's rows."""
+    from etl_poc_spark.operators.linededup import incremental_line_dedup_ingest
+
+    store = str(tmp_path / "store")
+    b1 = _mk(spark, [(1, f"{BP} a b c"), (2, "d e f g h i")])
+    first = sorted(map(tuple, incremental_line_dedup_ingest(
+        spark, b1, store, words_per_segment=3, batch_id=0).collect()))
+    # replay batch 0: output identical, BP still below threshold (1 doc)
+    replay = sorted(map(tuple, incremental_line_dedup_ingest(
+        spark, b1, store, words_per_segment=3, batch_id=0).collect()))
+    assert replay == first
+    out1 = {r[0]: r for r in replay}
+    assert out1[1][4] == f"{BP} a b c" and out1[1][3] == 0
+    # store holds exactly ONE count row per segment hash for batch 0
+    st = spark.read.parquet(store)
+    assert st.groupBy("seg_hash").count().filter(F.col("count") > 1).count() == 0
+    # batch 1 then crosses the threshold exactly as without the replay
+    b2 = _mk(spark, [(10, f"{BP} j k l")])
+    out2 = {r.doc_id: r for r in incremental_line_dedup_ingest(
+        spark, b2, store, words_per_segment=3, batch_id=1).collect()}
+    assert out2[10].dedup_text == "j k l" and out2[10].n_dropped == 1
+
+
+def test_incremental_store_read_failure_surfaces(spark, tmp_path):
+    """A corrupt store must raise, not silently reset history to empty."""
+    import pytest
+
+    from etl_poc_spark.operators.linededup import incremental_line_dedup_ingest
+
+    store = tmp_path / "store"
+    store.mkdir()
+    (store / "part-0.parquet").write_bytes(b"this is not parquet")
+    b = _mk(spark, [(1, "a b c d e f")])
+    with pytest.raises(Exception) as ei:
+        incremental_line_dedup_ingest(
+            spark, b, str(store), words_per_segment=3
+        ).collect()
+    assert "PATH_NOT_FOUND" not in str(ei.value)
 
 
 def test_registered_query_runs(spark, sf_dir):

@@ -250,3 +250,37 @@ def test_yaml_line_dedup_op(spark):
         2: "other beta stuff",
         3: "clean gamma text here",
     }
+
+
+def test_yaml_semdedup_op(spark):
+    """The semdedup pipeline op drops semantic near-duplicates of an
+    embedding column end-to-end: trains the quantizer on the frame, keeps
+    one member per duplicate pair, and leaves distinct vectors alone."""
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    # ids 1 and 2 share a direction (cosine 1.0); 3 and 4 are far from
+    # everything; default keep=min_id keeps id 1
+    docs = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0, 0.0, 0.0]),
+            (2, "b", [2.0, 0.0, 0.0, 0.0]),
+            (3, "c", [0.0, 1.0, 0.0, 0.0]),
+            (4, "d", [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    config = {
+        "default_model": "stub",
+        "datasets": {"docs": {"path": "injected.json"}},
+        "operations": [
+            {"name": "sd", "type": "semdedup", "n_centroids": 2, "threshold": 0.99},
+        ],
+        "pipeline": {
+            "steps": [{"name": "curate", "input": "docs", "operations": ["sd"]}]
+        },
+    }
+    out = run_pipeline(spark, config, datasets={"docs": docs})
+    kept = sorted(r["doc_id"] for r in out["__final__"].collect())
+    assert kept == [1, 3, 4]
+    # schema is preserved — semdedup filters rows, never alters columns
+    assert out["__final__"].columns == ["doc_id", "text", "embedding"]

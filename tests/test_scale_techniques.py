@@ -140,3 +140,44 @@ def test_semdedup_cluster_cap_guards_degenerate_clusters(spark):
     capped = semdedup(corpus, cents, threshold=0.99, max_cluster_size=5)
     out = capped.collect()
     assert len(out) == 10 and not any(r.is_dropped for r in out)
+
+
+def test_semdedup_keep_centroid_policy(spark):
+    """keep='centroid' drops the pair member FARTHER from its cluster
+    centroid (the production curation variant), where the default paper
+    rule drops the larger id. Constructed so the policies disagree: ids 10
+    and 20 are near-duplicates (6 deg apart, cos = 0.9945 >= 0.99); id 0
+    sits at -6 deg, pulling the trained centroid toward id 20's side, so
+    id 20 (the LARGER id) is the more prototypical member and must
+    survive under the centroid policy."""
+    import math
+
+    from etl_poc_spark.operators.similarity import semdedup, train_kmeans_centroids
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    rows = [(0, unit(-6)), (10, unit(9)), (20, unit(3))]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_kmeans_centroids(corpus, n_centroids=1, n_iters=1)
+
+    default = {r.vec_id: r.is_dropped for r in semdedup(corpus, cents, threshold=0.99).collect()}
+    assert default == {0: False, 10: False, 20: True}  # paper rule: larger id drops
+
+    cen = {
+        r.vec_id: r.is_dropped
+        for r in semdedup(corpus, cents, threshold=0.99, keep="centroid").collect()
+    }
+    assert cen == {0: False, 10: True, 20: False}  # prototypical member survives
+
+    # exact-tie fallback: two same-direction copies have identical cent_sim
+    # -> the smaller id survives, matching the default rule
+    dup_rows = [(0, unit(40)), (1, [2.0 * x for x in unit(40)])]
+    dup_corpus = spark.createDataFrame(dup_rows, "vec_id long, embedding array<double>")
+    dup_cents = train_kmeans_centroids(dup_corpus, n_centroids=1, n_iters=1)
+    tie = {
+        r.vec_id: r.is_dropped
+        for r in semdedup(dup_corpus, dup_cents, threshold=0.99, keep="centroid").collect()
+    }
+    assert tie == {0: False, 1: True}
