@@ -130,6 +130,20 @@ def _pair_cosine(
     )
 
 
+def cosine_for_pairs(
+    vectors: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact decimal cosine for an EXPLICIT (query_id, neighbor_id)
+    candidate-pair frame over one vector table — the composition seam for
+    callers that already bounded their pairs (near-dup verdicts, LSH
+    buckets): cost is O(|pairs|), never all-pairs. Returns
+    (query_id, neighbor_id, dot, qn, bn, cos_sim)."""
+    return _pair_cosine(vectors, vectors, pairs, id_col, vec_col)
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

@@ -28,7 +28,11 @@ from pyspark.sql import types as T
 
 from etl_poc_spark.io import load_table
 from etl_poc_spark.multimodal import imagecodec
-from etl_poc_spark.multimodal.media import image_near_dup_pairs, perceptual_hashes
+from etl_poc_spark.multimodal.media import (
+    feature_extract,
+    image_near_dup_pairs,
+    perceptual_hashes,
+)
 from etl_poc_spark.registry import query
 
 _IMG_W = 16
@@ -66,11 +70,10 @@ def render_document_images(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(fn, schema=_RENDER_SCHEMA)
 
 
-@query("image_near_dup_pairs")  # rows-only: image decode is not SQL-expressible
-def image_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate pairs over document-rendered PPMs: real decode,
-    dHash, banded self-join, Hamming <= 3 verify."""
-    docs = load_table(spark, sf_dir, "documents")
+def image_pairs_from_docs(docs: DataFrame) -> DataFrame:
+    """Query body shared with the pinned-literal pytest: render -> decode ->
+    dHash -> banded self-join -> Hamming <= 3 verify, for any
+    (doc_id, text) frame."""
     imgs = render_document_images(docs)
     pairs = image_near_dup_pairs(imgs, hash_col="dhash", max_hamming=3, max_bucket_size=200)
     return pairs.select(
@@ -80,15 +83,136 @@ def image_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("image_phash_stats")  # rows-only: same non-SQL decode path
-def image_phash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level perceptual-hash summary: decode rate and distinct-hash
-    counts — the 'how much image-level duplication' dashboard number."""
-    docs = load_table(spark, sf_dir, "documents")
+def phash_stats_from_docs(docs: DataFrame) -> DataFrame:
+    """Query body shared with the pinned-literal pytest."""
     hashes = perceptual_hashes(render_document_images(docs))
     return hashes.agg(
         F.count(F.lit(1)).alias("n_images"),
         F.sum(F.col("decoded").cast("int")).alias("n_decoded"),
         F.countDistinct("ahash").alias("distinct_ahash"),
         F.countDistinct("dhash").alias("distinct_dhash"),
+    )
+
+
+@query("image_near_dup_pairs")  # rows-only: image decode is not SQL-expressible
+def image_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs over document-rendered PPMs: real decode,
+    dHash, banded self-join, Hamming <= 3 verify. The driver's gate is
+    rows-only here; the hash-equivalent guard is the pinned-literal pytest
+    (tests/test_multimodal_features.py::test_image_query_aggregates_pinned)
+    running this exact body on a committed fixture corpus."""
+    return image_pairs_from_docs(load_table(spark, sf_dir, "documents"))
+
+
+@query("image_phash_stats")  # rows-only: same non-SQL decode path
+def image_phash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level perceptual-hash summary: decode rate and distinct-hash
+    counts — the 'how much image-level duplication' dashboard number.
+    Pinned-literal pytest covers the aggregate values on a committed
+    fixture corpus (see image_near_dup_pairs_q)."""
+    return phash_stats_from_docs(load_table(spark, sf_dir, "documents"))
+
+
+@query("media_feature_neardup_sim")  # rows-only: image decode is not SQL
+def media_feature_neardup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract -> similarity E2E over the image near-dup verdicts:
+    decode each rendered document image ONCE (pinned), run BOTH media legs
+    — perceptual-hash banded near-dup pairs AND luminance-histogram feature
+    embeddings — then score the feature-space cosine of exactly the
+    verdict pairs. Output: (id_a, id_b, hamming, cos_sim), id-ordered.
+
+    Scale shape: the cosine stage is O(|near-dup pairs|), bounded by the
+    banded self-join's bucket caps — the embeddings of non-candidate
+    images are never paired. This is the registered composition of the
+    COVERAGE.md 'feature-extract -> similarity pipeline'."""
+    from etl_poc_spark.operators.pins import pin
+    from etl_poc_spark.operators.similarity import cosine_for_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = pin(render_document_images(docs))  # one render+decode, two legs
+    pairs = image_near_dup_pairs(
+        imgs, hash_col="dhash", max_hamming=3, max_bucket_size=200
+    ).select(
+        F.col("id_a").cast("long").alias("query_id"),
+        F.col("id_b").cast("long").alias("neighbor_id"),
+        "hamming",
+    )
+    feats = feature_extract(imgs, dim=16).select(
+        F.col("path").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    scored = cosine_for_pairs(feats, pairs.select("query_id", "neighbor_id"))
+    return (
+        pairs.join(scored, ["query_id", "neighbor_id"])
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+            "cos_sim",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_AUDIO_SR = 8000
+_AUDIO_SECONDS = 0.05  # 400 frames/clip: features are exact, rendering cheap
+
+
+def render_document_audio(docs: DataFrame) -> DataFrame:
+    """(doc_id, ...) -> (path, content) where content is a REAL RIFF/WAVE
+    PCM clip: a sine at 200 + (doc_id % 20) * 100 Hz, amplitude
+    0.2 + (doc_id % 5) * 0.15 — deterministic, so decoded features follow
+    closed forms (rms = amp/sqrt(2), zcr = 2f/sr)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = int(_AUDIO_SR * _AUDIO_SECONDS)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                freq = 200 + (int(doc_id) % 20) * 100
+                amp = 0.2 + (int(doc_id) % 5) * 0.15
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(_AUDIO_SR)
+                    frames = b"".join(
+                        struct.pack(
+                            "<h",
+                            int(amp * 32767 * math.sin(2 * math.pi * freq * i / _AUDIO_SR)),
+                        )
+                        for i in range(n)
+                    )
+                    w.writeframes(frames)
+                rows.append({"path": "%012d" % int(doc_id), "content": buf.getvalue()})
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return docs.select("doc_id").mapInPandas(fn, schema=_RENDER_SCHEMA)
+
+
+@query("audio_feature_stats")  # rows-only: WAV decode is not SQL-expressible
+def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode E2E on the driver surface: render one real PCM WAV per
+    document (tone keyed by doc_id), decode with the stdlib codec, and
+    aggregate per tone frequency: clip count, mean rms, mean zero-crossing
+    rate, decode rate. The per-band zcr tracks 2f/sr (pytest-pinned), so
+    a codec regression shifts these rows immediately."""
+    from etl_poc_spark.multimodal.media import decode_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_audio_features(render_document_audio(docs))
+    return (
+        feats.withColumn("freq_hz", (F.col("path").cast("long") % 20) * 100 + 200)
+        .groupBy("freq_hz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("rms"), 5).alias("mean_rms"),
+            F.round(F.avg("zero_crossing_rate"), 5).alias("mean_zcr"),
+            F.sum(F.col("decoded").cast("int")).alias("n_decoded"),
+        )
+        .orderBy("freq_hz")
     )

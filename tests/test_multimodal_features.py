@@ -222,6 +222,36 @@ def test_image_near_dup_query_registered(spark):
     assert 0 < stats["distinct_dhash"] <= stats["n_images"]
 
 
+def test_image_query_aggregates_pinned(spark):
+    """Hash-equivalent guard for the two rows-only driver queries: the
+    EXACT query bodies (render -> stdlib decode -> dHash -> banded
+    self-join -> Hamming verify) run on a committed fixture corpus and
+    every output value is pinned as a literal. The decoders are fully
+    deterministic, so any drift in codec, hashing, banding, or verify
+    arithmetic moves these literals — the strongest check available where
+    a SQL oracle cannot express the decode."""
+    from etl_poc_spark.queries.multimodal_q import (
+        image_pairs_from_docs,
+        phash_stats_from_docs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    texts = [
+        (1, base),
+        (2, base),  # exact dup of 1 -> byte-identical image, Hamming 0
+        (3, base[:100] + ("Z" * 20) + base[120:]),  # 20-byte edit -> Hamming 2
+        (4, "completely different content entirely unlike the rest " * 16),
+        (5, "".join(chr(97 + (i * 7) % 26) for i in range(700))),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    pairs = sorted(map(tuple, image_pairs_from_docs(docs).collect()))
+    assert pairs == [(1, 2, 0), (1, 3, 2), (2, 3, 2)]
+
+    stats = phash_stats_from_docs(docs).collect()[0]
+    assert tuple(stats) == (5, 5, 4, 4)  # n_images, n_decoded, ahash, dhash
+
+
 def test_corrupt_images_fall_back_not_crash(spark, tmp_path):
     """Truncated/corrupt files raise zlib.error / struct.error inside the
     codecs — they must fall back (decoded=False), never kill the task."""
@@ -237,6 +267,38 @@ def test_corrupt_images_fall_back_not_crash(spark, tmp_path):
     for name in ("trunc_idat.png", "cut_ihdr.png", "bad.bmp"):
         assert not out[name]["decoded"]
         assert len(out[name]["resized"]) == 4 * 4 * 3  # fallback keeps the shape
+
+
+def test_media_feature_neardup_sim_query(spark):
+    """The registered feature->similarity E2E query: every perceptual
+    near-dup pair (Hamming <= 3) also scores high in luminance-feature
+    space, and the cosine stage runs only on the verdict pairs."""
+    from etl_poc_spark.queries.multimodal_q import media_feature_neardup_sim
+
+    rows = media_feature_neardup_sim(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "testdata contains near-dup documents -> image near-dups"
+    assert all(r.id_a < r.id_b and r.hamming <= 3 for r in rows)
+    # perceptual near-dups must be feature-space near-dups; the tightest
+    # band (Hamming 0 — identical dHash, possibly distinct pixels) scores
+    # at least as close as the loosest
+    assert all(r.cos_sim > 0.95 for r in rows)
+    h0 = [r.cos_sim for r in rows if r.hamming == 0]
+    assert h0 and min(h0) >= 0.999
+
+
+def test_audio_feature_stats_query(spark):
+    """The registered audio E2E query: per-band zero-crossing rate tracks
+    the closed form 2f/sr and rms tracks amp/sqrt(2) for the rendered
+    tones; every clip decodes through the REAL stdlib codec."""
+    from etl_poc_spark.queries.multimodal_q import audio_feature_stats
+
+    rows = audio_feature_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.n_decoded == r.n_clips for r in rows)
+    for r in rows:
+        # doc_id % 20 fixes doc_id % 5, so each band has ONE amplitude
+        amp = 0.2 + ((r.freq_hz - 200) // 100 % 5) * 0.15
+        assert abs(r.mean_rms - amp / 2 ** 0.5) < 0.01, r
+        assert abs(r.mean_zcr - 2 * r.freq_hz / 8000) < 0.01, r
 
 
 # --- audio -----------------------------------------------------------------
