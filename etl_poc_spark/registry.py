@@ -57,6 +57,7 @@ def load_all() -> None:
         pipeline_q,
         pivot_q,
         relational,
+        relational2_q,
         similarity_q,
         temporal_q,
         tokenize_q,
