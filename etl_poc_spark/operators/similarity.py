@@ -327,6 +327,129 @@ def kmeans_ivf_topk(
     return _rank_topk(_pair_cosine(queries, base, pairs, id_col, vec_col, small_q=small_q), k)
 
 
+# --- Product Quantization (PQ) ----------------------------------------------
+
+
+def train_pq_codebooks(
+    base: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks (Jegou et al. 2011): split the vector into `m`
+    contiguous subspaces and run the deterministic KMeans trainer on each
+    (id-ordered init, decimal-exact means) with `k` codewords. Returns
+    m codebooks of k centroids each — the whole model is m*k*(dim/m)
+    floats, a few KB, the only thing that ever reaches the driver.
+
+    Each training pass projects the corpus to one subspace with a pure
+    Column slice — vectors never leave their partitions; the m passes are
+    narrow scans plus the trainer's bounded aggregations."""
+    dim = len(base.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = base.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col)
+        )
+        books.append(train_kmeans_centroids(sliced, k, n_iters, id_col, vec_col))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int>) — one Arrow-
+    batched pass assigns every subvector to its nearest codeword by cosine
+    (normalized matmul, stable argmax — the same parity contract as
+    _assign_centroid). At dim 64 / m=4 the code row is ~4 bytes of payload
+    per vector versus 256 bytes of floats: the 64x compression that lets a
+    100-TB corpus's ANN index live in cluster memory."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    units = []
+    for book in codebooks:
+        cmat = np.asarray(book, dtype=np.float64)
+        cn = np.linalg.norm(cmat, axis=1)
+        cn[cn == 0] = 1.0
+        units.append(cmat / cn[:, None])
+    sub = units[0].shape[1]
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].apply(lambda a: np.asarray(a, dtype=np.float64)))
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for s in range(m):
+                sv = v[:, s * sub : (s + 1) * sub]
+                svn = np.linalg.norm(sv, axis=1)
+                svn[svn == 0] = 1.0
+                sims = (sv / svn[:, None]) @ units[s].T
+                order = np.argsort(-sims, axis=1, kind="stable")
+                codes[:, s] = order[:, 0]
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema=out_schema)
+
+
+def pq_decode_expr(codebooks: list[list[list[float]]], codes_col: str = "codes") -> F.Column:
+    """Reconstructed vector as a pure Column expression: the codebooks
+    embed as a nested array literal (a few KB inside the plan) and
+    flatten(transform(codes, ...)) concatenates the selected codewords —
+    decode-on-the-fly inside codegen, no UDF, no join."""
+    rows = ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cw) + ")"
+            for cw in book
+        ) + ")"
+        for book in codebooks
+    )
+    return F.expr(
+        f"flatten(transform({codes_col}, (c, s) -> element_at(element_at(array({rows}), s + 1), c + 1)))"
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    base_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation: the TRUE query
+    vector scores against each candidate's RECONSTRUCTED vector (decoded
+    from its PQ codes in-plan), which for cosine is exactly ADC. Exact
+    decimal arithmetic end to end, so results are oracle-checkable.
+
+    Scale shape: base-side payload is the code row, decode happens in
+    codegen per candidate, and the scoring reuses the broadcast-gated
+    _pair_cosine kernel. Compose with the IVF coarse quantizer
+    (kmeans_ivf_topk's assignment) to bound candidates first — this
+    operator is the PQ half of a FAISS-style IVF-PQ."""
+    decoded = base_codes.select(
+        F.col(id_col), pq_decode_expr(codebooks).alias(vec_col)
+    )
+    pairs = (
+        queries.select(F.col(id_col).alias("query_id"))
+        .crossJoin(decoded.select(F.col(id_col).alias("neighbor_id")))
+    )
+    return _rank_topk(_pair_cosine(queries, decoded, pairs, id_col, vec_col), k)
+
+
 def semdedup(
     corpus: DataFrame,
     centroids: list[list[float]],

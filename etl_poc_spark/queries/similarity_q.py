@@ -304,6 +304,162 @@ def embedding_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_ivf_topk(q, b, k=5, nprobe=3, centroids=centroids)
 
 
+# --- Product Quantization: compressed-codes ANN (ADC) ----------------------
+
+# 16 subspaces x 64 codewords: 16 codes of 6 bits = 12 B payload per vector
+# (~21x smaller than the 64 floats). Near-uniform synthetic vectors are the
+# WORST case for quantization (zero structure to exploit); this config holds
+# recall ~0.58 there, the honest floor — clustered real embeddings recover
+# far more. Fewer/larger subspaces measured much worse on this data
+# (m=4,k=16 -> 0.06; m=16,k=16 -> 0.40).
+_PQ_M = 16  # subspaces
+_PQ_SUB = 4  # dims per subspace (64 / 16)
+_PQ_K = 64  # codewords per subspace
+
+_PQ_MODELS: dict[tuple, list[list[list[float]]]] = {}
+
+
+def _pq_sub_sql(s: int) -> str:
+    """Unrolled per-subspace PQ training + encode as DuckDB CTEs: slice ->
+    id-ordered init -> ONE Lloyd iteration (cosine argmax assign,
+    decimal-exact means, empty clusters keep the init codeword) -> encode
+    every base vector against the trained codebook. Mirrors
+    operators/similarity.py::train_pq_codebooks / pq_encode bit-for-bit on
+    the decimal means (assignment parity per the kmeans-IVF note)."""
+    lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+    p = f"s{s}"
+    return f"""
+    , b_{p} AS (
+      SELECT vec_id, list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS sub
+      FROM b
+    ), dims_{p} AS (SELECT unnest(range(1, {_PQ_SUB + 1})) AS i)
+    , init_{p} AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, sub
+      FROM (SELECT vec_id, sub FROM b_{p} ORDER BY vec_id LIMIT {_PQ_K})
+    ), ce0_{p} AS (
+      SELECT cluster, d.i, CAST(sub[d.i] AS DOUBLE) AS c FROM init_{p}, dims_{p} d
+    ), ce0_{p}_norm AS (
+      SELECT cluster,
+             CASE WHEN sqrt(SUM(c * c)) = 0 THEN 1 ELSE sqrt(SUM(c * c)) END AS n
+      FROM ce0_{p} GROUP BY cluster
+    ), bn_{p} AS (
+      SELECT b.vec_id,
+             CASE WHEN sqrt(SUM(b.sub[d.i] * b.sub[d.i])) = 0 THEN 1
+                  ELSE sqrt(SUM(b.sub[d.i] * b.sub[d.i])) END AS n
+      FROM b_{p} b, dims_{p} d GROUP BY b.vec_id
+    ), a1_{p} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT s.vec_id, s.cluster,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cluster) AS rk
+        FROM (
+          SELECT b.vec_id, ce.cluster,
+                 SUM((b.sub[ce.i] / bn.n) * (ce.c / cn.n)) AS sim
+          FROM b_{p} b, bn_{p} bn, ce0_{p} ce, ce0_{p}_norm cn
+          WHERE bn.vec_id = b.vec_id AND cn.cluster = ce.cluster
+          GROUP BY b.vec_id, ce.cluster
+        ) s) WHERE rk = 1
+    ), m1_{p} AS (
+      SELECT a.cluster, d.i,
+             CAST(SUM(CAST(CAST(b.sub[d.i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM a1_{p} a, b_{p} b, dims_{p} d
+      WHERE b.vec_id = a.vec_id
+      GROUP BY a.cluster, d.i
+    ), cb_{p} AS (
+      SELECT p0.cluster, p0.i, COALESCE(m.c, p0.c) AS c
+      FROM ce0_{p} p0 LEFT JOIN m1_{p} m ON m.cluster = p0.cluster AND m.i = p0.i
+    ), cb_{p}_norm AS (
+      SELECT cluster,
+             CASE WHEN sqrt(SUM(c * c)) = 0 THEN 1 ELSE sqrt(SUM(c * c)) END AS n
+      FROM cb_{p} GROUP BY cluster
+    ), enc_{p} AS (
+      SELECT vec_id, cluster AS code FROM (
+        SELECT s.vec_id, s.cluster,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.cluster) AS rk
+        FROM (
+          SELECT b.vec_id, ce.cluster,
+                 SUM((b.sub[ce.i] / bn.n) * (ce.c / cn.n)) AS sim
+          FROM b_{p} b, bn_{p} bn, cb_{p} ce, cb_{p}_norm cn
+          WHERE bn.vec_id = b.vec_id AND cn.cluster = ce.cluster
+          GROUP BY b.vec_id, ce.cluster
+        ) s) WHERE rk = 1
+    ), dec_{p} AS (
+      SELECT e.vec_id, {lo - 1} + c.i AS i, c.c
+      FROM enc_{p} e JOIN cb_{p} c ON c.cluster = e.code
+    )"""
+
+
+_PQ_ORACLE = (
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+    qdims AS (SELECT unnest(range(1, 65)) AS i)"""
+    + "".join(_pq_sub_sql(s) for s in range(_PQ_M))
+    + """
+    , dec AS ("""
+    + " UNION ALL ".join(f"SELECT * FROM dec_s{s}" for s in range(_PQ_M))
+    + """
+    ), qnorm AS (
+      SELECT q.vec_id,
+             sqrt(CAST(SUM(CAST(CAST(q.embedding[d.i] AS DOUBLE) * CAST(q.embedding[d.i] AS DOUBLE)
+                               AS DECIMAL(25,15))) AS DOUBLE)) AS n
+      FROM q, qdims d GROUP BY q.vec_id
+    ), dnorm AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(c * c AS DECIMAL(25,15))) AS DOUBLE)) AS n
+      FROM dec GROUP BY vec_id
+    ), dots AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             CAST(SUM(CAST(CAST(q.embedding[d.i] AS DOUBLE) * d.c AS DECIMAL(25,15))) AS DOUBLE) AS dot
+      FROM q, dec d GROUP BY q.vec_id, d.vec_id
+    ), ranked AS (
+      SELECT dots.query_id, dots.neighbor_id,
+             round(dots.dot / (qn.n * dn.n), 7) AS cos_sim,
+             row_number() OVER (PARTITION BY dots.query_id
+                                ORDER BY round(dots.dot / (qn.n * dn.n), 7) DESC, dots.neighbor_id) AS rank
+      FROM dots JOIN qnorm qn ON qn.vec_id = dots.query_id
+                JOIN dnorm dn ON dn.vec_id = dots.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+    """
+)
+
+
+@query("embedding_pq_topk", oracle=_PQ_ORACLE)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ANN (Jegou et al. 2011), the compressed-index
+    scale path: the base split encodes to 16 codes of 6 bits each (16
+    trained 64-codeword codebooks over 4-dim subspaces, ~21x smaller than
+    the float vectors), and queries score by asymmetric distance — true
+    query vector against the candidate's RECONSTRUCTED vector, decoded
+    inside codegen from a literal codebook (no UDF, no join on the decode
+    path; at production codebook sizes ship the table via broadcast +
+    Arrow decode instead of a plan literal).
+
+    Hash-checked oracle: per-subspace unrolled Lloyd (id-ordered init,
+    one iteration, decimal-exact means) + encode + reconstruction + the
+    standard decimal dot/norm/rank machinery, so codes, reconstructed
+    values, cosines, and ranks all match bit-for-bit. Compose with the
+    trained coarse quantizer (embedding_kmeans_ivf_topk) for candidate
+    pruning to get the full FAISS-style IVF-PQ at cluster scale."""
+    from etl_poc_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    b = emb.filter(F.col("vec_id") >= 10)
+    key = _model_key(sf_dir)
+    books = _PQ_MODELS.get(key)
+    if books is None:
+        books = train_pq_codebooks(b, m=_PQ_M, k=_PQ_K, n_iters=1)
+        _PQ_MODELS[key] = books
+    codes = pq_encode(b, books)
+    return pq_adc_topk(q, codes, books, k=5)
+
+
 # --- SemDeDup: semantic dedup via cluster-bounded pairwise cosine ----------
 
 # trained-on-corpus quantizer cache (distinct from _KMEANS_MODELS: SemDeDup

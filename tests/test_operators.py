@@ -176,6 +176,66 @@ def test_kmeans_ivf_recall_vs_exact(spark, sf_dir):
     assert approx == again
 
 
+def test_pq_encode_decode_roundtrip(spark):
+    """PQ contract: codebooks shape (m, k, dim/m); codes are m ints in
+    [0, k); the in-plan decode expression reconstructs EXACTLY the trained
+    codeword floats (literal round-trip, no precision loss)."""
+    from etl_poc_spark.io import load_table
+    from etl_poc_spark.operators.similarity import (
+        pq_decode_expr,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    b = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") >= 10
+    )
+    m, k = 4, 8
+    books = train_pq_codebooks(b, m=m, k=k, n_iters=1)
+    assert len(books) == m and all(len(bk) == k for bk in books)
+    assert all(len(cw) == 64 // m for bk in books for cw in bk)
+
+    codes = pq_encode(b, books)
+    rows = codes.collect()
+    assert all(len(r.codes) == m and all(0 <= c < k for c in r.codes) for r in rows)
+
+    decoded = codes.select("vec_id", pq_decode_expr(books).alias("rec")).collect()
+    by_id = {r.vec_id: r for r in decoded}
+    code_by_id = {r.vec_id: r.codes for r in rows}
+    some = sorted(by_id)[:5]
+    sub = 64 // m
+    for vid in some:
+        rec = by_id[vid].rec
+        assert len(rec) == 64
+        for s in range(m):
+            expect = books[s][code_by_id[vid][s]]
+            assert list(rec[s * sub : (s + 1) * sub]) == [float(x) for x in expect]
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """ADC over reconstructed vectors recovers a usable fraction of the
+    exact top-5 even on near-uniform vectors (quantization's worst case),
+    and is deterministic end to end."""
+    from etl_poc_spark.io import load_table
+    from etl_poc_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    b = emb.filter(F.col("vec_id") >= 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, b, k=5).collect()}
+    books = train_pq_codebooks(b, m=16, k=64, n_iters=1)
+    codes = pq_encode(b, books)
+    approx = {(r["query_id"], r["neighbor_id"]) for r in pq_adc_topk(q, codes, books, k=5).collect()}
+    assert len(exact & approx) / len(exact) >= 0.4
+    again = {(r["query_id"], r["neighbor_id"]) for r in pq_adc_topk(q, codes, books, k=5).collect()}
+    assert approx == again
+
+
 def test_connected_components_and_representatives(spark):
     from etl_poc_spark.operators.dedup import connected_components, dedup_representatives
 
