@@ -157,6 +157,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "hybrid_rrf_search",    # same scalar join via the bm25 leg
         "orders_price_band_range_join",  # documented non-equi broadcast interval join (bands dim is tiny)
         "embedding_topk",       # exact baseline: bounded query side (10 vectors) x base
+        "embedding_pq_topk",    # ADC sweep: same bounded query side x decoded candidates
         "hll_sketch_union_users",  # 1-row sketch-union scalar join
     }
     offenders = {}
