@@ -1,0 +1,205 @@
+"""Correlated-subquery relational surface (TPC-H Q17/Q21/Q11 shapes).
+
+These exercise Catalyst's subquery decorrelation: a correlated scalar
+aggregate (Q17), a stacked EXISTS / NOT EXISTS (Q21), and a HAVING
+threshold that references a scalar subquery over the whole input (Q11).
+The reference (parhampr/ETL-POC) has no relational engine — it delegates
+tabular work to the YAML runner — so, as with queries/relational2_q.py,
+these extend the engine's §2.2–2.8 inventory with decision-support
+shapes a replacement engine must cover.
+
+Numeric policy (same as queries/relational.py): monetary/quantity sums
+accumulate in DECIMAL (exact, order-independent); every comparison against
+a scaled aggregate is rewritten to avoid division (multiply both sides by
+the divisor) so the row-selection predicate is integer/decimal-exact; the
+final ratio, if any, is ONE double division of exact operands.
+
+Scale notes (100 TB): the Q17 scalar subquery decorrelates into a
+per-partkey partial aggregate joined back on partkey — one shuffle, with
+map-side combine; Q21's EXISTS/NOT EXISTS compile to left_semi/left_anti
+hash joins on l_orderkey, never nested loops (pinned by the whole-registry
+plan sweep in tests/test_plans.py); Q11's global total is a single-row
+scalar broadcast, not a cross join of the detail rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_poc_spark.io import load_table
+from etl_poc_spark.registry import query
+
+
+def _dec(col: F.Column) -> F.Column:
+    return col.cast("decimal(18,2)")
+
+
+@query(
+    "small_qty_part_revenue",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+             COUNT(*) AS n_li
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE)
+             AS avg_yearly,
+           COUNT(*) AS n_small_qty_lineitems
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN per_part a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * a.n_li < a.sum_qty
+    """,
+)
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the part's average quantity, for a brand subset.
+
+    The textbook form is a correlated scalar subquery
+    ``l_quantity < 0.2 * (SELECT AVG(l_quantity) ... WHERE l_partkey =
+    l.l_partkey)``; here it is decorrelated by hand into a per-partkey
+    aggregate joined back — the exact plan Catalyst produces for the
+    subquery form, stated explicitly so the threshold arithmetic can be
+    division-free: ``qty < 0.2 * sum/cnt  ⇔  5*qty*cnt < sum`` in DECIMAL,
+    keeping row selection bit-exact across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).cast("decimal(28,2)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    brands = part.where(F.col("p_brand").isin("Brand#1", "Brand#2")).select("p_partkey")
+    small = (
+        li.join(F.broadcast(brands), li.l_partkey == brands.p_partkey)
+        .join(per_part, "l_partkey")
+        .where(_dec(F.col("l_quantity")) * 5 * F.col("n_li") < F.col("sum_qty"))
+    )
+    return small.agg(
+        (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_qty_lineitems"),
+    )
+
+
+@query(
+    "sole_late_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 75 DAY
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+)
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    multi-supplier order (lateness = shipped more than 75 days after the
+    order date, since this dataset has no commit/receipt dates —
+    documented deviation, same plan shape).
+
+    EXISTS → left_semi on (orderkey, suppkey<>) and NOT EXISTS →
+    left_anti on the same key: two hash joins on l_orderkey, no
+    correlated re-execution per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.select("l_orderkey", "l_suppkey").alias("l3")
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
+@query(
+    "nation_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS nation_rev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name,
+           CAST(nation_rev AS DOUBLE) AS revenue,
+           CAST(CAST(nation_rev AS DOUBLE) / CAST((SELECT SUM(nation_rev) FROM rev) AS DOUBLE) AS DOUBLE)
+             AS share
+    FROM rev
+    WHERE nation_rev * 25 > (SELECT SUM(nation_rev) FROM rev)
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: supplier nations whose revenue exceeds 4% of the
+    global total (HAVING against a scalar subquery over the whole input).
+
+    The threshold comparison is division-free (``rev * 25 > total`` in
+    DECIMAL); the reported share is one double division of exact decimal
+    operands. The global total is computed with an unpartitioned window
+    over the ALREADY-AGGREGATED per-nation frame — ~25 rows regardless of
+    input scale, so the single-partition window is safe at 100 TB and the
+    plan needs no scalar-broadcast nested-loop join."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec(F.col("l_extendedprice"))).cast("decimal(28,2)").alias("nation_rev"))
+    )
+    return (
+        rev.withColumn(
+            "total_rev",
+            F.sum("nation_rev").over(Window.partitionBy()).cast("decimal(38,2)"),
+        )
+        .where(F.col("nation_rev") * 25 > F.col("total_rev"))
+        .select(
+            "n_name",
+            F.col("nation_rev").cast("double").alias("revenue"),
+            (F.col("nation_rev").cast("double") / F.col("total_rev").cast("double"))
+            .cast("double")
+            .alias("share"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )

@@ -58,6 +58,7 @@ def load_all() -> None:
         pivot_q,
         relational,
         relational2_q,
+        relational3_q,
         similarity_q,
         temporal_q,
         tokenize_q,
