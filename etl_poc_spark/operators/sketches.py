@@ -59,3 +59,59 @@ def count_min_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
     )
+
+
+# KMV hash domain: first 15 hex digits of md5 = 60 bits, max 2^60.
+_KMV_HASH_MAX = float(1 << 60)
+
+
+def kmv_hash(key: Column) -> Column:
+    """60-bit portable hash for KMV: first 15 hex digits of md5(key).
+    DuckDB equivalent: CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1,
+    15) AS BIGINT) — same recipe family as cm_bucket, wide enough that
+    the order statistics have negligible collision mass."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_bottom_k(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002): keep the
+    k smallest distinct hash values; the k-th smallest order statistic
+    estimates distinct count as (k-1) * HASH_MAX / kth_min.
+
+    Returns ONE row: (k, n_in_sketch, kth_min_hash, est_distinct).
+    When fewer than k distinct hashes exist the sketch saw every value and
+    the estimate is the exact count (standard KMV rule).
+
+    Spark-first shape: distinct-hash dedup is the only wide stage;
+    the bottom-k runs as TakeOrderedAndProject (per-partition bottom-k,
+    merged at the driver over k-sized slices) — mergeable across
+    partitions/streams by keeping min-k of a union, and the sketch state
+    is k longs no matter the corpus size. Unlike approx_count_distinct's
+    opaque HLL register blob, the sketch state here is portable: the
+    DuckDB oracle reproduces it bit-for-bit, so an APPROXIMATE operator
+    gets an EXACT correctness gate.
+
+    Estimator arithmetic is pinned for cross-engine bit-equality:
+    (k-1)*2^60 is exact in double (k <= 2^8), the int64->double cast of
+    kth_min rounds IEEE-nearest identically in both engines, and the
+    single division is deterministic.
+    """
+    h = df.select(kmv_hash(F.col(key_col)).alias("h")).distinct()
+    bottom = h.orderBy("h").limit(k)
+    est = (
+        F.lit(float(k - 1)) * F.lit(_KMV_HASH_MAX) / F.col("kth_min_hash").cast("double")
+    )
+    return (
+        bottom.agg(
+            F.count(F.lit(1)).alias("n_in_sketch"),
+            F.max("h").alias("kth_min_hash"),
+        )
+        .select(
+            F.lit(k).alias("k"),
+            "n_in_sketch",
+            "kth_min_hash",
+            F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("double"))
+            .otherwise(est)
+            .alias("est_distinct"),
+        )
+    )

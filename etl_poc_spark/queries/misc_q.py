@@ -298,3 +298,40 @@ def hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         e.agg(F.countDistinct("user_id").alias("exact_total_users"))
     )
+
+
+@query(
+    "kmv_distinct_users",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM events
+    ), bk AS (
+      SELECT h FROM h ORDER BY h LIMIT 64
+    ), s AS (
+      SELECT COUNT(*) AS n_in_sketch, MAX(h) AS kth_min_hash FROM bk
+    )
+    SELECT 64 AS k, s.n_in_sketch, s.kth_min_hash,
+           CASE WHEN s.n_in_sketch < 64 THEN CAST(s.n_in_sketch AS DOUBLE)
+                ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
+                     / CAST(s.kth_min_hash AS DOUBLE) END AS est_distinct,
+           (SELECT COUNT(*) FROM h) AS exact_distinct
+    FROM s
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user sketch, k=64, beside the exact
+    count. The APPROXIMATE estimator gets an EXACT oracle: the md5-derived
+    hash order statistics are engine-portable, unlike the HLL register
+    blobs behind approx_count_distinct / hll_sketch_agg (rows-only checks).
+    Sketch state is 64 longs regardless of corpus size and mergeable by
+    min-k-of-union — the streaming/partitioned-rollup distinct-count path
+    at 100 TB. The exact-count side is one countDistinct for the
+    comparison column; the single-row crossJoin is scalar-bounded."""
+    from etl_poc_spark.operators.sketches import kmv_bottom_k
+
+    e = load_table(spark, sf_dir, "events")
+    sk = kmv_bottom_k(e, "user_id", k=64)
+    return sk.crossJoin(
+        e.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )

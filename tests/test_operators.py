@@ -422,3 +422,32 @@ def test_hll_sketch_union_error_bound(spark, sf_dir):
     assert r["sum_daily_exact"] >= r["exact_total_users"]  # day-sum overcounts repeats
     rel_err = abs(r["approx_total_users"] - r["exact_total_users"]) / max(r["exact_total_users"], 1)
     assert rel_err < 0.05
+
+
+def test_kmv_error_bound_and_merge(spark):
+    from etl_poc_spark.operators.sketches import kmv_bottom_k, kmv_hash
+
+    n = 5000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    row = kmv_bottom_k(df, "k", k=64).collect()[0]
+    assert row["n_in_sketch"] == 64
+    # KMV relative standard error ~ 1/sqrt(k-2); allow 4 sigma
+    assert abs(row["est_distinct"] - n) / n < 4 / (62**0.5)
+
+    # exact path: fewer distinct values than k -> estimate IS the count
+    small = spark.range(10).select(F.col("id").alias("k"))
+    srow = kmv_bottom_k(small, "k", k=64).collect()[0]
+    assert srow["n_in_sketch"] == 10 and srow["est_distinct"] == 10.0
+
+    # mergeability: bottom-k of a union == bottom-k over the union of the
+    # two sketches' hash sets (the streaming/partitioned merge rule)
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(2000, 5000).select(F.col("id").alias("k"))
+    direct = kmv_bottom_k(a.union(b), "k", k=64).collect()[0]
+    ha = a.select(kmv_hash(F.col("k")).alias("h")).distinct().orderBy("h").limit(64)
+    hb = b.select(kmv_hash(F.col("k")).alias("h")).distinct().orderBy("h").limit(64)
+    merged_kth = (
+        ha.union(hb).distinct().orderBy("h").limit(64)
+        .agg(F.max("h").alias("kth")).collect()[0]["kth"]
+    )
+    assert direct["kth_min_hash"] == merged_kth

@@ -159,6 +159,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "embedding_topk",       # exact baseline: bounded query side (10 vectors) x base
         "embedding_pq_topk",    # ADC sweep: same bounded query side x decoded candidates
         "hll_sketch_union_users",  # 1-row sketch-union scalar join
+        "kmv_distinct_users",   # 1-row sketch x 1-row exact-count scalar join
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():
