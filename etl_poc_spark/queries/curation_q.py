@@ -428,3 +428,56 @@ def mixture_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     kept = mixture_resample(d, "source", _MIX_RATES, "doc_id", salt="mix")
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "token_budget_sample",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs_total,
+           CAST(COUNT(*) FILTER (cum <= 800) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(SUM(n_tokens) FILTER (cum <= 800), 0) AS BIGINT) AS tokens_kept
+    FROM c GROUP BY source
+    """,
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget subsampling: walk each source's documents
+    in deterministic pseudo-random order (md5 of doc_id — unbiased,
+    seed-free, engine-portable) and keep documents until the source's
+    token budget (800) is spent. THE operation behind 'take at most N
+    tokens from each source' in a pretraining mix, complementing
+    per_source_cap (doc-count cap) and mixture_resample (rate cap).
+
+    One window shuffle partitioned by source; the prefix sum is the same
+    pattern as pack_stream_cut_stats. A mega-source that dwarfs its
+    budget still orders only ITS partition — with the usual caveat that a
+    single giant source should be sub-sharded first (see
+    curation.py::stratified_sample's mega-stratum note)."""
+    from etl_poc_spark.functions.text import word_count
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        word_count(F.col("text")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    kept = F.col("cum") <= 800
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.count(F.when(kept, 1)).alias("n_docs_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)).alias("tokens_kept"),
+    )

@@ -213,3 +213,66 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "token_familiarity",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                              w -> w <> ''))) AS w
+      FROM documents
+    ), df AS (
+      SELECT w, COUNT(*) AS df FROM words GROUP BY w
+    )
+    SELECT words.doc_id,
+           COUNT(*) AS n_terms,
+           CAST(CAST(SUM(df) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_df,
+           CAST(COUNT(*) FILTER (df = 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rare_ratio,
+           COUNT(*) FILTER (df = 1) * 10 > COUNT(*) * 3 AS low_familiarity
+    FROM words JOIN df USING (w)
+    GROUP BY words.doc_id
+    """,
+)
+def token_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency familiarity score per document — the log-free
+    skeleton of a CCNet-style LM quality filter: documents whose distinct
+    tokens are mostly corpus-rare (document frequency 1) are flagged
+    low-familiarity (gibberish/OCR-noise candidates for curation).
+
+    mean_df = mean document frequency of the doc's DISTINCT tokens (one
+    double division of exact ints); rare_ratio likewise; the flag
+    threshold rare_ratio > 0.3 is division-free (rare*10 > n*3) so row
+    selection is integer-exact across engines. No ln/exp anywhere — a
+    true unigram-LM perplexity would need transcendentals, which differ
+    across libm builds (see bm25_search's log-free idf for the same
+    policy).
+
+    Scale shape: explode(distinct tokens) -> groupBy(token) builds the
+    vocabulary frame (vastly smaller than the corpus, map-side combined);
+    the score join shuffles on the token key — the inverted-index pattern,
+    never a doc x doc comparison. Docs with zero tokens contribute no rows
+    (mirrored by unnest of an empty list in the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.trim(F.lower(F.col("text"))), "\\s+"), lambda w: w != "")
+            )
+        ).alias("w"),
+    )
+    df = words.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_rare = F.count(F.when(F.col("df") == 1, 1))
+    n_terms = F.count(F.lit(1))
+    return (
+        words.join(df, "w")
+        .groupBy("doc_id")
+        .agg(
+            n_terms.alias("n_terms"),
+            (F.sum("df").cast("double") / n_terms.cast("double")).alias("mean_df"),
+            (n_rare.cast("double") / n_terms.cast("double")).alias("rare_ratio"),
+            (n_rare * 10 > n_terms * 3).alias("low_familiarity"),
+        )
+    )
