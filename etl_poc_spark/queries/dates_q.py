@@ -85,3 +85,60 @@ def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_price_approx"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "price_quantiles_histogram",
+    oracle="""
+    WITH hist AS (
+      SELECT CAST(FLOOR(o_totalprice / 500.0) AS BIGINT) AS bin, COUNT(*) AS cnt
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM hist
+    ), q(q100) AS (VALUES (25), (50), (75), (90), (99))
+    SELECT q100,
+           CAST(MIN(bin) * 500.0 AS DOUBLE) AS est_quantile,
+           CAST(MAX(n) AS BIGINT) AS n_rows
+    FROM c JOIN q ON c.cum * 100 >= q.q100 * c.n
+    GROUP BY q100
+    """,
+)
+def price_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram quantile sketch: the third quantile tier next
+    to exact percentile() (buffers groups) and approx_percentile (GK
+    sketch, engine-opaque, rows-only check). Absolute 500-unit bins make
+    the sketch STATE engine-portable, so this APPROXIMATE quantile path
+    gets a hash-exact oracle — same philosophy as kmv_distinct_users.
+
+    Mergeable by counter addition (bins are absolute, not data-dependent
+    — no min/max pre-pass, so partitions/streams/days merge by summing
+    bin counts); estimate = lower edge of the first bin whose cumulative
+    count reaches ceil(q*n), with the rank test division-free
+    (cum*100 >= q100*n, integer-exact). The unpartitioned windows run
+    over the AGGREGATED bin frame (<= value_range/500 rows regardless of
+    input rows); the quantile probe is a 5-literal-row broadcast against
+    that frame."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    hist = (
+        o.select(F.floor(F.col("o_totalprice") / F.lit(500.0)).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    qs = spark.createDataFrame([(25,), (50,), (75,), (90,), (99,)], "q100 int")
+    return (
+        c.join(F.broadcast(qs), c.cum * 100 >= qs.q100 * c.n)
+        .groupBy("q100")
+        .agg(
+            (F.min("bin") * F.lit(500.0)).cast("double").alias("est_quantile"),
+            F.max("n").alias("n_rows"),
+        )
+    )

@@ -160,6 +160,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "embedding_pq_topk",    # ADC sweep: same bounded query side x decoded candidates
         "hll_sketch_union_users",  # 1-row sketch-union scalar join
         "kmv_distinct_users",   # 1-row sketch x 1-row exact-count scalar join
+        "price_quantiles_histogram",  # 5-literal-row quantile probe x <=1000-bin frame
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():

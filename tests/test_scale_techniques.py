@@ -181,3 +181,25 @@ def test_semdedup_keep_centroid_policy(spark):
         for r in semdedup(dup_corpus, dup_cents, threshold=0.99, keep="centroid").collect()
     }
     assert tie == {0: False, 1: True}
+
+
+def test_histogram_quantile_within_one_bin_of_exact(spark, sf_dir):
+    """The histogram estimate is the lower edge of the bin containing the
+    rank-ceil(q*n/100) value, so that exact order statistic must fall
+    inside [est, est + bin_width). (Interpolated percentile_cont is NOT
+    the right comparison: its index convention can land one rank higher,
+    and tail inter-value gaps are unbounded.)"""
+    import math
+
+    from etl_poc_spark.queries.dates_q import price_quantiles_histogram
+
+    est = {r["q100"]: r["est_quantile"] for r in price_quantiles_histogram(spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = o.count()
+    for q100 in (25, 50, 75, 90, 99):
+        r = math.ceil(q100 * n / 100)
+        v_r = (
+            o.selectExpr("o_totalprice").orderBy("o_totalprice").limit(r)
+            .agg({"o_totalprice": "max"}).collect()[0][0]
+        )
+        assert est[q100] <= v_r < est[q100] + 500.0
