@@ -123,3 +123,59 @@ def test_streaming_ingest_matches_sequential_batches(spark, tmp_path):
     assert kept_ids == ref_ids
     assert 10 not in kept_ids  # near-dup of stored doc 0 was dropped
     assert 11 in kept_ids
+
+
+def test_incremental_kmv_matches_batch_and_replay_is_noop(spark, tmp_path):
+    from etl_poc_spark.operators.sketches import incremental_kmv_ingest, kmv_bottom_k
+
+    store = str(tmp_path / "kmv_store")
+    b1 = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b2 = spark.range(2000, 5000).select(F.col("id").alias("k"))
+
+    incremental_kmv_ingest(spark, b1, "k", store, k=64)
+    r2 = incremental_kmv_ingest(spark, b2, "k", store, k=64).collect()[0]
+    batch = kmv_bottom_k(b1.union(b2), "k", k=64).collect()[0]
+    assert r2["kth_min_hash"] == batch["kth_min_hash"]
+    assert r2["est_distinct"] == batch["est_distinct"]
+
+    # replay: re-folding an already-ingested batch leaves the store as-is
+    state = sorted(r["h"] for r in spark.read.parquet(store).collect())
+    r3 = incremental_kmv_ingest(spark, b2, "k", store, k=64).collect()[0]
+    assert sorted(r["h"] for r in spark.read.parquet(store).collect()) == state
+    assert r3["kth_min_hash"] == r2["kth_min_hash"]
+
+
+def test_streaming_kmv_matches_sequential_batches(spark, tmp_path):
+    import time as _time
+
+    from etl_poc_spark.operators.sketches import (
+        incremental_kmv_ingest,
+        streaming_kmv_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "k long"
+    b1 = spark.range(0, 300).select(F.col("id").alias("k"))
+    b2 = spark.range(200, 600).select(F.col("id").alias("k"))
+    b1.coalesce(1).write.mode("overwrite").parquet(str(in_dir / "f1"))
+    _time.sleep(1.1)  # file-source batch order follows modification time
+    b2.coalesce(1).write.mode("overwrite").parquet(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    writer = streaming_kmv_ingest(
+        stream, "k", str(tmp_path / "store"), str(tmp_path / "ckpt"), k=32
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    ref_store = str(tmp_path / "ref_store")
+    incremental_kmv_ingest(spark, b1, "k", ref_store, k=32)
+    incremental_kmv_ingest(spark, b2, "k", ref_store, k=32)
+    got = sorted(r["h"] for r in spark.read.parquet(str(tmp_path / "store")).collect())
+    ref = sorted(r["h"] for r in spark.read.parquet(ref_store).collect())
+    assert got == ref and len(got) == 32
