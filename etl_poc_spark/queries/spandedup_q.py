@@ -1,0 +1,126 @@
+"""Exact substring-duplication coverage (Lee et al. 2021, "Deduplicating
+Training Data Makes Language Models Better", arXiv:2107.06499 — the
+ExactSubstr operation, re-expressed Spark-first).
+
+The paper removes any 50-token span that appears verbatim elsewhere in
+the corpus, found with a suffix array. A suffix array is a single global
+sorted structure — exactly what a 1000-executor cluster should not build.
+The distributed equivalent used here: hash every sliding w-token window
+(w=8 for the sf-scale corpus; the operation is w-agnostic), find window
+hashes shared across documents with one groupBy (the inverted index), and
+measure each document's duplicated-span coverage as the interval union of
+its shared windows — a lead() window per doc, exact integer arithmetic.
+
+Scale shape: the window explode is hash-only rows (doc_id, start, 16-byte
+md5) — the standard shingle blow-up, same class as minhash shingling;
+bodies never re-cross the wire. The dup verdict is one groupBy(hash) with
+map-side combine; coverage is one window shuffle on doc_id. No suffix
+array, no global sort, no all-pairs.
+
+Reference parity: the reference dedups nothing (its arXiv ingest skips
+re-downloads by filename only — arxiv_hook.py); this is north-star
+surface per the brief's dedup list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_poc_spark.io import load_table
+from etl_poc_spark.registry import query
+
+_W = 8  # window length in tokens
+
+
+@query(
+    "duplicate_span_coverage",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w <> '') AS arr
+      FROM documents
+    ), w AS (
+      SELECT doc_id, i AS start,
+             md5(array_to_string(arr[i+1:i+{_W}], ' ')) AS h
+      FROM d, LATERAL unnest(range(len(arr) - {_W - 1})) AS t(i)
+      WHERE len(arr) >= {_W}
+    ), dup AS (
+      SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), c AS (
+      SELECT w.doc_id, start,
+             lead(start) OVER (PARTITION BY w.doc_id ORDER BY start) AS nxt
+      FROM w JOIN dup USING (h)
+    ), cov AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN nxt IS NULL OR nxt - start >= {_W} THEN {_W}
+                           ELSE nxt - start END) AS BIGINT) AS covered_tokens
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(d.arr) AS n_tokens,
+           COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+           CASE WHEN len(d.arr) = 0 THEN 0.0
+                ELSE CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE)
+                     / CAST(len(d.arr) AS DOUBLE) END AS dup_coverage,
+           COALESCE(cov.covered_tokens, 0) * 4 >= len(d.arr) AS heavy_dup
+    FROM d LEFT JOIN cov USING (doc_id)
+    """,
+)
+def duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of token positions inside a >=8-token span
+    that appears verbatim in ANOTHER document. heavy_dup flags docs with
+    >= 25% duplicated coverage (division-free: covered*4 >= n) — the
+    candidates ExactSubstr dedup would cut.
+
+    Interval-union arithmetic: duplicated window starts are sorted per
+    doc; a window contributes min(W, next_start - start) tokens (the last
+    one contributes W) — exact integers, so the coverage and flag are
+    bit-stable across engines and partitionings."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), "\\s+"), lambda w: w != "").alias(
+            "arr"
+        ),
+    )
+    wins = (
+        d.where(F.size("arr") >= _W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(arr) - {_W}),"
+                    " i -> concat_ws(' ', slice(arr, i + 1, {w})))".replace("{w}", str(_W))
+                )
+            ).alias("start", "win"),
+        )
+        .select("doc_id", "start", F.md5(F.col("win")).alias("h"))
+    )
+    dup = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd")).where(F.col("nd") >= 2)
+    shared = wins.join(dup.select("h"), "h", "left_semi")
+    lead_w = Window.partitionBy("doc_id").orderBy("start")
+    cov = (
+        shared.withColumn("nxt", F.lead("start").over(lead_w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("nxt").isNull() | (F.col("nxt") - F.col("start") >= _W), F.lit(_W)
+                ).otherwise(F.col("nxt") - F.col("start"))
+            ).alias("covered_tokens")
+        )
+    )
+    n_tok = F.size("arr")
+    covered = F.coalesce(F.col("covered_tokens"), F.lit(0))
+    return (
+        d.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tok.cast("long").alias("n_tokens"),
+            covered.cast("long").alias("covered_tokens"),
+            F.when(n_tok == 0, F.lit(0.0))
+            .otherwise(covered.cast("double") / n_tok.cast("double"))
+            .alias("dup_coverage"),
+            (covered * 4 >= n_tok).alias("heavy_dup"),
+        )
+    )
