@@ -203,3 +203,41 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+# ONE ANSI string, two engines: the Spark side runs this text through
+# spark.sql over temp views; the oracle is the IDENTICAL string in DuckDB.
+# This is the SQL front-end guarantee — a user can hand the engine raw SQL
+# and get the DataFrame API's plan (Catalyst compiles both to the same
+# logical operators).
+_Q3_SQL = """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@query("shipping_priority_sql", oracle=_Q3_SQL)
+def shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) submitted as RAW SQL TEXT — the same
+    ANSI string is both the Spark plan (spark.sql over temp views) and
+    the DuckDB oracle, demonstrating the engine's SQL front-end: Catalyst
+    parses/optimizes the text into the identical plan the DataFrame API
+    would build (broadcast the filtered customer dim, shuffle on
+    orderkey, TakeOrderedAndProject for the top 10). DECIMAL-accumulated
+    revenue keeps the sum order-independent; the ORDER BY carries
+    orderdate+orderkey tiebreaks so the LIMIT is deterministic."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q3_SQL)
