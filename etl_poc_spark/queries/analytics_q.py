@@ -128,3 +128,66 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
         .select("doc_id", "term", "tfidf", "rn")
     )
+
+
+@query(
+    "price_quantity_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
+           (CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             AS var_pop_qty,
+           sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stddev_pop_qty
+    FROM s
+    """,
+)
+def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population variance/stddev per return flag —
+    the corr/covar/stddev analytics tier, HASH-EXACT across engines:
+    every sum (x, y, xy, x^2, y^2) accumulates in DECIMAL (exact,
+    order-independent), is cast to double ONCE, and the closing formula
+    uses only IEEE-deterministic ops — +,-,*,/ and sqrt, which IEEE 754
+    requires to be correctly rounded (unlike ln/exp, which the engine
+    bans from oracle paths). Built-in corr()/stddev() stream float
+    accumulators whose partial-merge order varies by partitioning — fine
+    numerically, but not bit-reproducible; this formulation is. One
+    groupBy with map-side combine; the moment sums are the mergeable
+    sketch (same pattern the incremental rollup store would persist)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n))).alias("corr_qty_price"),
+        (varx_n / (nd * nd)).alias("var_pop_qty"),
+        F.sqrt(varx_n / (nd * nd)).alias("stddev_pop_qty"),
+    )
