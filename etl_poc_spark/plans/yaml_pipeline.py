@@ -276,6 +276,21 @@ def _apply_op(df: DataFrame, op: dict[str, Any], provider: LLMProvider) -> DataF
 
         drop = flags.filter(F.col("is_dropped")).select(id_col)
         return df.join(drop, id_col, "left_anti")
+    if t == "span_dedup":
+        # ExactSubstr-style doc filter (Lee et al. 2021): drop documents
+        # whose cross-doc duplicated-span coverage exceeds max_coverage
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.spandedup import span_coverage
+
+        id_col = op.get("id", "doc_id")
+        text_col = op.get("text_key", "text")
+        max_cov = float(op.get("max_coverage", 0.25))
+        cov = span_coverage(
+            df, id_col, text_col, window=int(op.get("window", 8))
+        )
+        drop = cov.filter(F.col("dup_coverage") > max_cov).select(id_col)
+        return df.join(drop, id_col, "left_anti")
     raise PipelineConfigError(f"unknown operation type {t!r}")
 
 

@@ -24,7 +24,7 @@ surface per the brief's dedup list.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_poc_spark.io import load_table
@@ -77,50 +77,14 @@ def duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc; a window contributes min(W, next_start - start) tokens (the last
     one contributes W) — exact integers, so the coverage and flag are
     bit-stable across engines and partitionings."""
-    d = load_table(spark, sf_dir, "documents").select(
+    from etl_poc_spark.operators.spandedup import span_coverage
+
+    d = load_table(spark, sf_dir, "documents")
+    cov = span_coverage(d, "doc_id", "text", window=_W)
+    return cov.select(
         "doc_id",
-        F.filter(F.split(F.trim(F.lower(F.col("text"))), "\\s+"), lambda w: w != "").alias(
-            "arr"
-        ),
-    )
-    wins = (
-        d.where(F.size("arr") >= _W)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, size(arr) - {_W}),"
-                    " i -> concat_ws(' ', slice(arr, i + 1, {w})))".replace("{w}", str(_W))
-                )
-            ).alias("start", "win"),
-        )
-        .select("doc_id", "start", F.md5(F.col("win")).alias("h"))
-    )
-    dup = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd")).where(F.col("nd") >= 2)
-    shared = wins.join(dup.select("h"), "h", "left_semi")
-    lead_w = Window.partitionBy("doc_id").orderBy("start")
-    cov = (
-        shared.withColumn("nxt", F.lead("start").over(lead_w))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("nxt").isNull() | (F.col("nxt") - F.col("start") >= _W), F.lit(_W)
-                ).otherwise(F.col("nxt") - F.col("start"))
-            ).alias("covered_tokens")
-        )
-    )
-    n_tok = F.size("arr")
-    covered = F.coalesce(F.col("covered_tokens"), F.lit(0))
-    return (
-        d.join(cov, "doc_id", "left")
-        .select(
-            "doc_id",
-            n_tok.cast("long").alias("n_tokens"),
-            covered.cast("long").alias("covered_tokens"),
-            F.when(n_tok == 0, F.lit(0.0))
-            .otherwise(covered.cast("double") / n_tok.cast("double"))
-            .alias("dup_coverage"),
-            (covered * 4 >= n_tok).alias("heavy_dup"),
-        )
+        "n_tokens",
+        "covered_tokens",
+        "dup_coverage",
+        (F.col("covered_tokens") * 4 >= F.col("n_tokens")).alias("heavy_dup"),
     )

@@ -287,3 +287,36 @@ def test_yaml_semdedup_op(spark):
     assert kept == [1, 3, 4]
     # schema is preserved — semdedup filters rows, never alters columns
     assert out["__final__"].columns == ["doc_id", "text", "embedding"]
+
+
+def test_yaml_span_dedup_op(spark):
+    """The span_dedup pipeline op drops docs whose cross-doc duplicated
+    span coverage exceeds max_coverage, keeps the rest, and preserves
+    schema."""
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    span = " ".join(f"tok{j}" for j in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, span),  # verbatim copy of 2 -> coverage 1.0
+            (2, span),
+            (3, span + " " + " ".join(f"u{j}" for j in range(30))),  # 10/40 = 0.25
+            (4, " ".join(f"v{j}" for j in range(12))),  # unique
+        ],
+        "doc_id long, text string",
+    )
+    config = {
+        "default_model": "stub",
+        "datasets": {"docs": {"path": "injected.json"}},
+        "operations": [
+            {"name": "sd", "type": "span_dedup", "max_coverage": 0.25},
+        ],
+        "pipeline": {
+            "steps": [{"name": "curate", "input": "docs", "operations": ["sd"]}]
+        },
+    }
+    out = run_pipeline(spark, config, datasets={"docs": docs})
+    kept = sorted(r["doc_id"] for r in out["__final__"].collect())
+    # 1 and 2 exceed 0.25; doc 3 sits exactly AT 0.25 (not above) and stays
+    assert kept == [3, 4]
+    assert out["__final__"].columns == ["doc_id", "text"]
