@@ -309,3 +309,46 @@ def test_rollup_store_physical_schema_is_stable(spark, stream_dir, tmp_path):
     assert value_types == {"decimal128(38, 2)"}, value_types
     count_types = {t for name, t in types if name == "n_events"}
     assert count_types == {"int64"}, count_types
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_dir, tmp_path):
+    """Stream-stream attribution join (views -> clicks within 10 min for
+    the same user) equals the batch interval join on the same data, and
+    the plan is a watermarked StreamingSymmetricHashJoin — state bounded
+    by the interval, never an unbounded buffer."""
+    from etl_poc_spark.streaming.joins import interval_join
+
+    ev = spark.read.parquet(stream_dir)
+    views_b = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    views_dir, clicks_dir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views_b.coalesce(1).write.mode("overwrite").parquet(views_dir)
+    clicks_b.coalesce(1).write.mode("overwrite").parquet(clicks_dir)
+
+    views_s = spark.readStream.schema(views_b.schema).parquet(views_dir)
+    clicks_s = spark.readStream.schema(clicks_b.schema).parquet(clicks_dir)
+    joined = interval_join(
+        views_s, clicks_s, "user_id", "view_ts", "click_ts", max_delay="10 minutes"
+    ).select("user_id", "view_id", "click_id")
+
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    )
+
+    batch = interval_join(
+        views_b, clicks_b, "user_id", "view_ts", "click_ts", max_delay="10 minutes"
+    ).select("user_id", "view_id", "click_id")
+    expected = sorted(
+        (r["user_id"], r["view_id"], r["click_id"]) for r in batch.collect()
+    )
+    assert got == expected and len(got) > 0
