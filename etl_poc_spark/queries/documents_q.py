@@ -543,3 +543,40 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     chunks = chunk_by_tokens(d, text_col="text", chunk_size=40, chunk_overlap=10)
     return chunks.select("doc_id", "chunk_id", "chunk_text", "chunk_n_tokens")
+
+
+# confusion matrix over the language-ID heuristic: compose the
+# predict_language oracle as a CTE so the two stay in lockstep
+from etl_poc_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_PL_ORACLE = _ORACLES["predict_language"]
+
+
+@query(
+    "language_confusion",
+    oracle=f"""
+    WITH pl AS ({_PL_ORACLE})
+    SELECT lang, pred_lang, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE) AS recall_share
+    FROM pl
+    GROUP BY lang, pred_lang
+    """,
+)
+def language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the gold
+    label — the model-eval companion to predict_language (per true
+    language: how its documents distribute over predicted languages).
+    One groupBy plus a per-true-lang window over the ~25-cell matrix;
+    recall_share is one double division of exact counts."""
+    from pyspark.sql import Window
+
+    pl = predict_language(spark, sf_dir)
+    cells = pl.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy("lang"))
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias("recall_share"),
+    )
