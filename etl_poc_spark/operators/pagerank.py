@@ -1,0 +1,81 @@
+"""Distributed PageRank by power iteration (the iterative-algorithm tier
+next to operators/dedup.py::connected_components).
+
+Spark-first shape per iteration: one join (ranks -> edges on src) and one
+groupBy(dst) — both shuffles on the edge keys, with map-side combine on
+the contribution sum. Rank state is one (vertex, rank) frame; the edge
+frame is re-used across iterations (persist it at the call site if it is
+not already materialized). Lineage is cut with localCheckpoint every few
+iterations — without that, 10+ chained joins build a plan Catalyst
+re-analyzes quadratically.
+
+Dangling vertices (no out-edges) donate their mass uniformly to every
+vertex each iteration — the standard stochastic-matrix fix; without it
+rank mass leaks and the vector no longer sums to 1.
+
+Numeric note: rank values are doubles whose partial-sum order varies by
+partitioning, so PageRank is registered rows-only (no DuckDB oracle) —
+the iterative/float class the correctness gate documents as weaker;
+behavior is pinned by closed-form pytest cases instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_poc_spark.operators.pins import pin
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Ranks for every vertex appearing in `edges` (directed, unweighted;
+    parallel edges count once). Returns (vertex, rank) with sum(rank)=1
+    up to float error."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    verts = pin(
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    n = verts.count()  # bounded: one long per vertex partition-count, a count()
+    out_deg = pin(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+            F.col("src").alias("od_src"), "deg"
+        )
+    )
+
+    ranks = verts.select("vertex", F.lit(1.0 / n).alias("rank"))
+    for i in range(n_iter):
+        with_deg = ranks.join(
+            out_deg, ranks.vertex == out_deg.od_src, "left"
+        ).drop("od_src")
+        contribs = (
+            with_deg.where(F.col("deg").isNotNull())
+            .join(e, F.col("vertex") == e.src)
+            .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        # dangling mass: ONE double per iteration fetched to the driver
+        # (bounded by construction), redistributed uniformly
+        dangling = (
+            with_deg.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        summed = contribs.groupBy("vertex").agg(F.sum("c").alias("s"))
+        ranks = verts.join(summed, "vertex", "left").select(
+            "vertex",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks  # verts/out_deg pins release via release_pins()

@@ -348,3 +348,32 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum(profit).cast("double").alias("profit"))
         .orderBy("nation", "o_year")
     )
+
+
+@query("supplier_pagerank")  # no oracle: iterative float power-method (rows-only
+# class, like the streaming/decode entries) — behavior pinned by the
+# closed-form pagerank pytest cases instead
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer->supplier purchase graph
+    (edge = customer bought from supplier, via orders x lineitem):
+    supplier centrality weighted by how central their customers are —
+    the iterative-algorithm tier (power method, operators/pagerank.py)
+    exercised on relational data. Top 20 suppliers by rank."""
+    from etl_poc_spark.operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, n_iter=5)
+    return (
+        ranks.where(F.col("vertex").startswith("s"))
+        .orderBy(F.desc("rank"), F.asc("vertex"))
+        .limit(20)
+    )

@@ -451,3 +451,29 @@ def test_kmv_error_bound_and_merge(spark):
         .agg(F.max("h").alias("kth")).collect()[0]["kth"]
     )
     assert direct["kth_min_hash"] == merged_kth
+
+
+def test_pagerank_closed_forms_and_mass(spark):
+    from etl_poc_spark.operators.pagerank import pagerank
+    from etl_poc_spark.operators.pins import release_pins
+
+    # symmetric 2-cycle: ranks identical at 0.5
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    r = {x["vertex"]: x["rank"] for x in pagerank(e, n_iter=5).collect()}
+    release_pins()
+    assert abs(r[1] - 0.5) < 1e-9 and abs(r[2] - 0.5) < 1e-9
+
+    # star: hub 0 <- leaves 1..4; leaves dangle, hub collects
+    e = spark.createDataFrame([(i, 0) for i in range(1, 5)], "src long, dst long")
+    r = {x["vertex"]: x["rank"] for x in pagerank(e, n_iter=20).collect()}
+    release_pins()
+    assert abs(sum(r.values()) - 1.0) < 1e-6  # dangling mass conserved
+    assert r[0] > r[1] and len({round(r[i], 12) for i in range(1, 5)}) == 1
+
+    # manual power iteration on a 3-vertex chain with cycle: 1->2->3->1
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    r = {x["vertex"]: x["rank"] for x in pagerank(e, n_iter=5).collect()}
+    release_pins()
+    # a rotation-symmetric cycle converges to uniform
+    for v in (1, 2, 3):
+        assert abs(r[v] - 1 / 3) < 1e-9
