@@ -147,13 +147,13 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           (CAST(n AS DOUBLE) * sxy - sx * sy)
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
              / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
-           (CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
-             AS var_pop_qty,
-           sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
-                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stddev_pop_qty
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 12) AS corr_qty_price,
+           round((CAST(n AS DOUBLE) * sxx - sx * sx)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS var_pop_qty,
+           round(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 9) AS stddev_pop_qty
     FROM s
     """,
 )
@@ -164,9 +164,13 @@ def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent), is cast to double ONCE, and the closing formula
     uses only IEEE-deterministic ops — +,-,*,/ and sqrt, which IEEE 754
     requires to be correctly rounded (unlike ln/exp, which the engine
-    bans from oracle paths). Built-in corr()/stddev() stream float
-    accumulators whose partial-merge order varies by partitioning — fine
-    numerically, but not bit-reproducible; this formulation is. One
+    bans from oracle paths). One residual cross-engine hazard remains:
+    the scale-4 moment sums exceed 2^53 in integer units, so the
+    decimal->double CAST itself can land one ulp apart between engines —
+    the final values are rounded (12/9 places) to absorb exactly that,
+    the same policy as price_quantiles. Built-in corr()/stddev() stream
+    float accumulators whose partial-merge order varies by partitioning —
+    fine numerically, but not bit-reproducible; this formulation is. One
     groupBy with map-side combine; the moment sums are the mergeable
     sketch (same pattern the incremental rollup store would persist)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -187,7 +191,7 @@ def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        (cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n))).alias("corr_qty_price"),
-        (varx_n / (nd * nd)).alias("var_pop_qty"),
-        F.sqrt(varx_n / (nd * nd)).alias("stddev_pop_qty"),
+        F.round(cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n)), 12).alias("corr_qty_price"),
+        F.round(varx_n / (nd * nd), 9).alias("var_pop_qty"),
+        F.round(F.sqrt(varx_n / (nd * nd)), 9).alias("stddev_pop_qty"),
     )
