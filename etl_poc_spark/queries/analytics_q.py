@@ -195,3 +195,45 @@ def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(varx_n / (nd * nd), 9).alias("var_pop_qty"),
         F.round(F.sqrt(varx_n / (nd * nd)), 9).alias("stddev_pop_qty"),
     )
+
+
+@query(
+    "customer_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT f.cohort_month,
+           (EXTRACT(year FROM o.o_orderdate) - EXTRACT(year FROM f.cohort_month)) * 12
+             + (EXTRACT(month FROM o.o_orderdate) - EXTRACT(month FROM f.cohort_month))
+             AS month_offset,
+           COUNT(DISTINCT o.o_custkey) AS active_customers
+    FROM orders o JOIN firsts f USING (o_custkey)
+    GROUP BY f.cohort_month, month_offset
+    ORDER BY f.cohort_month, month_offset
+    """,
+)
+def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted as active at each month offset — the classic product-analytics
+    triangle. The month offset is integer year/month arithmetic (never
+    months_between's fractional double), so every cell is count-exact.
+
+    Two shuffles total: the first-order aggregate (groupBy custkey, map-
+    side combined) joins back on custkey — same decorrelation shape as
+    small_qty_part_revenue — then the matrix aggregate. At 100 TB the
+    firsts frame is one row per customer; the join shuffles on custkey
+    and AQE handles any hot-customer skew."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    firsts = o.groupBy("o_custkey").agg(F.min(month).alias("cohort_month"))
+    offset = (F.year("o_orderdate") - F.year("cohort_month")) * 12 + (
+        F.month("o_orderdate") - F.month("cohort_month")
+    )
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort_month", offset.alias("month_offset"))
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+        .orderBy("cohort_month", "month_offset")
+    )
