@@ -59,6 +59,7 @@ def load_all() -> None:
         relational,
         relational2_q,
         relational3_q,
+        relational4_q,
         similarity_q,
         spandedup_q,
         temporal_q,

@@ -161,6 +161,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "hll_sketch_union_users",  # 1-row sketch-union scalar join
         "kmv_distinct_users",   # 1-row sketch x 1-row exact-count scalar join
         "price_quantiles_histogram",  # 5-literal-row quantile probe x <=1000-bin frame
+        "dormant_rich_customers",  # 1-row decorrelated scalar-average threshold join
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():
