@@ -1,0 +1,202 @@
+"""Corpus vocabulary / n-gram statistics — the counting workloads a
+tokenizer- or LM-training pipeline runs before anything else: a word
+vocabulary with term and document frequencies (the input to BPE/WordPiece
+vocab induction), corpus-wide bigram counts (n-gram LM estimation /
+heavy-hitter analysis), and per-document repetition ratios (Gopher-style
+n-gram repetition signals at the bigram level).
+
+Scale notes (100 TB): all three are explode -> groupBy pipelines whose
+shuffle carries (token, partial_count) pairs after map-side combine —
+never document bodies. The heavy-hitter outputs are TakeOrderedAndProject
+(top-k per partition, k rows per partition to the driver-side merge), not
+a global sort. Per-doc ratios partition by doc_id and stay exact-integer
+divisions, so results are independent of partitioning.
+
+Reference parity: the reference has no corpus-stats stage; these extend
+the engine's LLM-data-pipeline surface (SURVEY.md §7 "training-data
+ops") alongside dedup/curation/tokenize_q.
+
+Numeric policy: counts are exact BIGINTs; every ratio is ONE double
+division of exact integers — bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_poc_spark.io import load_table
+from etl_poc_spark.registry import query
+
+# shared split: whitespace tokens of the trimmed body (same idiom as
+# operators/linededup.py so word counts agree across the engine).
+# Column factories, not module constants: building a Column requires an
+# active SparkContext in pyspark 4.x, and query modules import eagerly.
+def _words() -> F.Column:
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+_WORDS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+@query(
+    "vocab_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+    ), vocab AS (
+      SELECT word,
+             CAST(COUNT(*) AS BIGINT) AS term_freq,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM w GROUP BY word
+    )
+    SELECT word, term_freq, doc_freq,
+           CAST(doc_freq AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS df_ratio
+    FROM vocab
+    ORDER BY term_freq DESC, word
+    LIMIT 50
+    """,
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction input: top-50 words by corpus term frequency
+    with document frequency and df ratio. term_freq aggregates with
+    map-side combine (the shuffle carries one row per distinct word per
+    partition); doc_freq needs word x doc distinctness, which reuses the
+    SAME (word, doc_id) shuffle via count(distinct). The top-50 is
+    TakeOrderedAndProject; df_ratio is one double division of two exact
+    counts (corpus size broadcasts as a 1-row literal-joined aggregate
+    folded into the projection)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # single scalar job over parquet row-group metadata
+    w = d.select("doc_id", F.explode(_words()).alias("word"))
+    return (
+        w.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .select(
+            "word",
+            "term_freq",
+            "doc_freq",
+            (F.col("doc_freq").cast("double") / F.lit(float(n_docs))).alias("df_ratio"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("word"))
+        .limit(50)
+    )
+
+
+# bigrams as a 0-based Spark transform / 1-based DuckDB list_transform —
+# both produce words[i] + ' ' + words[i+1] for every adjacent pair
+def _bigrams() -> F.Column:
+    return F.expr(
+        "transform(sequence(0, size(split(trim(text), '\\\\s+')) - 2),"
+        " i -> concat(split(trim(text), '\\\\s+')[i], ' ', split(trim(text), '\\\\s+')[i + 1]))"
+    )
+
+
+_BIGRAMS_SQL = (
+    f"list_transform(range(1, len({_WORDS_SQL})), i -> "
+    f"{_WORDS_SQL}[i] || ' ' || {_WORDS_SQL}[i + 1])"
+)
+
+
+@query(
+    "bigram_counts",
+    oracle=f"""
+    WITH b AS (
+      SELECT unnest({_BIGRAMS_SQL}) AS bigram FROM documents
+      WHERE len({_WORDS_SQL}) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 30
+    """,
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram heavy hitters (n-gram LM count table): explode
+    adjacent word pairs, count, top-30. The transform builds bigrams
+    inside whole-stage codegen (no Python); the aggregate's map-side
+    combine collapses each partition to its distinct-bigram counts before
+    the shuffle, so shuffle volume is bounded by vocabulary^2 occupancy,
+    not corpus token count. Tie-break on the bigram string keeps the
+    limit deterministic across engines."""
+    d = load_table(spark, sf_dir, "documents").filter(F.size(_words()) >= 2)
+    b = d.select(F.explode(_bigrams()).alias("bigram"))
+    return (
+        b.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(30)
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+    ), per_word AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(MAX(c) AS BIGINT) AS top_word_n
+      FROM per_word GROUP BY doc_id
+    ), b AS (
+      SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bigram FROM documents
+      WHERE len({_WORDS_SQL}) >= 2
+    ), bg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams
+      FROM b GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_words,
+           CAST(p.top_word_n AS DOUBLE) / p.n_words AS top_word_frac,
+           CAST(g.n_distinct_bigrams AS DOUBLE) / g.n_bigrams AS distinct_bigram_ratio,
+           (CAST(p.top_word_n AS DOUBLE) / p.n_words <= 0.1
+            AND CAST(g.n_distinct_bigrams AS DOUBLE) / g.n_bigrams >= 0.8) AS keep
+    FROM per_doc p JOIN bg g USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (Gopher-style, public paper
+    arXiv:2112.11446 table A1): fraction of tokens that are the single
+    most frequent word, and the distinct-bigram ratio; `keep` applies the
+    paper-shaped thresholds (top word <= 10% of tokens, >= 80% distinct
+    bigrams). Both signals aggregate per (doc_id, token) with map-side
+    combine and join back on doc_id — co-partitioned, no extra shuffle
+    after the aggregates. Ratios are exact-int divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(_words()).alias("word"))
+    per_doc = (
+        w.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("bigint").alias("n_words"), F.max("c").alias("top_word_n"))
+    )
+    bg = (
+        d.filter(F.size(_words()) >= 2)
+        .select("doc_id", F.explode(_bigrams()).alias("bigram"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bigram").alias("n_distinct_bigrams"),
+        )
+    )
+    top_frac = F.col("top_word_n").cast("double") / F.col("n_words")
+    dist_ratio = F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+    return (
+        per_doc.join(bg, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            top_frac.alias("top_word_frac"),
+            dist_ratio.alias("distinct_bigram_ratio"),
+            ((top_frac <= 0.1) & (dist_ratio >= 0.8)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

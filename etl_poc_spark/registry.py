@@ -64,4 +64,5 @@ def load_all() -> None:
         spandedup_q,
         temporal_q,
         tokenize_q,
+        vocab_q,
     )
