@@ -481,3 +481,62 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(kept, 1)).alias("n_docs_kept"),
         F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0)).alias("tokens_kept"),
     )
+
+
+@query(
+    "hashed_quality_margin",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('qclf' || word), 1, 6) AS INTEGER) % 64 AS bucket
+      FROM w
+    ), scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM((CAST(bucket AS BIGINT) * 2654435761) % 2001 - 1000) AS BIGINT)
+               AS margin_milli
+      FROM feat GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, margin_milli, margin_milli > 0 AS keep
+    FROM scored ORDER BY doc_id
+    """,
+)
+def hashed_quality_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-classifier inference via the hashing trick (the shape
+    of a fastText/logistic quality filter, e.g. the CCNet/LLaMA wiki-ref
+    classifier): each token hashes into one of 64 feature buckets, each
+    bucket carries a fixed weight, and a document's score is the sum of
+    its token weights — keep if the margin is positive.
+
+    The weights here are a deterministic integer schedule in milli-units
+    ((bucket * 2654435761) % 2001 - 1000), standing in for trained
+    parameters so the margin stays EXACT integer arithmetic — the real
+    inference plan is identical with a literal weight map. Scale shape:
+    explode -> md5 bucket -> integer weight -> groupBy(doc_id) SUM, all
+    map-side-combining Column exprs; a 64-entry (or 1M-entry) weight
+    table never shuffles because it is an expression, not a join side.
+    No sigmoid on purpose: the margin's sign IS the decision, and
+    avoiding exp keeps the result bit-identical across engines."""
+    from etl_poc_spark.operators.curation import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+    bucket = hash_bucket(F.col("word"), 64, salt="qclf")
+    weight = (bucket.cast("bigint") * F.lit(2654435761)) % 2001 - 1000
+    return (
+        w.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(weight).cast("bigint").alias("margin_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "margin_milli",
+            (F.col("margin_milli") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -200,3 +200,54 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest({_WORDS_SQL}) AS word FROM documents
+    ), v AS (
+      SELECT word, COUNT(*) AS freq FROM w GROUP BY word
+    ), p AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                    i -> substring(word, CAST(i AS INTEGER), 2))) AS pair,
+             freq
+      FROM v WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of the BPE-training inner loop: the top-20 adjacent
+    symbol pairs by corpus-weighted count (the pair a BPE trainer would
+    merge next, at the initial character vocabulary).
+
+    The scale trick is the classic BPE one re-expressed relationally:
+    count pairs over the DISTINCT-WORD table weighted by word frequency,
+    not over every token occurrence — the explode runs on vocabulary
+    cardinality (bounded) instead of corpus token count (100 TB). Both
+    aggregations combine map-side; adjacent pairs are substring(word,i,2)
+    built inside whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    v = (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = v.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
