@@ -237,3 +237,89 @@ def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("o_custkey").alias("active_customers"))
         .orderBy("cohort_month", "month_offset")
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t_view
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    ), funnel AS (
+      SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS reached_view,
+           CAST(COUNT(t_click) AS BIGINT) AS reached_click,
+           CAST(COUNT(t_purchase) AS BIGINT) AS reached_purchase,
+           CAST(COUNT(t_click) AS DOUBLE) / COUNT(t_view) AS view_to_click,
+           CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(t_click) AS click_to_purchase,
+           CAST(SUM(epoch_us(t_purchase) - epoch_us(t_view)) AS BIGINT)
+             / CAST(COUNT(t_purchase) AS DOUBLE) AS avg_us_to_convert
+    FROM funnel
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click after it -> purchase after
+    that): per user the earliest qualifying timestamp of each step, rolled
+    up to step counts, step-to-step conversion rates, and mean
+    view-to-purchase latency.
+
+    Scale shape: ONE shuffle. All three sequencing steps are conditional
+    min-windows over the SAME partitionBy(user_id) spec, so Spark
+    repartitions events by user once and evaluates the three passes
+    JVM-side on the sorted runs; the final rollup is a global 1-row
+    aggregate of the per-user frame. No self-joins, no per-step scans of
+    the events table (the DuckDB oracle spells the same semantics with
+    joins because SQL window frames can't reference a peer window's
+    result). Latency is exact integer microseconds summed as BIGINT, then
+    ONE double division — timezone cancels in the subtraction."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    t = F.col("ts")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .withColumn("t_view", F.min(F.when(F.col("event_type") == "view", t)).over(w))
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when((F.col("event_type") == "click") & (t > F.col("t_view")), t)
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when((F.col("event_type") == "purchase") & (t > F.col("t_click")), t)
+            ).over(w),
+        )
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )  # keep no-view users: n_users is every user with ANY event, as in the oracle
+    lat_us = F.unix_micros(F.col("t_purchase")) - F.unix_micros(F.col("t_view"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click").alias("reached_click"),
+        F.count("t_purchase").alias("reached_purchase"),
+        (F.count("t_click").cast("double") / F.count("t_view")).alias("view_to_click"),
+        (F.count("t_purchase").cast("double") / F.count("t_click")).alias("click_to_purchase"),
+        (F.sum(lat_us).cast("bigint") / F.count("t_purchase").cast("double")).alias(
+            "avg_us_to_convert"
+        ),
+    )
