@@ -50,3 +50,56 @@ def test_equal_keys_share_a_range(spark, sf_dir, tmp_path):
     man = range_manifest(spark, out, "l_orderkey").collect()
     for a, b in zip(man, man[1:]):
         assert a.max_key < b.min_key  # strict: no key straddles a boundary
+
+
+def _py_z(x: int, y: int, bits: int = 21) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_value_matches_reference(spark):
+    from etl_poc_spark.operators.layout import z_value
+
+    rows = [(0, 0), (1, 0), (0, 1), (1, 1), (5, 9), (12345, 67890), (2**21 - 1, 2**21 - 1)]
+    df = spark.createDataFrame(rows, ["x", "y"]).withColumn("z", z_value("x", "y"))
+    for r in df.collect():
+        assert r.z == _py_z(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_layout_narrows_both_dims(spark, sf_dir, tmp_path):
+    """Against a single-key sort layout, z-order trades a little x-range
+    width for a large reduction in y-range width per file — both
+    predicates become skippable. Assert the aggregate effect, which is
+    deterministic for a fixed dataset and file count."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.layout import write_zorder
+    from etl_poc_spark.operators.layout import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+    z_path = str(tmp_path / "z")
+    s_path = str(tmp_path / "s")
+    write_zorder(orders, z_path, "o_orderkey", "o_custkey", n_ranges=8)
+    write_range_sorted(orders, s_path, "o_orderkey", n_ranges=8)
+
+    def mean_width(path: str, col: str) -> float:
+        rows = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("w"))
+            .collect()
+        )
+        return sum(r.w for r in rows) / len(rows)
+
+    # the orderkey-sorted layout leaves custkey unclustered: every file
+    # spans ~the full custkey range; z-order must at least halve that
+    assert mean_width(z_path, "o_custkey") < 0.5 * mean_width(s_path, "o_custkey")
+    # and still keep orderkey meaningfully narrower than the global range
+    # (measured ~0.59x at sf0.001/8 files; the trade is wide x-slack for
+    # a ~3x y-narrowing — both dims skippable instead of one)
+    full = orders.agg((F.max("o_orderkey") - F.min("o_orderkey"))).collect()[0][0]
+    assert mean_width(z_path, "o_orderkey") < 0.7 * full
