@@ -131,3 +131,50 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    sort_col: str | None = None,
+) -> dict:
+    """Small-file compaction: rewrite the parquet dataset at `path` into
+    ceil(n_rows / target_rows_per_file) files. The lakehouse maintenance
+    op — streaming ingests and dynamic-partition upserts accumulate
+    kilobyte files whose per-file open/footer cost eventually dominates
+    scans (a 100k-file day partition reads slower than one 10-file one).
+
+    Shape: count (metadata-weight) -> repartition(k) (round-robin, the
+    only shuffle) or, with `sort_col`, repartitionByRange+sort (compact
+    AND restore the write_range_sorted layout in one pass) -> write to a
+    staging dir -> re-read staged -> overwrite target -> delete staging.
+    The staging hop exists because Spark cannot overwrite a path it is
+    lazily reading from (same pattern as operators/upsert.py).
+
+    Returns {"files_before", "files_after", "n_rows"} so callers/tests
+    can assert the compaction did what it claims."""
+    import math
+
+    df = spark.read.parquet(path)
+    files_before = df.select(F.input_file_name()).distinct().count()
+    n_rows = df.count()
+    k = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
+
+    staging = f"{path}__compact_staging"
+    if sort_col is not None:
+        staged_df = df.repartitionByRange(k, F.col(sort_col)).sortWithinPartitions(sort_col)
+    else:
+        staged_df = df.repartition(k)
+    staged_df.write.mode("overwrite").parquet(staging)
+
+    staged = spark.read.parquet(staging)
+    staged.write.mode("overwrite").parquet(path)
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(staging)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:  # noqa: BLE001 — cleanup must never fail the compaction
+        pass
+    files_after = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    return {"files_before": files_before, "files_after": files_after, "n_rows": n_rows}

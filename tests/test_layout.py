@@ -103,3 +103,31 @@ def test_zorder_layout_narrows_both_dims(spark, sf_dir, tmp_path):
     # a ~3x y-narrowing — both dims skippable instead of one)
     full = orders.agg((F.max("o_orderkey") - F.min("o_orderkey"))).collect()[0][0]
     assert mean_width(z_path, "o_orderkey") < 0.7 * full
+
+
+def test_compact_files(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.layout import compact_files, range_manifest
+
+    # simulate a fragmented ingest: 40 tiny files
+    out = str(tmp_path / "frag")
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    orders.repartition(40).write.mode("overwrite").parquet(out)
+    assert spark.read.parquet(out).select(F.input_file_name()).distinct().count() == 40
+
+    stats = compact_files(spark, out, target_rows_per_file=n // 4)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] <= 5
+    assert stats["n_rows"] == n
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert back.select("o_orderkey").distinct().count() == n  # keys intact
+
+    # compact-and-sort restores the range layout in the same pass
+    stats2 = compact_files(spark, out, target_rows_per_file=n // 3, sort_col="o_orderkey")
+    man = range_manifest(spark, out, "o_orderkey").collect()
+    assert stats2["n_rows"] == n
+    for a, b in zip(man, man[1:]):
+        assert a.max_key < b.min_key
