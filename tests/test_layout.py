@@ -131,3 +131,33 @@ def test_compact_files(spark, sf_dir, tmp_path):
     assert stats2["n_rows"] == n
     for a, b in zip(man, man[1:]):
         assert a.max_key < b.min_key
+
+
+def test_z_value_properties(spark):
+    """Hypothesis: interleaving is exactly invertible (de-interleave
+    recovers both inputs) and monotone along each axis with the other
+    held fixed — the two facts file-range pruning relies on. Checked via
+    the pure-Python mirror (bit-identical to the Column expr per
+    test_z_value_matches_reference), so no Spark job per example."""
+    from hypothesis import given, settings, strategies as st
+
+    coord = st.integers(min_value=0, max_value=2**21 - 1)
+
+    def un_z(z: int, bits: int = 21) -> tuple[int, int]:
+        x = y = 0
+        for i in range(bits):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    @settings(max_examples=300, deadline=None, database=None)
+    @given(x=coord, y=coord, x2=coord, y2=coord)
+    def prop(x: int, y: int, x2: int, y2: int) -> None:
+        assert un_z(_py_z(x, y)) == (x, y)
+        # monotone along each axis: larger coordinate, larger z
+        if x < x2:
+            assert _py_z(x, y) < _py_z(x2, y)
+        if y < y2:
+            assert _py_z(x, y) < _py_z(x, y2)
+
+    prop()
