@@ -1,0 +1,67 @@
+"""Ordered-funnel operator: per-entity earliest qualifying timestamp of
+each step in a sequence, where step k counts only AFTER the entity's
+step k-1 time.
+
+The single-shuffle formulation: every step is a conditional min-window
+over the SAME partitionBy(entity) spec, so Spark repartitions the events
+once and evaluates all the passes JVM-side on the sorted runs — no
+per-step self-joins or rescans of the event table. This is the shape a
+product-analytics engine runs over trillions of events; the only wide
+operation is the one hash exchange on the entity key.
+
+Semantics (strict ordering): step k's time is the MINIMUM event time
+strictly after the entity's step k-1 time among events matching step
+k's predicate. An entity that never reaches step k-1 has NULL for every
+later step (NULL comparisons propagate). Events are not consumed — one
+event can satisfy several steps' predicates if the times work out.
+
+Reference parity: the reference has no event analytics; this extends
+the engine's events surface (queries/events_q.py, SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: Sequence[tuple[str, Column]],
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row per entity: (entity, t_<step1>, t_<step2>, ...) — the
+    earliest qualifying time of each ordered step, NULL from the first
+    step the entity never reached."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(entity_col)
+    t = F.col(ts_col)
+    df = events
+    prev: str | None = None
+    out_cols = []
+    for name, pred in steps:
+        col_name = f"t_{name}"
+        cond = pred if prev is None else (pred & (t > F.col(prev)))
+        df = df.withColumn(col_name, F.min(F.when(cond, t)).over(w))
+        out_cols.append(col_name)
+        prev = col_name
+    return df.groupBy(entity_col).agg(
+        *[F.min(c).alias(c) for c in out_cols]
+    )
+
+
+def funnel_rollup(per_entity: DataFrame, step_names: Sequence[str]) -> DataFrame:
+    """Collapse funnel_times output to one row of step counts and
+    step-to-step conversion ratios (exact-count double divisions)."""
+    aggs = [F.count(F.lit(1)).alias("n_entities")]
+    for name in step_names:
+        aggs.append(F.count(f"t_{name}").alias(f"reached_{name}"))
+    for a, b in zip(step_names, step_names[1:]):
+        aggs.append(
+            (F.count(f"t_{b}").cast("double") / F.count(f"t_{a}")).alias(f"{a}_to_{b}")
+        )
+    return per_entity.agg(*aggs)

@@ -284,33 +284,21 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the events table (the DuckDB oracle spells the same semantics with
     joins because SQL window frames can't reference a peer window's
     result). Latency is exact integer microseconds summed as BIGINT, then
-    ONE double division — timezone cancels in the subtraction."""
-    from pyspark.sql import Window
+    ONE double division — timezone cancels in the subtraction.
 
-    w = Window.partitionBy("user_id")
-    t = F.col("ts")
-    e = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", "event_type", "ts")
-        .withColumn("t_view", F.min(F.when(F.col("event_type") == "view", t)).over(w))
-        .withColumn(
-            "t_click",
-            F.min(
-                F.when((F.col("event_type") == "click") & (t > F.col("t_view")), t)
-            ).over(w),
-        )
-        .withColumn(
-            "t_purchase",
-            F.min(
-                F.when((F.col("event_type") == "purchase") & (t > F.col("t_click")), t)
-            ).over(w),
-        )
-    )
-    per_user = e.groupBy("user_id").agg(
-        F.min("t_view").alias("t_view"),
-        F.min("t_click").alias("t_click"),
-        F.min("t_purchase").alias("t_purchase"),
-    )  # keep no-view users: n_users is every user with ANY event, as in the oracle
+    Implementation lives in operators/funnel.py::funnel_times (generic
+    ordered-step operator; semantics pinned on a constructed sequence in
+    tests/test_operators.py)."""
+    from etl_poc_spark.operators.funnel import funnel_times
+
+    per_user = funnel_times(
+        load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts"),
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )  # keeps no-view users: n_users is every user with ANY event, as in the oracle
     lat_us = F.unix_micros(F.col("t_purchase")) - F.unix_micros(F.col("t_view"))
     return per_user.agg(
         F.count(F.lit(1)).alias("n_users"),

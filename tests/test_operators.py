@@ -477,3 +477,48 @@ def test_pagerank_closed_forms_and_mass(spark):
     # a rotation-symmetric cycle converges to uniform
     for v in (1, 2, 3):
         assert abs(r[v] - 1 / 3) < 1e-9
+
+
+def test_funnel_strict_ordering(spark):
+    """Constructed sequences pin the funnel semantics: a click BEFORE the
+    first view doesn't count; equal timestamps don't advance (strictly
+    after); entities stall from the first missed step onward."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.funnel import funnel_rollup, funnel_times
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 converts in order
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # u2: click BEFORE any view -> click must not count; later click does
+        (2, "click", t(0)), (2, "view", t(1)), (2, "click", t(2)),
+        # u3: click at the SAME instant as the view -> not strictly after
+        (3, "view", t(0)), (3, "click", t(0)),
+        # u4: purchase without a click -> stalls at view
+        (4, "view", t(0)), (4, "purchase", t(1)),
+        # u5: no view at all -> NULL throughout
+        (5, "purchase", t(0)),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    got = {r.user_id: r for r in funnel_times(e, steps).collect()}
+    assert got[1].t_view == t(0) and got[1].t_click == t(1) and got[1].t_purchase == t(2)
+    assert got[2].t_view == t(1) and got[2].t_click == t(2) and got[2].t_purchase is None
+    assert got[3].t_view == t(0) and got[3].t_click is None
+    assert got[4].t_view == t(0) and got[4].t_click is None and got[4].t_purchase is None
+    assert got[5].t_view is None and got[5].t_click is None and got[5].t_purchase is None
+
+    roll = funnel_rollup(funnel_times(e, steps), ["view", "click", "purchase"]).collect()[0]
+    assert roll.n_entities == 5
+    assert roll.reached_view == 4
+    assert roll.reached_click == 2
+    assert roll.reached_purchase == 1
+    assert roll.view_to_click == 2 / 4
+    assert roll.click_to_purchase == 1 / 2
