@@ -311,3 +311,135 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_us_to_convert"
         ),
     )
+
+
+@query(
+    "events_debounce_stats",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(prev_ts) < 120 * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced,
+           CAST(COUNT(*) - SUM(CASE WHEN prev_ts IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(prev_ts) < 120 * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM d
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_debounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst debounce (lag-based): an event is noise if the SAME user
+    emitted the SAME event type less than 120 s earlier — double-clicks,
+    retry storms, at-least-once delivery echoes. Counted per type.
+
+    Lag-vs-previous-EVENT on purpose: debounce against the previous KEPT
+    event is a sequential recurrence (not window-expressible, and at
+    scale it serializes per key); the lag formulation is the standard
+    streaming-telemetry debounce and stays ONE shuffle on
+    (user, type) with the aggregate reusing the same partitioning.
+    Microsecond integer arithmetic, no floats anywhere."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("ts").over(w)
+    debounced = (
+        prev.isNotNull()
+        & (F.unix_micros(F.col("ts")) - F.unix_micros(prev) < 120 * 1_000_000)
+    ).cast("long")
+    return (
+        e.withColumn("__d", debounced)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__d").cast("bigint").alias("n_debounced"),
+            (F.count(F.lit(1)) - F.sum("__d")).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "session_top_paths",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM d
+    ), r AS (
+      SELECT user_id, session_no, event_type,
+             row_number() OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts, event_id) AS rn
+      FROM s
+    ), paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3
+      GROUP BY user_id, session_no
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 25
+    """,
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the 25 most common session-opening
+    event-type sequences (first 3 events of each 30-minute-gap session,
+    the same session rule as events_sessionize).
+
+    ONE shuffle on user_id serves the whole chain — session-start lag,
+    running session number, in-session row_number, and the per-session
+    path assembly all share the partitioning; the final heavy-hitter
+    count is a map-side-combined aggregate on path strings (bounded:
+    |event_types|^3 distinct values) with a TakeOrderedAndProject top-25.
+    Path assembly is sort_array(collect_list(struct(rn, type))) — a
+    per-session array bounded at 3 elements, never a whole history."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("ts").over(wo)
+    is_start = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1800 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    s = e.withColumn("session_no", F.sum(is_start).over(wo))
+    r = s.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_no").orderBy(F.asc("ts"), F.asc("event_id"))
+        ),
+    ).filter(F.col("rn") <= 3)
+    paths = (
+        r.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(25)
+    )
