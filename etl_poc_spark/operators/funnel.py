@@ -32,10 +32,18 @@ def funnel_times(
     steps: Sequence[tuple[str, Column]],
     entity_col: str = "user_id",
     ts_col: str = "ts",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """One row per entity: (entity, t_<step1>, t_<step2>, ...) — the
     earliest qualifying time of each ordered step, NULL from the first
-    step the entity never reached."""
+    step the entity never reached.
+
+    `max_gap_seconds` adds the conversion-window constraint every
+    product funnel eventually needs: step k must land within the gap
+    AFTER step k-1 (strictly after, at most gap later) or it doesn't
+    count — a purchase three weeks after the click is attribution noise,
+    not conversion. Same single-shuffle plan; the bound is one more
+    integer-microsecond predicate inside the conditional min."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     w = Window.partitionBy(entity_col)
@@ -45,7 +53,15 @@ def funnel_times(
     out_cols = []
     for name, pred in steps:
         col_name = f"t_{name}"
-        cond = pred if prev is None else (pred & (t > F.col(prev)))
+        if prev is None:
+            cond = pred
+        else:
+            cond = pred & (t > F.col(prev))
+            if max_gap_seconds is not None:
+                cond = cond & (
+                    F.unix_micros(t) - F.unix_micros(F.col(prev))
+                    <= max_gap_seconds * 1_000_000
+                )
         df = df.withColumn(col_name, F.min(F.when(cond, t)).over(w))
         out_cols.append(col_name)
         prev = col_name

@@ -522,3 +522,36 @@ def test_funnel_strict_ordering(spark):
     assert roll.reached_purchase == 1
     assert roll.view_to_click == 2 / 4
     assert roll.click_to_purchase == 1 / 2
+
+
+def test_funnel_max_gap_window(spark):
+    """Conversion-window constraint: a step landing after the gap doesn't
+    count, even though a later in-gap event of the same kind would have."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.funnel import funnel_times
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: click 2 min after view — inside a 5-min window
+        (1, "view", t(0)), (1, "click", t(2)),
+        # u2: first click 10 min after view (outside), no second chance
+        (2, "view", t(0)), (2, "click", t(10)),
+        # u3: late click outside the window, then ANOTHER view restarts
+        # nothing (t_view is the FIRST view) — still no conversion
+        (3, "view", t(0)), (3, "click", t(30)),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+    ]
+    got = {r.user_id: r for r in funnel_times(e, steps, max_gap_seconds=300).collect()}
+    assert got[1].t_click == t(2)
+    assert got[2].t_click is None
+    assert got[3].t_click is None
+    # without the gap the late clicks count
+    loose = {r.user_id: r for r in funnel_times(e, steps).collect()}
+    assert loose[2].t_click == t(10)
