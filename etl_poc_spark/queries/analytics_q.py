@@ -443,3 +443,56 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(25)
     )
+
+
+@query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t_view
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND epoch_us(e.ts) - epoch_us(v.t_view) <= CAST(3600 AS BIGINT) * 1000000
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND epoch_us(e.ts) - epoch_us(c.t_click) <= CAST(3600 AS BIGINT) * 1000000
+      GROUP BY e.user_id
+    ), funnel AS (
+      SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS reached_view,
+           CAST(COUNT(t_click) AS BIGINT) AS reached_click,
+           CAST(COUNT(t_purchase) AS BIGINT) AS reached_purchase,
+           CAST(COUNT(t_click) AS DOUBLE) / COUNT(t_view) AS view_to_click,
+           CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(t_click) AS click_to_purchase
+    FROM funnel
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion funnel under a 1-hour attribution window: each step
+    must land within an hour of the previous step's time or it doesn't
+    count (operators/funnel.py::funnel_times max_gap_seconds). Same
+    one-shuffle plan as events_funnel; compare the two queries' rates to
+    read attribution-window sensitivity directly off the gate."""
+    from etl_poc_spark.operators.funnel import funnel_rollup, funnel_times
+
+    per_user = funnel_times(
+        load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts"),
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        max_gap_seconds=3600,
+    )
+    return funnel_rollup(per_user, ["view", "click", "purchase"]).withColumnRenamed(
+        "n_entities", "n_users"
+    )
