@@ -46,6 +46,11 @@ def funnel_times(
     integer-microsecond predicate inside the conditional min."""
     if not steps:
         raise ValueError("funnel needs at least one step")
+    names = [name for name, _ in steps]
+    if len(set(names)) != len(names):
+        # duplicates would silently collide on t_<name> (withColumn
+        # replaces) and corrupt the prev-step ordering chain
+        raise ValueError(f"duplicate step names in funnel: {names}")
     w = Window.partitionBy(entity_col)
     t = F.col(ts_col)
     df = events
@@ -72,12 +77,17 @@ def funnel_times(
 
 def funnel_rollup(per_entity: DataFrame, step_names: Sequence[str]) -> DataFrame:
     """Collapse funnel_times output to one row of step counts and
-    step-to-step conversion ratios (exact-count double divisions)."""
+    step-to-step conversion ratios (exact-count double divisions). A ratio
+    whose upstream step no entity reached is explicitly NULL (nullif-guarded
+    divisor) rather than engine-dependent divide-by-zero behavior."""
     aggs = [F.count(F.lit(1)).alias("n_entities")]
     for name in step_names:
         aggs.append(F.count(f"t_{name}").alias(f"reached_{name}"))
     for a, b in zip(step_names, step_names[1:]):
         aggs.append(
-            (F.count(f"t_{b}").cast("double") / F.count(f"t_{a}")).alias(f"{a}_to_{b}")
+            (
+                F.count(f"t_{b}").cast("double")
+                / F.nullif(F.count(f"t_{a}"), F.lit(0))
+            ).alias(f"{a}_to_{b}")
         )
     return per_entity.agg(*aggs)

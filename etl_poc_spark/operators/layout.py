@@ -108,6 +108,9 @@ def write_zorder(
     lo_x, hi_x, lo_y, hi_y = df.agg(
         F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
     ).collect()[0]
+    if lo_x is None or lo_y is None:  # empty input: nothing to interleave
+        df.write.mode("overwrite").parquet(path)
+        return
     top = (1 << bits) - 1
 
     def scaled(col: str, lo: float, hi: float) -> F.Column:
@@ -152,8 +155,17 @@ def compact_files(
     The staging hop exists because Spark cannot overwrite a path it is
     lazily reading from (same pattern as operators/upsert.py).
 
+    NON-ATOMIC WINDOW (documented): between the target overwrite starting
+    and finishing, the only complete copy of the data is the staging dir —
+    a crash there leaves `path` partial and requires manual restore from
+    `{path}__compact_staging` (which is intentionally NOT deleted until
+    the overwrite succeeds). True atomicity needs a table format
+    (Delta/Iceberg) or a rename-swap, which plain parquet paths read by
+    absolute location don't support.
+
     Returns {"files_before", "files_after", "n_rows"} so callers/tests
     can assert the compaction did what it claims."""
+    import logging
     import math
 
     df = spark.read.parquet(path)
@@ -175,6 +187,9 @@ def compact_files(
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(jpath, True)
     except Exception:  # noqa: BLE001 — cleanup must never fail the compaction
-        pass
+        logging.getLogger(__name__).warning(
+            "compact_files: could not delete staging dir %s — remove it manually",
+            staging,
+        )
     files_after = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
     return {"files_before": files_before, "files_after": files_after, "n_rows": n_rows}

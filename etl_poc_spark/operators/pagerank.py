@@ -6,11 +6,21 @@ groupBy(dst) — both shuffles on the edge keys, with map-side combine on
 the contribution sum. Rank state is one (vertex, rank) frame; the deduped edge
 frame is pinned inside the operator — verts, out-degrees, and every
 iteration read it, and unpinned each reader would re-execute the
-caller's edge-building lineage. Lineage is cut with an eager localCheckpoint
-of the per-iteration rank state: the dangling-mass collect is an action
-and the contribs join reads the same frame, so without the cut every
-iteration re-executes the whole chain since the start twice, and 10+
-chained joins build a plan Catalyst re-analyzes quadratically.
+caller's edge-building lineage. Lineage is cut with an eager checkpoint
+of the per-iteration rank state, which is the ONLY per-iteration action:
+the dangling-vertex mass is folded in-plan as a 1-row aggregate broadcast
+into the rank update (no driver-side collect per iteration).
+
+Checkpoint modes (the local-vs-cluster durability trade-off):
+
+* default (`checkpoint_dir=None`): `localCheckpoint(eager=True)` — blocks
+  live in executor storage. Fastest on local[*]; on a real cluster an
+  executor loss mid-iteration loses blocks that, with lineage cut, cannot
+  be recomputed, failing the job.
+* reliable (`checkpoint_dir="hdfs://..."`): `df.checkpoint(eager=True)`
+  to a fault-tolerant filesystem. Survives executor loss — the mode to use
+  for long iterative jobs on a 1000-executor cluster, at the cost of one
+  distributed write per iteration.
 
 Dangling vertices (no out-edges) donate their mass uniformly to every
 vertex each iteration — the standard stochastic-matrix fix; without it
@@ -24,6 +34,8 @@ behavior is pinned by closed-form pytest cases instead.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,10 +48,26 @@ def pagerank(
     dst: str = "dst",
     n_iter: int = 10,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Ranks for every vertex appearing in `edges` (directed, unweighted;
     parallel edges count once). Returns (vertex, rank) with sum(rank)=1
-    up to float error."""
+    up to float error.
+
+    checkpoint_dir: when set, per-iteration state is checkpointed reliably
+    to this fault-tolerant directory (survives executor loss); when None,
+    executor-local checkpoint (fast, not fault-tolerant).
+    checkpoint_every: deprecated and ignored (state is now cut exactly once
+    per iteration); accepted for one release for caller compatibility.
+    """
+    if checkpoint_every is not None:
+        warnings.warn(
+            "pagerank(checkpoint_every=...) is deprecated and ignored; "
+            "state is checkpointed once per iteration",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     # pin the deduped edge list: verts, out_deg, and EVERY iteration's
     # contribs join read it — unpinned, each of those re-executes the
     # caller's edge-building lineage (a fact-table join for the registered
@@ -57,37 +85,44 @@ def pagerank(
             F.col("src").alias("od_src"), "deg"
         )
     )
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        # the single per-iteration materialization: caps plan depth at one
+        # iteration and stops each iteration re-executing the whole chain
+        # (both the contribs join and the dangling aggregate read it)
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
 
     ranks = verts.select("vertex", F.lit(1.0 / n).alias("rank"))
-    for i in range(n_iter):
-        # materialize ONCE per iteration: the dangling-mass collect below
-        # is an action, and both it and the contribs join read this frame —
-        # without the eager checkpoint each iteration re-executes the whole
-        # lineage since the last cut TWICE (measured 2.5x on the registered
-        # supplier_pagerank query). Also caps plan depth at one iteration.
-        with_deg = (
-            ranks.join(out_deg, ranks.vertex == out_deg.od_src, "left")
-            .drop("od_src")
-            .localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        with_deg = _cut(
+            ranks.join(out_deg, ranks.vertex == out_deg.od_src, "left").drop("od_src")
         )
         contribs = (
             with_deg.where(F.col("deg").isNotNull())
             .join(e, F.col("vertex") == e.src)
             .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("deg")).alias("c"))
         )
-        # dangling mass: ONE double per iteration fetched to the driver
-        # (bounded by construction), redistributed uniformly
-        dangling = (
-            with_deg.where(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+        # dangling mass: ONE double, folded in-plan as a 1-row aggregate
+        # broadcast into the rank update — no extra driver action per
+        # iteration (the misc_q.py scalar-crossJoin pattern)
+        dangling = with_deg.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling_m")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         summed = contribs.groupBy("vertex").agg(F.sum("c").alias("s"))
-        ranks = verts.join(summed, "vertex", "left").select(
-            "vertex",
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
-                "rank"
-            ),
+        ranks = (
+            verts.join(summed, "vertex", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vertex",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dangling_m") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
         )
     return ranks  # verts/out_deg pins release via release_pins()

@@ -64,10 +64,11 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition); doc_freq needs word x doc distinctness, which reuses the
     SAME (word, doc_id) shuffle via count(distinct). The top-50 is
     TakeOrderedAndProject; df_ratio is one double division of two exact
-    counts (corpus size broadcasts as a 1-row literal-joined aggregate
-    folded into the projection)."""
+    counts (corpus size folds in-plan as a 1-row aggregate broadcast —
+    no separate driver count job, same scalar-crossJoin idiom as the
+    sibling queries)."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # single scalar job over parquet row-group metadata
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n_docs"))  # 1-row, in-plan
     w = d.select("doc_id", F.explode(_words()).alias("word"))
     return (
         w.groupBy("word")
@@ -75,11 +76,14 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("term_freq"),
             F.countDistinct("doc_id").alias("doc_freq"),
         )
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "word",
             "term_freq",
             "doc_freq",
-            (F.col("doc_freq").cast("double") / F.lit(float(n_docs))).alias("df_ratio"),
+            (F.col("doc_freq").cast("double") / F.col("_n_docs").cast("double")).alias(
+                "df_ratio"
+            ),
         )
         .orderBy(F.desc("term_freq"), F.asc("word"))
         .limit(50)

@@ -133,6 +133,19 @@ def test_compact_files(spark, sf_dir, tmp_path):
         assert a.max_key < b.min_key
 
 
+def test_zorder_empty_input(spark, tmp_path):
+    """write_zorder on an empty frame writes the empty dataset (schema
+    preserved) instead of raising on the None min/max bounds."""
+    from etl_poc_spark.operators.layout import write_zorder
+
+    empty = spark.range(0).selectExpr("id AS x", "id AS y")
+    out = str(tmp_path / "zempty")
+    write_zorder(empty, out, "x", "y")
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    assert set(back.columns) == {"x", "y"}
+
+
 def test_z_value_properties(spark):
     """Hypothesis: interleaving is exactly invertible (de-interleave
     recovers both inputs) and monotone along each axis with the other

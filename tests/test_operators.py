@@ -479,6 +479,44 @@ def test_pagerank_closed_forms_and_mass(spark):
         assert abs(r[v] - 1 / 3) < 1e-9
 
 
+def test_pagerank_reliable_checkpoint_mode(spark, tmp_path):
+    """The cluster-durable mode (checkpoint_dir -> df.checkpoint) computes
+    the same ranks as the default localCheckpoint mode, and the deprecated
+    checkpoint_every kwarg is accepted-but-ignored with a warning."""
+    import warnings
+
+    from etl_poc_spark.operators.pagerank import pagerank
+    from etl_poc_spark.operators.pins import release_pins
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    local = {x["vertex"]: x["rank"] for x in pagerank(e, n_iter=6).collect()}
+    release_pins()
+    reliable = {
+        x["vertex"]: x["rank"]
+        for x in pagerank(
+            e, n_iter=6, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    release_pins()
+    assert set(local) == set(reliable)
+    for v in local:
+        assert abs(local[v] - reliable[v]) < 1e-12
+    # reliable mode actually wrote checkpoint data
+    assert any((tmp_path / "ckpt").rglob("*"))
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r = {
+            x["vertex"]: x["rank"]
+            for x in pagerank(e, n_iter=2, checkpoint_every=3).collect()
+        }
+        release_pins()
+    assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+
+
 def test_funnel_strict_ordering(spark):
     """Constructed sequences pin the funnel semantics: a click BEFORE the
     first view doesn't count; equal timestamps don't advance (strictly
@@ -555,3 +593,41 @@ def test_funnel_max_gap_window(spark):
     # without the gap the late clicks count
     loose = {r.user_id: r for r in funnel_times(e, steps).collect()}
     assert loose[2].t_click == t(10)
+
+
+def test_funnel_guards(spark):
+    """Edge guards: duplicate step names are rejected (they'd silently
+    collide on t_<name>); a step-to-step ratio whose upstream step no
+    entity reached is explicitly NULL, matching DuckDB's NULL for
+    x / NULLIF(0, 0) — engine-independent, not divide-by-zero."""
+    from datetime import datetime
+
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.funnel import funnel_rollup, funnel_times
+
+    e = spark.createDataFrame(
+        [(1, "view", datetime(2024, 1, 1))], ["user_id", "event_type", "ts"]
+    )
+    with pytest.raises(ValueError, match="duplicate step names"):
+        funnel_times(
+            e,
+            [
+                ("view", F.col("event_type") == "view"),
+                ("view", F.col("event_type") == "view2"),
+            ],
+        )
+
+    # nobody ever clicks -> click_to_purchase divides by reached_click == 0
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    roll = funnel_rollup(funnel_times(e, steps), ["view", "click", "purchase"]).collect()[0]
+    assert roll.reached_click == 0
+    assert roll.click_to_purchase is None  # explicit NULL, not NaN/inf/error
+    # and the oracle-side formulation agrees
+    assert duckdb.sql("SELECT 0.0 / NULLIF(0, 0)").fetchone()[0] is None
