@@ -60,6 +60,7 @@ def load_all() -> None:
         relational2_q,
         relational3_q,
         relational4_q,
+        relational5_q,
         similarity_q,
         spandedup_q,
         temporal_q,
