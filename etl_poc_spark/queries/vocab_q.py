@@ -257,3 +257,26 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+@query("bpe_trained_merges")  # no oracle: iterative training loop (the
+# merge decisions are exact-integer with a deterministic tie-break, but
+# expressing the n-step merge application in SQL needs recursion over
+# array state DuckDB's recursive CTEs can't carry); behavior is pinned by
+# the pure-Python-reference parity pytest in tests/test_operators.py
+def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE vocabulary training (operators/bpe.py::train_bpe), 8
+    merges over the documents corpus: the ordered merge decisions
+    (step, left, right, pair_count) — bpe_merge_candidates' inner loop
+    actually iterated, with the symbol-table state checkpointed per
+    iteration. The returned frame is the KB-sized trained artifact
+    (driver-side by construction: one decision row per iteration)."""
+    from etl_poc_spark.operators.bpe import train_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(_words()).alias("word"))
+    merges, _ = train_bpe(w, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "step int, left string, right string, pair_count bigint",
+    )

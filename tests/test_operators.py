@@ -595,6 +595,90 @@ def test_funnel_max_gap_window(spark):
     assert loose[2].t_click == t(10)
 
 
+def _py_bpe(word_freqs, n_merges):
+    """Pure-Python reference BPE trainer with the SAME deterministic
+    tie-break (max count, then lexicographically smallest pair) and
+    leftmost-first non-overlapping merge application as train_bpe."""
+    symtab = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in symtab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_freqs[w]
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((a, b, n))
+        for w, syms in symtab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            symtab[w] = out
+    return merges, symtab
+
+
+def test_train_bpe_matches_python_reference(spark):
+    """Distributed BPE training == the pure-Python reference on the
+    classic Sennrich corpus: same merge sequence (incl. the es/st
+    count-9 tie broken lexicographically), same final segmentations,
+    and segment_expr (the inference path) reproduces the trained
+    symbol table. Also pins the max-pair-count monotonicity BPE
+    guarantees (each merge's count <= the previous one's)."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.bpe import segment_expr, train_bpe
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(w,) for w, f in freqs.items() for _ in range(f)]
+    words = spark.createDataFrame(rows, ["word"]).repartition(7)
+
+    merges, symtab = train_bpe(words, n_merges=6)
+    ref_merges, ref_symtab = _py_bpe(freqs, 6)
+    assert merges == ref_merges
+    # the famous first merge: ('e','s') at count 9, beating ('s','t')
+    # only on the lexicographic tie-break
+    assert merges[0] == ("e", "s", 9)
+    counts = [n for _, _, n in merges]
+    assert counts == sorted(counts, reverse=True)  # monotone non-increasing
+
+    got = {r["word"]: r["syms"] for r in symtab.collect()}
+    assert got == ref_symtab
+
+    # inference: applying the trained merge list reproduces training's
+    # final segmentation for every vocabulary word
+    seg = {
+        r["word"]: r["toks"]
+        for r in spark.createDataFrame([(w,) for w in freqs], ["word"])
+        .select("word", segment_expr(merges).alias("toks"))
+        .collect()
+    }
+    assert seg == ref_symtab
+
+    # early stop: a corpus where every pair is unique trains zero merges
+    uniq = spark.createDataFrame([("ab",), ("cd",)], ["word"])
+    m2, _ = train_bpe(uniq, n_merges=5)
+    assert m2 == []
+
+
+def test_train_bpe_reliable_checkpoint(spark, tmp_path):
+    from etl_poc_spark.operators.bpe import train_bpe
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(w,) for w, f in freqs.items() for _ in range(f)]
+    words = spark.createDataFrame(rows, ["word"])
+    m_local, _ = train_bpe(words, n_merges=3)
+    m_rel, _ = train_bpe(words, n_merges=3, checkpoint_dir=str(tmp_path / "bpeckpt"))
+    assert m_local == m_rel
+    assert any((tmp_path / "bpeckpt").rglob("*"))
+
+
 def test_funnel_guards(spark):
     """Edge guards: duplicate step names are rejected (they'd silently
     collide on t_<name>); a step-to-step ratio whose upstream step no
