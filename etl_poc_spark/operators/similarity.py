@@ -450,6 +450,58 @@ def pq_adc_topk(
     return _rank_topk(_pair_cosine(queries, decoded, pairs, id_col, vec_col), k)
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """FAISS-style IVF-PQ: the trained coarse quantizer gates candidates
+    FIRST (queries probe their `nprobe` nearest of `n_centroids` clusters,
+    base vectors live in exactly one), then only the gated candidates
+    ADC-score — true query vector against the candidate's PQ-reconstructed
+    vector, decoded in-plan from the literal codebooks. This composes
+    kmeans_ivf_topk's pruning with pq_adc_topk's compressed scoring; codes
+    encode the RAW vector (no residual — the by_residual=false IVF-PQ
+    variant), so the codebooks are shared across clusters and the decode
+    expression stays cluster-independent.
+
+    Scale shape: candidate space shrinks ~n_centroids/nprobe via the
+    cluster equi-join (never all-pairs), base-side payload per candidate
+    is the code row (m small ints, ~21x under the float vector at the
+    registered 16x64 config), and both models are KB-sized driver
+    artifacts (train offline once, probe many times — pass `centroids` /
+    `codebooks` to serve from a pre-trained index)."""
+    if centroids is None:
+        centroids = train_kmeans_centroids(base, n_centroids, n_iters, id_col, vec_col)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(base, m, n_codes, 1, id_col, vec_col)
+    b_tag = _assign_centroid(base, centroids, id_col, vec_col, nprobe=1) \
+        .withColumnRenamed(id_col, "neighbor_id")
+    q_tag = _assign_centroid(queries, centroids, id_col, vec_col, nprobe=nprobe) \
+        .withColumnRenamed(id_col, "query_id")
+    small_q = _provably_small(queries)
+    hint_q = F.broadcast if small_q else (lambda df: df)
+    # the IVF gate: candidates exist only where query probe and base
+    # assignment share a cluster — an equi-join, evaluated BEFORE any
+    # decode or scoring work
+    pairs = hint_q(q_tag).join(b_tag, "cluster").select("query_id", "neighbor_id")
+    decoded = pq_encode(base, codebooks).select(
+        F.col(id_col), pq_decode_expr(codebooks).alias(vec_col)
+    )
+    return _rank_topk(
+        _pair_cosine(queries, decoded, pairs, id_col, vec_col, small_q=small_q), k
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     centroids: list[list[float]],

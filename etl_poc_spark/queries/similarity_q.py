@@ -187,8 +187,9 @@ def _lloyd_iter_sql(n: int, prev: str) -> str:
     )"""
 
 
-_KMEANS_IVF_ORACLE = (
-    """
+# shared between _KMEANS_IVF_ORACLE and _IVFPQ_ORACLE: coarse-quantizer
+# training (init + norms) and the trained base/query cluster assignments
+_KM_HEADER = """
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
     b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
     dims AS (SELECT unnest(range(1, 65)) AS i),
@@ -217,9 +218,8 @@ _KMEANS_IVF_ORACLE = (
                   ELSE sqrt(SUM(CAST(q.embedding[d.i] AS DOUBLE) * CAST(q.embedding[d.i] AS DOUBLE))) END AS n
       FROM q, dims d GROUP BY q.vec_id
     )"""
-    + _lloyd_iter_sql(1, "ce0")
-    + _lloyd_iter_sql(2, "cf1")
-    + """
+
+_KM_ASSIGN = """
     , ba AS (
       SELECT vec_id AS neighbor_id, cluster FROM (
         SELECT s.vec_id, s.cluster,
@@ -242,7 +242,15 @@ _KMEANS_IVF_ORACLE = (
           WHERE qn.vec_id = q.vec_id AND cn.cluster = ce.cluster
           GROUP BY q.vec_id, ce.cluster
         ) s) WHERE rk <= 3
-    ), cand AS (
+    )"""
+
+_KMEANS_IVF_ORACLE = (
+    _KM_HEADER
+    + _lloyd_iter_sql(1, "ce0")
+    + _lloyd_iter_sql(2, "cf1")
+    + _KM_ASSIGN
+    + """
+    , cand AS (
       SELECT qa.query_id, ba.neighbor_id, q.embedding AS qv, b.embedding AS bv
       FROM qa JOIN ba USING (cluster)
       JOIN q ON q.vec_id = qa.query_id
@@ -458,6 +466,84 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PQ_MODELS[key] = books
     codes = pq_encode(b, books)
     return pq_adc_topk(q, codes, books, k=5)
+
+
+# --- IVF-PQ: coarse-quantizer candidate gating + ADC scoring ----------------
+
+_IVFPQ_ORACLE = (
+    _KM_HEADER
+    + _lloyd_iter_sql(1, "ce0")
+    + _lloyd_iter_sql(2, "cf1")
+    + _KM_ASSIGN
+    + "".join(_pq_sub_sql(s) for s in range(_PQ_M))
+    + """
+    , dec AS ("""
+    + " UNION ALL ".join(f"SELECT * FROM dec_s{s}" for s in range(_PQ_M))
+    + """
+    ), adc_qnorm AS (
+      SELECT q.vec_id,
+             sqrt(CAST(SUM(CAST(CAST(q.embedding[d.i] AS DOUBLE) * CAST(q.embedding[d.i] AS DOUBLE)
+                               AS DECIMAL(25,15))) AS DOUBLE)) AS n
+      FROM q, dims d GROUP BY q.vec_id
+    ), adc_dnorm AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(c * c AS DECIMAL(25,15))) AS DOUBLE)) AS n
+      FROM dec GROUP BY vec_id
+    ), cand AS (
+      SELECT qa.query_id, ba.neighbor_id FROM qa JOIN ba USING (cluster)
+    ), dots AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(CAST(CAST(q.embedding[d.i] AS DOUBLE) * d.c AS DECIMAL(25,15))) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN q ON q.vec_id = c.query_id
+      JOIN dec d ON d.vec_id = c.neighbor_id
+      GROUP BY c.query_id, c.neighbor_id
+    ), ranked AS (
+      SELECT dots.query_id, dots.neighbor_id,
+             round(dots.dot / (qn.n * dn.n), 7) AS cos_sim,
+             row_number() OVER (PARTITION BY dots.query_id
+                                ORDER BY round(dots.dot / (qn.n * dn.n), 7) DESC, dots.neighbor_id) AS rank
+      FROM dots JOIN adc_qnorm qn ON qn.vec_id = dots.query_id
+                JOIN adc_dnorm dn ON dn.vec_id = dots.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+    """
+)
+
+
+@query("embedding_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full FAISS-style IVF-PQ (operators/similarity.py::ivfpq_topk):
+    the trained 8-centroid coarse quantizer gates candidates first
+    (queries probe their 3 nearest clusters — the cluster equi-join the
+    embedding_pq_topk docstring promised to compose), then only the gated
+    candidates ADC-score against their PQ reconstructions (16x64
+    codebooks, codes decoded in-plan). Both models serve from the same
+    fingerprint-keyed caches as their standalone queries, so registering
+    this query adds no extra training jobs to a warm session.
+
+    Hash-checked oracle: the kmeans-IVF assignment CTEs chained with the
+    per-subspace PQ train/encode/decode CTEs — candidate set, codes,
+    reconstructions, cosines, and ranks all match bit-for-bit."""
+    from etl_poc_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    b = emb.filter(F.col("vec_id") >= 10)
+    key = _model_key(sf_dir)
+    centroids = _KMEANS_MODELS.get(key)
+    if centroids is None:
+        from etl_poc_spark.operators.similarity import train_kmeans_centroids
+
+        centroids = train_kmeans_centroids(b, n_centroids=8, n_iters=2)
+        _KMEANS_MODELS[key] = centroids
+    books = _PQ_MODELS.get(key)
+    if books is None:
+        from etl_poc_spark.operators.similarity import train_pq_codebooks
+
+        books = train_pq_codebooks(b, m=_PQ_M, k=_PQ_K, n_iters=1)
+        _PQ_MODELS[key] = books
+    return ivfpq_topk(q, b, k=5, nprobe=3, centroids=centroids, codebooks=books)
 
 
 # --- SemDeDup: semantic dedup via cluster-bounded pairwise cosine ----------

@@ -236,6 +236,45 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir):
     assert approx == again
 
 
+def test_ivfpq_recall_vs_exact_and_gating(spark, sf_dir):
+    """Composed IVF-PQ: recall against exact brute force holds a usable
+    floor on near-uniform vectors (both stages' worst case — the IVF gate
+    can only drop candidates PQ would have scored), results are
+    deterministic, and the candidate set is a subset of what the IVF
+    stage alone admits (the gate really gates)."""
+    from etl_poc_spark.io import load_table
+    from etl_poc_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        kmeans_ivf_topk,
+        train_kmeans_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    b = emb.filter(F.col("vec_id") >= 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(q, b, k=5).collect()}
+    cents = train_kmeans_centroids(b, n_centroids=8, n_iters=2)
+    books = train_pq_codebooks(b, m=16, k=64, n_iters=1)
+    got = ivfpq_topk(q, b, k=5, nprobe=3, centroids=cents, codebooks=books).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    assert len(exact & approx) / len(exact) >= 0.3
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(q, b, k=5, nprobe=3, centroids=cents, codebooks=books).collect()
+    }
+    assert approx == again
+    # gating: every IVF-PQ neighbor was admitted by the coarse quantizer
+    # (compare against the IVF stage with a full-rank k so nothing is cut
+    # by ranking, only by the cluster gate)
+    ivf_admitted = {
+        (r["query_id"], r["neighbor_id"])
+        for r in kmeans_ivf_topk(q, b, k=10**6, nprobe=3, centroids=cents).collect()
+    }
+    assert approx <= ivf_admitted
+
+
 def test_connected_components_and_representatives(spark):
     from etl_poc_spark.operators.dedup import connected_components, dedup_representatives
 
