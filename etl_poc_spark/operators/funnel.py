@@ -75,6 +75,49 @@ def funnel_times(
     )
 
 
+def debounce_flag(
+    entity_cols: Sequence[str],
+    ts_col: str = "ts",
+    within_seconds: int = 120,
+    tiebreak_cols: Sequence[str] = ("event_id",),
+) -> Column:
+    """TRUE for events the same entity emitted less than `within_seconds`
+    after its previous event — double-clicks, retry storms, at-least-once
+    delivery echoes.
+
+    Lag-vs-previous-EVENT on purpose: debouncing against the previous
+    KEPT event is a sequential recurrence (not window-expressible, and at
+    scale it serializes per key); the lag formulation is the standard
+    streaming-telemetry debounce and costs ONE shuffle on the entity
+    keys. Microsecond integer arithmetic, no floats."""
+    w = Window.partitionBy(*entity_cols).orderBy(
+        F.asc(ts_col), *[F.asc(c) for c in tiebreak_cols]
+    )
+    prev = F.lag(ts_col).over(w)
+    return prev.isNotNull() & (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+        < within_seconds * 1_000_000
+    )
+
+
+def debounce(
+    events: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str = "ts",
+    within_seconds: int = 120,
+    tiebreak_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Drop debounced events (see debounce_flag); schema passes through."""
+    return (
+        events.withColumn(
+            "__debounced",
+            debounce_flag(entity_cols, ts_col, within_seconds, tiebreak_cols),
+        )
+        .filter(~F.col("__debounced"))
+        .drop("__debounced")
+    )
+
+
 def funnel_rollup(per_entity: DataFrame, step_names: Sequence[str]) -> DataFrame:
     """Collapse funnel_times output to one row of step counts and
     step-to-step conversion ratios (exact-count double divisions). A ratio

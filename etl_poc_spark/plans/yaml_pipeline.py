@@ -276,6 +276,40 @@ def _apply_op(df: DataFrame, op: dict[str, Any], provider: LLMProvider) -> DataF
 
         drop = flags.filter(F.col("is_dropped")).select(id_col)
         return df.join(drop, id_col, "left_anti")
+    if t == "funnel":
+        # ordered conversion funnel (operators/funnel.py): per-entity
+        # earliest qualifying time of each step, strictly ordered, with an
+        # optional conversion window; rollup: true collapses to one row of
+        # step counts + conversion ratios
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.funnel import funnel_rollup, funnel_times
+
+        steps = [(s["name"], F.expr(s["condition"])) for s in op["steps"]]
+        per_entity = funnel_times(
+            df,
+            steps,
+            entity_col=op.get("entity_key", "user_id"),
+            ts_col=op.get("ts_key", "ts"),
+            max_gap_seconds=(
+                int(op["max_gap_seconds"]) if op.get("max_gap_seconds") else None
+            ),
+        )
+        if op.get("rollup"):
+            return funnel_rollup(per_entity, [s["name"] for s in op["steps"]])
+        return per_entity
+    if t == "debounce":
+        # drop burst noise: events the same entity emitted within
+        # `within_seconds` of its previous event (operators/funnel.py)
+        from etl_poc_spark.operators.funnel import debounce
+
+        return debounce(
+            df,
+            entity_cols=op.get("keys") or ["user_id", "event_type"],
+            ts_col=op.get("ts_key", "ts"),
+            within_seconds=int(op.get("within_seconds", 120)),
+            tiebreak_cols=tuple(op.get("tiebreak") or ["event_id"]),
+        )
     if t == "span_dedup":
         # ExactSubstr-style doc filter (Lee et al. 2021): drop documents
         # whose cross-doc duplicated-span coverage exceeds max_coverage

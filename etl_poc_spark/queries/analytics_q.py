@@ -346,14 +346,11 @@ def events_debounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming-telemetry debounce and stays ONE shuffle on
     (user, type) with the aggregate reusing the same partitioning.
     Microsecond integer arithmetic, no floats anywhere."""
-    from pyspark.sql import Window
+    from etl_poc_spark.operators.funnel import debounce_flag
 
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
-    prev = F.lag("ts").over(w)
-    debounced = (
-        prev.isNotNull()
-        & (F.unix_micros(F.col("ts")) - F.unix_micros(prev) < 120 * 1_000_000)
+    debounced = debounce_flag(
+        ["user_id", "event_type"], ts_col="ts", within_seconds=120
     ).cast("long")
     return (
         e.withColumn("__d", debounced)

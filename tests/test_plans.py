@@ -224,6 +224,67 @@ def test_yaml_curation_vocabulary(spark):
     assert "[EMAIL]" in rows[5] and "bob@example.com" not in rows[5]
 
 
+def test_yaml_funnel_and_debounce_ops(spark):
+    """The analytics operators drive from config: debounce strips the
+    burst duplicate, then the funnel computes per-entity step times and
+    the rollup collapses to counts + conversion ratios."""
+    from datetime import datetime
+
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    t = lambda m, s=0: datetime(2024, 1, 1, 0, m, s)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            # u1 converts; the second view 10s after the first is burst noise
+            (1, 1, "view", t(0)),
+            (2, 1, "view", t(0, 10)),
+            (3, 1, "click", t(5)),
+            (4, 1, "purchase", t(9)),
+            # u2 stalls after view
+            (5, 2, "view", t(0)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    config = {
+        "default_model": "stub",
+        "datasets": {"events": {"path": "injected.json"}},
+        "operations": [
+            {
+                "name": "clean",
+                "type": "debounce",
+                "keys": ["user_id", "event_type"],
+                "within_seconds": 60,
+            },
+            {
+                "name": "conv",
+                "type": "funnel",
+                "entity_key": "user_id",
+                "max_gap_seconds": 600,
+                "steps": [
+                    {"name": "view", "condition": "event_type = 'view'"},
+                    {"name": "click", "condition": "event_type = 'click'"},
+                    {"name": "purchase", "condition": "event_type = 'purchase'"},
+                ],
+            },
+        ],
+        "pipeline": {
+            "steps": [
+                {"name": "funnel", "input": "events", "operations": ["clean", "conv"]}
+            ]
+        },
+    }
+    out = run_pipeline(spark, config, datasets={"events": events})
+    rows = {r["user_id"]: r for r in out["__final__"].collect()}
+    assert rows[1].t_view == t(0) and rows[1].t_click == t(5) and rows[1].t_purchase == t(9)
+    assert rows[2].t_view == t(0) and rows[2].t_click is None
+
+    # rollup variant: one row of counts/ratios
+    config["operations"][1]["rollup"] = True
+    roll = run_pipeline(spark, config, datasets={"events": events})["__final__"].collect()[0]
+    assert roll.n_entities == 2 and roll.reached_view == 2
+    assert roll.reached_click == 1 and roll.view_to_click == 0.5
+
+
 def test_yaml_line_dedup_op(spark):
     """The line_dedup pipeline op rewrites text with cross-doc duplicated
     segments removed (all copies drop), keeps every row, and leaves docs
