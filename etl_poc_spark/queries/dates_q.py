@@ -129,9 +129,19 @@ def price_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # single-group partition key via a NON-FOLDABLE zero (bin*0): a plain
+    # lit(0) is constant-folded out of the window spec and Spark then logs
+    # the no-partition WindowExec warning on every task; bin*0 survives
+    # optimization, costs nothing, and the frame is the aggregated bins
+    # (bounded by value range / 500) either way
+    zero = F.col("bin") * F.lit(0)
+    wcum = (
+        Window.partitionBy(zero)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     c = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
-        "n", F.sum("cnt").over(Window.partitionBy())
+        "n", F.sum("cnt").over(Window.partitionBy(zero))
     )
     qs = spark.createDataFrame([(25,), (50,), (75,), (90,), (99,)], "q100 int")
     return (

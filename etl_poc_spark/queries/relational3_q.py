@@ -191,7 +191,12 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.withColumn(
             "total_rev",
-            F.sum("nation_rev").over(Window.partitionBy()).cast("decimal(38,2)"),
+            # non-foldable single-group key (see dates_q histogram comment):
+            # silences the per-task no-partition WindowExec warning; the
+            # frame is the 25-row nation aggregate
+            F.sum("nation_rev")
+            .over(Window.partitionBy(F.col("n_name").isNull()))
+            .cast("decimal(38,2)"),
         )
         .where(F.col("nation_rev") * 25 > F.col("total_rev"))
         .select(

@@ -6,7 +6,7 @@ and RE2 so the count is oracle-exact."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_poc_spark.io import load_table
@@ -139,8 +139,16 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a global row_number window here would instead force every scored doc
     # through a single-partition sort
     top = agg.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w))
+    # rank = row position of the already-bounded top-k: one partition of
+    # <=20 rows, explicitly re-sorted, ids assigned in iteration order —
+    # no global Window node, so the gate log stays free of WindowExec
+    # no-partition warnings (a foldable partitionBy(lit) gets optimized
+    # away and still warns)
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.desc("bm25"), F.asc("doc_id"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+    )
 
 
 @query(
@@ -211,8 +219,12 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     top = fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
-    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w))
+    # same bounded-rank idiom as bm25_search (see comment there)
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.desc("rrf_score"), F.asc("doc_id"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+    )
 
 
 @query(
