@@ -48,8 +48,10 @@ def load_all() -> None:
         dates_q,
         dedup2_q,
         dedup_q,
+        diff_q,
         documents_q,
         events_q,
+        expectations_q,
         extra_q,
         linededup_q,
         misc_q,

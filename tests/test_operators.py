@@ -634,6 +634,88 @@ def test_funnel_max_gap_window(spark):
     assert loose[2].t_click == t(10)
 
 
+def test_table_diff_statuses_and_summary(spark):
+    """Constructed snapshots pin the CDC classification: insert/delete/
+    changed (incl. null-safe null->value and value->null transitions),
+    unchanged (incl. null==null), changed_cols naming exactly the
+    differing columns, and the summary counts."""
+    import pytest
+
+    from etl_poc_spark.operators.diff import diff_summary, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (4, "D", 40.0), (5, "e", 50.0)],
+        "k long, name string, v double",
+    )
+    d = {r["k"]: r for r in table_diff(old, new, ["k"]).collect()}
+    assert d[1]["status"] == "unchanged" and d[1]["changed_cols"] == []
+    assert d[2]["status"] == "changed" and d[2]["changed_cols"] == ["v"]  # null -> 20
+    assert d[3]["status"] == "deleted" and d[3]["new_v"] is None
+    assert d[4]["status"] == "changed" and d[4]["changed_cols"] == ["name"]  # null -> D
+    assert d[5]["status"] == "inserted" and d[5]["old_v"] is None
+
+    s = diff_summary(old, new, ["k"]).collect()[0]
+    assert (s["n_inserted"], s["n_deleted"], s["n_changed"], s["n_unchanged"]) == (
+        1, 1, 2, 1,
+    )
+    with pytest.raises(ValueError, match="no compare columns"):
+        table_diff(old.select("k"), new.select("k"), ["k"])
+
+
+def test_expectation_report_semantics(spark):
+    """Constructed violations pin every rule type: NULL exemption for
+    range/in_set/regex (SQL semantics — pair with not_null to reject),
+    unique counting ALL members of a duplicated group, FK orphans
+    excluding NULL keys, and duplicate-rule rejection."""
+    import pytest
+
+    from etl_poc_spark.operators.expectations import expectation_report
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", "ok"),
+            (1, -5.0, "B", "bad space"),   # dup key, negative, not in set
+            (2, None, "A", None),          # null price/text are EXEMPT
+            (None, 20.0, "A", "ok2"),      # null key: not_null + FK-exempt
+            (3, 30.0, "A", "ok3"),
+        ],
+        "k long, price double, cat string, slug string",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rk long")
+    rules = [
+        {"type": "not_null", "column": "k"},
+        {"type": "unique", "columns": ["k"]},
+        {"type": "range", "column": "price", "min": 0.0, "max": 25.0},
+        {"type": "in_set", "column": "cat", "values": ["A"]},
+        {"type": "regex", "column": "slug", "pattern": "^[a-z0-9]+$"},
+        {"type": "foreign_key", "column": "k", "ref": "r", "ref_column": "rk"},
+    ]
+    rep = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in expectation_report(df, rules, refs={"r": ref}).collect()
+    }
+    assert rep["not_null:k"] == (5, 1, False)
+    assert rep["unique:k"] == (5, 2, False)        # both rows of the k=1 group
+    assert rep["range:price"] == (5, 2, False)     # -5 and 30; NULL exempt
+    assert rep["in_set:cat"] == (5, 1, False)
+    assert rep["regex:slug"] == (5, 1, False)      # "bad space"; NULL exempt
+    assert rep["foreign_key:k"] == (5, 1, False)   # k=3; NULL key exempt
+
+    clean = expectation_report(
+        df.filter("k = 3"), [{"type": "not_null", "column": "k"}]
+    ).collect()[0]
+    assert clean["passed"] is True and clean["n_rows"] == 1
+
+    with pytest.raises(ValueError, match="duplicate rules"):
+        expectation_report(df, [rules[0], rules[0]])
+    with pytest.raises(ValueError, match="unknown frame"):
+        expectation_report(df, [rules[5]], refs={})
+
+
 def _py_bpe(word_freqs, n_merges):
     """Pure-Python reference BPE trainer with the SAME deterministic
     tie-break (max count, then lexicographically smallest pair) and

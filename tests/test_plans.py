@@ -164,6 +164,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "dormant_rich_customers",  # 1-row decorrelated scalar-average threshold join
         "supplier_pagerank",    # 1-row dangling-mass scalar join per power iteration
         "vocab_stats",          # 1-row corpus-size scalar join for df_ratio
+        "orders_expectations",  # 1-row FK-orphan count x 1-row total scalar join
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():
