@@ -259,6 +259,37 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# trained-merge-list cache: training is deterministic (exact integer
+# counts, lexicographic tie-break), keyed by a mtime+size fingerprint of
+# the documents parquet (the similarity_q.py centroid-cache pattern) so a
+# long-lived process retrains when the table regenerates
+_BPE_MODELS: dict[tuple, list[tuple[str, str, int]]] = {}
+
+
+def _bpe_key(sf_dir: str) -> tuple:
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        return (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (sf_dir,)
+
+
+def _trained_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
+    from etl_poc_spark.operators.bpe import train_bpe
+
+    key = _bpe_key(sf_dir)
+    merges = _BPE_MODELS.get(key)
+    if merges is None:
+        d = load_table(spark, sf_dir, "documents")
+        w = d.select(F.explode(_words()).alias("word"))
+        merges, _ = train_bpe(w, n_merges=8)
+        _BPE_MODELS[key] = merges
+    return merges
+
+
 @query("bpe_trained_merges")  # no oracle: iterative training loop (the
 # merge decisions are exact-integer with a deterministic tie-break, but
 # expressing the n-step merge application in SQL needs recursion over
@@ -271,12 +302,49 @@ def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually iterated, with the symbol-table state checkpointed per
     iteration. The returned frame is the KB-sized trained artifact
     (driver-side by construction: one decision row per iteration)."""
-    from etl_poc_spark.operators.bpe import train_bpe
-
-    d = load_table(spark, sf_dir, "documents")
-    w = d.select(F.explode(_words()).alias("word"))
-    merges, _ = train_bpe(w, n_merges=8)
+    merges = _trained_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "step int, left string, right string, pair_count bigint",
+    )
+
+
+@query("bpe_segmentation_stats")  # rows-only: derives from the trained
+# merge list (see bpe_trained_merges); invariants pinned in pytest
+def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE side of BPE at corpus scale: apply the trained merge
+    list (operators/bpe.py::segment_expr — composed JVM folds, no UDF) to
+    the corpus and report tokenizer quality: corpus tokens before/after
+    merging and the chars-per-token compression.
+
+    Scale trick mirrors training: segmentation runs once per DISTINCT
+    word and weights by frequency, so the fold cost is vocabulary
+    cardinality while the stats describe the full corpus. Exact integer
+    sums; the two ratios are single double divisions."""
+    merges = _trained_merges(spark, sf_dir)
+    from etl_poc_spark.operators.bpe import segment_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seg = vocab.select(
+        "freq",
+        F.length("word").alias("n_chars"),
+        F.size(segment_expr(merges)).alias("n_toks"),
+    )
+    return seg.agg(
+        F.sum("freq").cast("bigint").alias("total_words"),
+        F.sum(F.col("freq") * F.col("n_chars")).cast("bigint").alias("total_chars"),
+        F.sum(F.col("freq") * F.col("n_toks")).cast("bigint").alias("total_tokens"),
+        (
+            F.sum(F.col("freq") * F.col("n_toks")).cast("double")
+            / F.sum("freq").cast("double")
+        ).alias("tokens_per_word"),
+        (
+            F.sum(F.col("freq") * F.col("n_chars")).cast("double")
+            / F.sum(F.col("freq") * F.col("n_toks")).cast("double")
+        ).alias("chars_per_token"),
     )

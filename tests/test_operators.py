@@ -788,6 +788,22 @@ def test_train_bpe_matches_python_reference(spark):
     assert m2 == []
 
 
+def test_bpe_segmentation_stats_invariants(spark, sf_dir):
+    """Pins for the rows-only corpus query: every word yields >= 1 token,
+    merging strictly compresses relative to characters (the trained
+    merges fired somewhere), and the ratios are consistent with the
+    integer totals they derive from."""
+    from etl_poc_spark.queries.vocab_q import bpe_segmentation_stats
+
+    r = bpe_segmentation_stats(spark, sf_dir).collect()[0]
+    assert r["total_words"] > 0
+    assert r["total_words"] <= r["total_tokens"] <= r["total_chars"]
+    assert r["total_tokens"] < r["total_chars"]  # at least one merge applied
+    assert r["tokens_per_word"] == r["total_tokens"] / r["total_words"]
+    assert r["chars_per_token"] == r["total_chars"] / r["total_tokens"]
+    assert r["chars_per_token"] > 1.0
+
+
 def test_train_bpe_reliable_checkpoint(spark, tmp_path):
     from etl_poc_spark.operators.bpe import train_bpe
 
