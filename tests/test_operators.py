@@ -634,6 +634,41 @@ def test_funnel_max_gap_window(spark):
     assert loose[2].t_click == t(10)
 
 
+def test_bloom_prefilter_join_exactness(spark, sf_dir):
+    """The safety contract: zero false negatives (every build key passes
+    its own filter), and the pre-filtered join returns EXACTLY the plain
+    semi-join result — the bloom only subtracts certain non-matches."""
+    from etl_poc_spark.io import load_table
+    from etl_poc_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_prefilter_join,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    build = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    words = bloom_build(build, "c_custkey", m=1024, k=3)
+    # no false negatives
+    assert build.filter(~bloom_contains(F.col("c_custkey"), words, 1024, 3)).count() == 0
+    # exact equivalence with the plain semi join
+    got = bloom_prefilter_join(o, build, on="o_custkey", small_key="c_custkey", m=1024, k=3)
+    want = o.join(
+        build.withColumnRenamed("c_custkey", "o_custkey").distinct(),
+        "o_custkey",
+        "left_semi",
+    )
+    assert got.count() == want.count()
+    assert got.select("o_orderkey").exceptAll(want.select("o_orderkey")).count() == 0
+    # the filter actually filters: survivors are far fewer than the scan
+    n_pass = o.filter(bloom_contains(F.col("o_custkey"), words, 1024, 3)).count()
+    assert n_pass < o.count()
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(build, "c_custkey", m=100)
+
+
 def test_table_diff_statuses_and_summary(spark):
     """Constructed snapshots pin the CDC classification: insert/delete/
     changed (incl. null-safe null->value and value->null transitions),
