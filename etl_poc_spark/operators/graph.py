@@ -1,0 +1,124 @@
+"""Exact triangle counting and clustering coefficient — graph analytics
+beside operators/pagerank.py (power iteration) and operators/dedup.py
+(connected components), but ONE-SHOT: three joins, no iteration, exact
+integer results with a plain SQL oracle.
+
+Scale shape (degree-ordered counting, the standard distributed
+formulation): canonical undirected edges re-orient from the LOWER-ranked
+endpoint to the higher, ranked by (degree, id). Every triangle then has
+exactly one vertex with out-edges to the other two, so it is enumerated
+exactly once from that apex — and a vertex's out-degree under this
+orientation is O(sqrt(E)), which bounds the wedge explosion a hot hub
+would cause under naive id-ordering (total wedge work O(E^1.5) instead
+of sum(deg^2) — the reason every production triangle counter
+degree-orders). The count and all per-vertex attributions are
+orientation-invariant, so a DuckDB oracle can use the simple a<b<c
+formulation and still match bit-for-bit.
+
+The wedge build and closure probe are two equi-joins on vertex keys;
+degrees are one map-side-combined aggregate. Nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_poc_spark.operators.pins import pin
+
+
+def canonical_edges(df: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Undirected simple edges: (u, v) with u < v, self-loops and
+    duplicates (either orientation) removed."""
+    return (
+        df.select(
+            F.least(F.col(u), F.col(v)).alias("u"),
+            F.greatest(F.col(u), F.col(v)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangles(
+    edges: DataFrame, u: str = "u", v: str = "v", assume_canonical: bool = False
+) -> DataFrame:
+    """All triangles as (a, b, c) rows, each enumerated exactly once.
+    Input is canonicalized unless the caller already did (and ideally
+    pinned) it; see module docstring for the degree-ordered plan."""
+    e = edges if assume_canonical else pin(canonical_edges(edges, u, v))
+    # degree agg + both wedge sides read e
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .union(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented edge low-rank -> high-rank, carrying the dst rank for
+    # deterministic wedge-pair ordering
+    o = pin(
+        with_deg.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
+        )
+    )
+    e1 = o.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst_d").alias("bd")
+    )
+    e2 = o.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dst_d").alias("cd")
+    )
+    b_first = (F.col("bd") < F.col("cd")) | (
+        (F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c"))
+    )
+    wedges = e1.join(e2, "a").where(b_first).select("a", "b", "c")
+    closer = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    return wedges.join(closer, ["b", "c"], "left_semi").select("a", "b", "c")
+
+
+def triangle_stats(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """One row: (n_vertices, n_edges, n_triangles, n_wedges,
+    global_clustering) where global_clustering = 3*triangles / wedges
+    (the transitivity ratio; NULL on a wedge-free graph). Exact integer
+    counts, one double division."""
+    # ONE pinned canonical frame feeds the degree aggregate, the edge
+    # count, and the triangle enumeration — unpinned, each branch would
+    # re-execute the caller's edge-building lineage (an orderkey
+    # self-join for the registered co-purchase query)
+    e = pin(canonical_edges(edges, u, v))
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .union(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges"),
+    )
+    n_e = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_t = triangles(e, assume_canonical=True).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    return (
+        base.crossJoin(F.broadcast(n_e))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            (
+                F.lit(3) * F.col("n_triangles").cast("double")
+                / F.nullif(F.col("n_wedges"), F.lit(0)).cast("double")
+            ).alias("global_clustering"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Graph-analytics queries (operators/graph.py) over the part
+co-purchase graph: parts are linked when they appear together in at
+least 2 orders — a sparse, organically-clustered projection of the
+order-lineitem bipartite graph (the same co-occurrence construction
+market-basket analysis uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_poc_spark.io import load_table
+from etl_poc_spark.registry import query
+
+_CO_EDGES_SQL = """
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+"""
+
+
+def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, (a.l_orderkey == b.ok2) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("u", "v")
+    )
+
+
+@query(
+    "part_copurchase_triangles",
+    oracle=f"""
+    WITH e AS ({_CO_EDGES_SQL}),
+    deg AS (
+      SELECT x, COUNT(*) AS d FROM (
+        SELECT u AS x FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY x
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_vertices,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT SUM(d * (d - 1)) / 2 FROM deg) AS BIGINT) AS n_wedges,
+           3 * CAST((SELECT t FROM tri) AS DOUBLE)
+             / NULLIF(CAST((SELECT SUM(d * (d - 1)) / 2 FROM deg) AS BIGINT), 0)
+             AS global_clustering
+    """,
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census + transitivity of the part co-purchase
+    graph. The operator degree-orders the edges before the wedge join
+    (apex out-degree O(sqrt E) — hub-proof), while the oracle counts the
+    same triangles with the naive a<b<c formulation: identical integers
+    either way, which is the point of orientation-invariant counting.
+    Edge building is one orderkey self-join with a countDistinct
+    threshold; everything downstream is vertex-keyed equi-joins."""
+    from etl_poc_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_co_edges(spark, sf_dir))

@@ -54,6 +54,7 @@ def load_all() -> None:
         events_q,
         expectations_q,
         extra_q,
+        graph_q,
         linededup_q,
         misc_q,
         multimodal_q,

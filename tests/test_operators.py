@@ -634,6 +634,46 @@ def test_funnel_max_gap_window(spark):
     assert loose[2].t_click == t(10)
 
 
+def test_triangle_count_closed_forms(spark):
+    """Closed-form graphs pin the census: K4 (4 triangles, each
+    enumerated once), a square (0 triangles, 4 wedges, transitivity 0),
+    a triangle with a pendant (1 triangle, 5 wedges, 3/5), a star (no
+    triangles, NULL-free wedges), and a single edge (0 wedges ->
+    transitivity NULL). Duplicate/reversed/self-loop inputs canonicalize
+    to the same answers."""
+    from itertools import combinations
+
+    from etl_poc_spark.operators.graph import triangle_stats, triangles
+    from etl_poc_spark.operators.pins import release_pins
+
+    def stats(pairs):
+        e = spark.createDataFrame(pairs, "u long, v long")
+        r = triangle_stats(e).collect()[0]
+        release_pins()
+        return (r["n_vertices"], r["n_edges"], r["n_triangles"], r["n_wedges"],
+                r["global_clustering"])
+
+    k4 = list(combinations(range(4), 2))
+    assert stats(k4) == (4, 6, 4, 12, 1.0)
+    # each K4 triangle enumerated exactly once (4 distinct (a,b,c) rows)
+    e = spark.createDataFrame(k4, "u long, v long")
+    rows = {(r["a"], r["b"], r["c"]) for r in triangles(e).collect()}
+    release_pins()
+    assert len(rows) == 4
+    assert all(len({a, b, c}) == 3 for a, b, c in rows)
+
+    assert stats([(1, 2), (2, 3), (3, 4), (4, 1)]) == (4, 4, 0, 4, 0.0)
+    tri_pendant = stats([(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert tri_pendant == (4, 4, 1, 5, 3 / 5)
+    assert stats([(0, i) for i in range(1, 5)]) == (5, 4, 0, 6, 0.0)
+    v, ed, t, w, gc = stats([(1, 2)])
+    assert (v, ed, t, w) == (2, 1, 0, 0) and gc is None
+
+    # canonicalization: reversed orientations, duplicates, self-loops
+    messy = [(2, 1), (1, 2), (3, 2), (1, 3), (3, 3), (3, 4), (4, 3)]
+    assert stats(messy) == tri_pendant
+
+
 def test_bloom_prefilter_join_exactness(spark, sf_dir):
     """The safety contract: zero false negatives (every build key passes
     its own filter), and the pre-filtered join returns EXACTLY the plain
