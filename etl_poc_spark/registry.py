@@ -68,6 +68,7 @@ def load_all() -> None:
         similarity_q,
         spandedup_q,
         temporal_q,
+        timeseries_q,
         tokenize_q,
         vocab_q,
     )

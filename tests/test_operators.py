@@ -634,6 +634,55 @@ def test_funnel_max_gap_window(spark):
     assert loose[2].t_click == t(10)
 
 
+def test_timeseries_gapfill_and_rolling(spark):
+    """Constructed series pin the semantics: per-group spines span only
+    that group's [min, max]; gap days get 0-fills and carried-forward
+    values (NULL before the first observation); the rolling frame is
+    TIME-based (a day 8 days back contributes nothing even though it is
+    the previous row)."""
+    from datetime import date
+
+    from etl_poc_spark.operators.timeseries import gap_fill_daily, rolling_window_agg
+
+    daily = spark.createDataFrame(
+        [
+            ("a", date(2024, 1, 1), 2, 10.0),
+            ("a", date(2024, 1, 4), 1, 40.0),   # gap: Jan 2-3 missing
+            ("b", date(2024, 2, 1), 5, 7.0),    # b's span is ONE day
+        ],
+        "g string, day date, n long, price double",
+    )
+    dense = {
+        (r["g"], r["day"]): r
+        for r in gap_fill_daily(
+            daily, ["g"], zero_cols=["n"], ffill_cols=["price"]
+        ).collect()
+    }
+    assert len(dense) == 5  # a: 4 days, b: 1 day — no cross-group spine
+    assert dense[("a", date(2024, 1, 2))]["n"] == 0
+    assert dense[("a", date(2024, 1, 2))]["price"] == 10.0  # carried forward
+    assert dense[("a", date(2024, 1, 4))]["price"] == 40.0
+    assert ("b", date(2024, 1, 1)) not in dense
+
+    rolled = spark.createDataFrame(
+        [
+            ("a", date(2024, 1, 1), 10.0),
+            ("a", date(2024, 1, 5), 20.0),
+            ("a", date(2024, 1, 20), 5.0),  # previous ROW, outside 7 days
+        ],
+        "g string, day date, v double",
+    )
+    got = {
+        r["day"]: r["v7"]
+        for r in rolling_window_agg(
+            rolled, ["g"], "day", {"v7": F.sum("v")}, n_days=7
+        ).collect()
+    }
+    assert got[date(2024, 1, 1)] == 10.0
+    assert got[date(2024, 1, 5)] == 30.0   # Jan 1 within 7 days
+    assert got[date(2024, 1, 20)] == 5.0   # time-based, not row-based
+
+
 def test_triangle_count_closed_forms(spark):
     """Closed-form graphs pin the census: K4 (4 triangles, each
     enumerated once), a square (0 triangles, 4 wedges, transitivity 0),
