@@ -152,3 +152,34 @@ def price_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("n_rows"),
         )
     )
+
+
+@query(
+    "price_quantiles_exact_2pass",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), s AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals
+    ), n AS (SELECT COUNT(*) AS n FROM vals)
+    SELECT q.q100, CAST(s.v AS DOUBLE) / 100 AS value
+    FROM (VALUES (25), (50), (75), (90), (99)) q(q100)
+    CROSS JOIN n
+    JOIN s ON s.rn = (q.q100 * n.n + 99) // 100
+    ORDER BY q.q100
+    """,
+)
+def price_quantiles_exact_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth quantile leg: EXACT percentiles with no single-executor
+    group buffering (operators/quantiles.py two-pass selection — coarse
+    bin histogram to the driver, then rank-offset selection inside only
+    the target bins). Closes the documented OOM hazard of exact
+    percentile() while keeping bit-exact answers; ranks are
+    ceil(q*n) via pure integer arithmetic, values decimal-scaled."""
+    from etl_poc_spark.operators.quantiles import exact_quantiles_2pass
+
+    o = load_table(spark, sf_dir, "orders")
+    return exact_quantiles_2pass(
+        o, "o_totalprice", [25, 50, 75, 90, 99], scale=100, bin_width=50_000
+    )

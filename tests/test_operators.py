@@ -634,6 +634,42 @@ def test_funnel_max_gap_window(spark):
     assert loose[2].t_click == t(10)
 
 
+def test_exact_quantiles_2pass(spark):
+    """Two-pass selection == sorted-list indexing at ceil(q*n) on a
+    constructed multiset with ties straddling bin boundaries; guards
+    reject bad percentiles and empty input."""
+    import math
+
+    import pytest
+
+    from etl_poc_spark.operators.quantiles import exact_quantiles_2pass
+
+    values = [1.0, 1.0, 2.5, 2.5, 2.5, 10.0, 99.99, 100.0, 100.0, 250.0, 251.0]
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    qs = [10, 25, 50, 75, 90, 100]
+    got = {
+        r["q100"]: r["value"]
+        for r in exact_quantiles_2pass(df, "x", qs, scale=100, bin_width=70).collect()
+    }
+    s = sorted(values)
+    for q in qs:
+        assert got[q] == s[math.ceil(q * len(s) / 100) - 1], q
+
+    # nulls are excluded, matching percentile() semantics
+    with_null = spark.createDataFrame([(1.0,), (None,), (3.0,)], "x double")
+    r = exact_quantiles_2pass(with_null, "x", [50], bin_width=1000).collect()
+    assert r[0]["value"] == 1.0  # ceil(0.5*2)=1 -> first of [1.0, 3.0]
+
+    with pytest.raises(ValueError, match="percentiles"):
+        exact_quantiles_2pass(df, "x", [0])
+    with pytest.raises(ValueError, match="no non-null"):
+        exact_quantiles_2pass(
+            spark.createDataFrame([], "x double"), "x", [50]
+        ).collect()
+    with pytest.raises(ValueError, match="max_bins"):
+        exact_quantiles_2pass(df, "x", [50], bin_width=1, max_bins=3)
+
+
 def test_timeseries_gapfill_and_rolling(spark):
     """Constructed series pin the semantics: per-group spines span only
     that group's [min, max]; gap days get 0-fills and carried-forward
