@@ -84,6 +84,37 @@ def triangles(
     return wedges.join(closer, ["b", "c"], "left_semi").select("a", "b", "c")
 
 
+def local_clustering(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Per-vertex local clustering coefficient:
+    (vertex, degree, n_triangles, clustering) with clustering =
+    2*triangles / (deg*(deg-1)), NULL for degree-1 vertices. Triangle
+    attribution explodes each enumerated triangle to its three corners
+    (orientation-invariant) and rides one vertex-keyed aggregate; the
+    ratio is a single division of exact integers."""
+    e = pin(canonical_edges(edges, u, v))
+    deg = (
+        e.select(F.col("u").alias("vertex"))
+        .union(e.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri_v = (
+        triangles(e, assume_canonical=True)
+        .select(F.explode(F.array("a", "b", "c")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(tri_v, "vertex", "left").select(
+        "vertex",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        (
+            F.lit(2) * F.coalesce("n_triangles", F.lit(0)).cast("double")
+            / F.nullif(F.col("degree") * (F.col("degree") - 1), F.lit(0)).cast("double")
+        ).alias("clustering"),
+    )
+
+
 def triangle_stats(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     """One row: (n_vertices, n_edges, n_triangles, n_wedges,
     global_clustering) where global_clustering = 3*triangles / wedges

@@ -69,3 +69,48 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_poc_spark.operators.graph import triangle_stats
 
     return triangle_stats(_co_edges(spark, sf_dir))
+
+
+@query(
+    "part_clustering_top",
+    oracle=f"""
+    WITH e AS ({_CO_EDGES_SQL}),
+    deg AS (
+      SELECT x AS vertex, COUNT(*) AS degree FROM (
+        SELECT u AS x FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY x
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tv AS (
+      SELECT vertex, COUNT(*) AS n_triangles FROM (
+        SELECT a AS vertex FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY vertex
+    )
+    SELECT d.vertex, CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(tv.n_triangles, 0) AS BIGINT) AS n_triangles,
+           2 * CAST(COALESCE(tv.n_triangles, 0) AS DOUBLE)
+             / NULLIF(d.degree * (d.degree - 1), 0) AS clustering
+    FROM deg d LEFT JOIN tv USING (vertex)
+    ORDER BY clustering DESC NULLS LAST, d.vertex
+    LIMIT 20
+    """,
+)
+def part_clustering_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most clustered parts of the co-purchase graph by local
+    clustering coefficient (operators/graph.py::local_clustering —
+    triangle corners exploded onto one vertex-keyed aggregate; exact
+    integer attribution, single double division; vertex tie-break makes
+    the limit deterministic)."""
+    from etl_poc_spark.operators.graph import local_clustering
+
+    return (
+        local_clustering(_co_edges(spark, sf_dir))
+        .orderBy(F.desc_nulls_last("clustering"), F.asc("vertex"))
+        .limit(20)
+    )

@@ -758,6 +758,17 @@ def test_triangle_count_closed_forms(spark):
     messy = [(2, 1), (1, 2), (3, 2), (1, 3), (3, 3), (3, 4), (4, 3)]
     assert stats(messy) == tri_pendant
 
+    # local clustering: triangle+pendant — corners get 2*1/(d(d-1)),
+    # the degree-1 pendant is NULL
+    from etl_poc_spark.operators.graph import local_clustering
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long")
+    lc = {r["vertex"]: r for r in local_clustering(e).collect()}
+    release_pins()
+    assert lc[1]["clustering"] == 1.0 and lc[2]["clustering"] == 1.0
+    assert lc[3]["degree"] == 3 and lc[3]["clustering"] == 2 * 1 / 6
+    assert lc[4]["n_triangles"] == 0 and lc[4]["clustering"] is None
+
 
 def test_bloom_prefilter_join_exactness(spark, sf_dir):
     """The safety contract: zero false negatives (every build key passes
