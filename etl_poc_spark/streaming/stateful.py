@@ -92,6 +92,75 @@ def stateful_sessionize(events: DataFrame, gap_seconds: int = SESSION_GAP_SECOND
     )
 
 
+DEBOUNCE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+DEBOUNCE_STATE_SCHEMA = T.StructType([T.StructField("last_ts", T.LongType())])
+
+
+def _debounce_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    within_seconds: int,
+) -> Iterator[pd.DataFrame]:
+    user_id, event_type = key
+    if state.hasTimedOut:
+        # a key idle past the debounce horizon can never suppress a
+        # future event — drop its state (bounds the store, same as
+        # sessionize eviction)
+        state.remove()
+        return
+    (last,) = state.get if state.exists else (None,)
+    keep = []
+    for pdf in pdfs:
+        for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
+            micros = int(row["ts"].value // 1000)
+            if last is None or micros - last >= within_seconds * 1_000_000:
+                keep.append((int(row["event_id"]), row["ts"]))
+            # lag-vs-previous-EVENT (kept or not) — identical to the
+            # batch operators/funnel.py::debounce_flag formulation
+            last = micros
+    state.update((last,))
+    state.setTimeoutDuration(within_seconds * 1000)
+    if keep:
+        yield pd.DataFrame(
+            {
+                "event_id": [k[0] for k in keep],
+                "user_id": user_id,
+                "event_type": event_type,
+                "ts": [k[1] for k in keep],
+            }
+        )
+
+
+def stateful_debounce(events: DataFrame, within_seconds: int = 120) -> DataFrame:
+    """Streaming twin of operators/funnel.py::debounce: drop events the
+    same (user, type) emitted less than `within_seconds` after its
+    previous event. State per key is ONE long (the previous event's
+    timestamp); the timeout evicts keys idle past the horizon. Equal to
+    the batch lag formulation whenever per-key arrival order matches
+    event-time order (the append-mode contract; out-of-order keys need
+    the watermarked batch operator instead)."""
+
+    def fn(key, pdfs, state):
+        return _debounce_group(key, pdfs, state, within_seconds)
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
 
 _rbv(__name__)
