@@ -493,3 +493,73 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_rollup(per_user, ["view", "click", "purchase"]).withColumnRenamed(
         "n_entities", "n_users"
     )
+
+
+@query(
+    "segment_price_outliers",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), stats AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             round(CAST(SUM(p) AS DOUBLE) / COUNT(*), 9) AS mean_price,
+             round(sqrt(CAST(SUM(CAST(p * p AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                  - (CAST(SUM(p) AS DOUBLE) / COUNT(*))
+                    * (CAST(SUM(p) AS DOUBLE) / COUNT(*))), 9) AS std_price
+      FROM j GROUP BY segment
+    )
+    SELECT s.segment, s.n_orders,
+           s.mean_price, s.std_price,
+           CAST(SUM(CASE WHEN j.p > s.mean_price + 3 * s.std_price
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_hi,
+           CAST(SUM(CASE WHEN j.p < s.mean_price - 3 * s.std_price
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_lo
+    FROM j JOIN stats s USING (segment)
+    GROUP BY s.segment, s.n_orders, s.mean_price, s.std_price
+    ORDER BY s.segment
+    """,
+)
+def segment_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score outlier screen per market segment: mean/std
+    from EXACT decimal sum/sum-of-squares aggregates (one double
+    division each, then IEEE-correctly-rounded sqrt — portable, unlike
+    stddev_samp whose Welford accumulation is order-dependent), then a
+    second pass counts 3-sigma tails against the broadcast 5-row stats
+    frame. The shape at 100 TB: dim-sized stats broadcast back onto the
+    fact scan — no window over raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), p.alias("p")
+    )
+    mean = F.col("__sum").cast("double") / F.col("n_orders")
+    stats = j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("p").alias("__sum"),
+        F.sum((F.col("p") * F.col("p")).cast("decimal(38,6)")).alias("__sumsq"),
+    ).select(
+        "segment",
+        "n_orders",
+        F.round(mean, 9).alias("mean_price"),
+        F.round(
+            F.sqrt(F.col("__sumsq").cast("double") / F.col("n_orders") - mean * mean),
+            9,
+        ).alias("std_price"),
+    )
+    return (
+        j.join(F.broadcast(stats), "segment")
+        .groupBy("segment", "n_orders", "mean_price", "std_price")
+        .agg(
+            F.sum(
+                (F.col("p") > F.col("mean_price") + 3 * F.col("std_price")).cast("long")
+            ).cast("bigint").alias("n_outliers_hi"),
+            F.sum(
+                (F.col("p") < F.col("mean_price") - 3 * F.col("std_price")).cast("long")
+            ).cast("bigint").alias("n_outliers_lo"),
+        )
+        .orderBy("segment")
+    )
