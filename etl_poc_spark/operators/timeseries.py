@@ -83,6 +83,48 @@ def gap_fill_daily(
     return out
 
 
+def interpolate_daily(
+    dense: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    day_col: str = "day",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of a sparse metric over an already-dense
+    (group, day) frame: interior gap days get
+    prev + (next-prev) * elapsed/span; days outside the first/last
+    observation stay NULL (pure interpolation — pair with forward fill
+    for edge-carrying semantics). Two group windows (backward last,
+    forward first) on the same partitioning; the arithmetic is four IEEE
+    ops on identical operands, engine-portable."""
+    out_col = out_col or value_col
+    di = day_index(F.col(day_col))
+    wb = (
+        Window.partitionBy(*group_cols)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*group_cols)
+        .orderBy(day_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    prev_v = F.last(value_col, ignorenulls=True).over(wb)
+    prev_d = F.last(F.when(v.isNotNull(), di), ignorenulls=True).over(wb)
+    next_v = F.first(value_col, ignorenulls=True).over(wf)
+    next_d = F.first(F.when(v.isNotNull(), di), ignorenulls=True).over(wf)
+    interp = prev_v + (next_v - prev_v) * (di - prev_d).cast("double") / (
+        next_d - prev_d
+    ).cast("double")
+    return dense.withColumn(
+        out_col,
+        F.when(v.isNotNull(), v).otherwise(
+            F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        ),
+    )
+
+
 def rolling_window_agg(
     daily: DataFrame,
     group_cols: list[str],

@@ -125,3 +125,61 @@ def segment_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_7d_dec").cast("double").alias("rev_7d"),
         F.col("n_orders_7d").cast("bigint").alias("n_orders_7d"),
     ).orderBy("segment", "day")
+
+
+@query(
+    "segment_daily_interpolate",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    bounds AS (
+      SELECT segment, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY segment
+    ), spine AS (
+      SELECT segment, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), dense AS (
+      SELECT s.segment, s.day,
+             CAST(d.rev_dec AS DOUBLE) / d.n_orders AS avg_price,
+             s.day - DATE '1970-01-01' AS di
+      FROM spine s LEFT JOIN daily d USING (segment, day)
+    ), w AS (
+      SELECT segment, day, avg_price, di,
+             last_value(avg_price IGNORE NULLS) OVER wb AS prev_v,
+             last_value(CASE WHEN avg_price IS NOT NULL THEN di END IGNORE NULLS)
+               OVER wb AS prev_d,
+             first_value(avg_price IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN avg_price IS NOT NULL THEN di END IGNORE NULLS)
+               OVER wf AS next_d
+      FROM dense
+      WINDOW wb AS (PARTITION BY segment ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY segment ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT segment, day,
+           CASE WHEN avg_price IS NOT NULL THEN avg_price
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN prev_v + (next_v - prev_v)
+                     * CAST(di - prev_d AS DOUBLE) / CAST(next_d - prev_d AS DOUBLE)
+                END AS avg_price
+    FROM w
+    ORDER BY segment, day
+    """,
+)
+def segment_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of the per-segment daily average order price
+    across gap days (operators/timeseries.py::interpolate_daily): interior
+    gaps take the line between surrounding observations; edge days stay
+    NULL (pure interpolation, the TimescaleDB convention). Two group
+    windows on one segment shuffle; four IEEE ops on identical operands
+    keep the doubles hash-exact."""
+    from etl_poc_spark.operators.timeseries import gap_fill_daily, interpolate_daily
+
+    daily = _daily(spark, sf_dir).select(
+        "segment",
+        "day",
+        (F.col("rev_dec").cast("double") / F.col("n_orders")).alias("avg_price"),
+    )
+    dense = gap_fill_daily(daily, group_cols=["segment"])
+    return interpolate_daily(dense, ["segment"], "avg_price").select(
+        "segment", "day", "avg_price"
+    ).orderBy("segment", "day")

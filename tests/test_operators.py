@@ -718,6 +718,30 @@ def test_timeseries_gapfill_and_rolling(spark):
     assert got[date(2024, 1, 5)] == 30.0   # Jan 1 within 7 days
     assert got[date(2024, 1, 20)] == 5.0   # time-based, not row-based
 
+    # linear interpolation: interior gaps on the line, edges stay NULL
+    from etl_poc_spark.operators.timeseries import interpolate_daily
+
+    dense = spark.createDataFrame(
+        [
+            ("a", date(2024, 1, 1), None),   # before first obs -> NULL
+            ("a", date(2024, 1, 2), 10.0),
+            ("a", date(2024, 1, 3), None),   # -> 20.0
+            ("a", date(2024, 1, 4), None),   # -> 30.0
+            ("a", date(2024, 1, 5), 40.0),
+            ("a", date(2024, 1, 6), None),   # after last obs -> NULL
+        ],
+        "g string, day date, v double",
+    )
+    got = {
+        r["day"]: r["v"]
+        for r in interpolate_daily(dense, ["g"], "v").collect()
+    }
+    assert got[date(2024, 1, 1)] is None
+    assert got[date(2024, 1, 2)] == 10.0
+    assert got[date(2024, 1, 3)] == 20.0
+    assert got[date(2024, 1, 4)] == 30.0
+    assert got[date(2024, 1, 6)] is None
+
 
 def test_triangle_count_closed_forms(spark):
     """Closed-form graphs pin the census: K4 (4 triangles, each
