@@ -563,3 +563,64 @@ def segment_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "quantity_price_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS slope,
+           round(sy / CAST(n AS DOUBLE)
+                 - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * (sx / CAST(n AS DOUBLE)),
+                 9) AS intercept,
+           round(((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)),
+                 12) AS r_squared
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def quantity_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit price ~ quantity (slope, intercept,
+    r^2) from the SAME five exact decimal moment sums as the correlation
+    query — the regr_slope/regr_intercept/regr_r2 tier without their
+    order-dependent float accumulators. One map-side-combined groupBy;
+    finals rounded (9/12 places) to absorb the documented
+    decimal->double cast ulp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x_n
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 9).alias("slope"),
+        F.round(F.col("sy") / nd - slope * (F.col("sx") / nd), 9).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x_n * var_y_n), 12).alias("r_squared"),
+    ).orderBy("l_returnflag")
