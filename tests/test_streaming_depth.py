@@ -446,3 +446,90 @@ def test_stateful_debounce_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want == {1, 3, 4, 5, 7}
+
+
+def test_streaming_expectation_log_sums_to_batch(spark, tmp_path):
+    """Per-batch quality reports: one row per (rule, batch); row-local
+    violation counts are additive, so the log's per-rule sums equal the
+    batch operator over the union — and a replayed batch_id overwrites
+    its partition instead of duplicating."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_poc_spark.operators.expectations import expectation_report
+    from etl_poc_spark.streaming.quality import (
+        expectation_log_batch,
+        streaming_expectation_log,
+    )
+
+    in_dir = tmp_path / "q_in"
+    in_dir.mkdir()
+    log_dir = str(tmp_path / "qlog")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()), ("event_type", pa.string()),
+                ("value", pa.float64()), ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), str(in_dir / name))
+
+    rules = [
+        {"type": "not_null", "column": "user_id"},
+        {"type": "range", "column": "value", "min": 0.0},
+        {"type": "in_set", "column": "event_type", "values": ["view", "click"]},
+    ]
+    b1 = [
+        (1, "2024-01-01 00:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:00:01", None, "click", -2.0, "{}"),  # null uid, neg value
+    ]
+    b2 = [
+        (3, "2024-01-01 00:01:00", 8, "purchase", 1.0, "{}"),   # bad type
+        (4, "2024-01-01 00:01:01", 9, "view", 3.0, "{}"),
+    ]
+    write_file("b1.parquet", b1)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    q = streaming_expectation_log(stream, rules, log_dir, str(tmp_path / "qck"))
+    try:
+        q.processAllAvailable()
+        write_file("b2.parquet", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    log = spark.read.parquet(log_dir)
+    assert log.select("batch_id").distinct().count() == 2
+    sums = {
+        r["rule"]: r["s"]
+        for r in log.groupBy("rule").agg(F.sum("n_violations").alias("s")).collect()
+    }
+    full = spark.createDataFrame(
+        [(e, u, t, v) for e, _, u, t, v, _ in b1 + b2],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    want = {
+        r["rule"]: r["n_violations"]
+        for r in expectation_report(full, rules).collect()
+    }
+    assert sums == want
+    assert want == {"not_null:user_id": 1, "range:value": 1, "in_set:event_type": 1}
+
+    # idempotent replay: rewriting batch 0 does not duplicate its rows
+    b1_df = spark.createDataFrame(
+        [(e, u, t, v) for e, _, u, t, v, _ in b1],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    expectation_log_batch(b1_df, 0, rules, log_dir)
+    assert spark.read.parquet(log_dir).count() == len(rules) * 2
