@@ -84,6 +84,66 @@ def triangles(
     return wedges.join(closer, ["b", "c"], "left_semi").select("a", "b", "c")
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    u: str = "u",
+    v: str = "v",
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every vertex has degree
+    >= k, by iterative peeling — drop under-degree vertices, restrict
+    edges to survivors, repeat to fixpoint. Returns (vertex, core_degree)
+    with the vertex's degree INSIDE the core.
+
+    Iterative tier (same shape as pagerank/BPE training): per-iteration
+    state is the surviving edge set, cut with an eager checkpoint
+    (`checkpoint_dir` opt-in for cluster-durable; localCheckpoint
+    default); each round is one degree aggregate + two semi-joins, and
+    the only driver traffic is the 1-long surviving-edge count that
+    decides convergence. Peeling converges in at most |V| rounds and in
+    practice a handful — each round removes every currently-under-degree
+    vertex at once (parallel peeling), which reaches the same fixpoint
+    as sequential removal (the k-core is unique)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = _cut(canonical_edges(edges, u, v))
+    n_edges = e.count()
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("u").alias("x"))
+            .union(e.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("x")
+        e2 = _cut(
+            e.join(keep, e.u == keep.x, "left_semi").join(
+                keep, F.col("v") == keep.x, "left_semi"
+            )
+        )
+        n2 = e2.count()  # ONE long per round: the convergence probe
+        e = e2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    return (
+        e.select(F.col("u").alias("vertex"))
+        .union(e.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )
+
+
 def local_clustering(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     """Per-vertex local clustering coefficient:
     (vertex, degree, n_triangles, clustering) with clustering =

@@ -114,3 +114,18 @@ def part_clustering_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc_nulls_last("clustering"), F.asc("vertex"))
         .limit(20)
     )
+
+
+@query("part_copurchase_kcore")  # rows-only: fixpoint peeling is not
+# SQL-expressible (aggregation inside recursion); semantics pinned by
+# closed-form pytest graphs incl. the sequential-vs-parallel-peel
+# equivalence
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-core of the part co-purchase graph (operators/graph.py::
+    k_core — iterative parallel peeling, eager per-round checkpoint,
+    1-long convergence probe per round): the mutually-dense backbone
+    left after stripping weakly-attached parts. Output (vertex,
+    core_degree), ordered."""
+    from etl_poc_spark.operators.graph import k_core
+
+    return k_core(_co_edges(spark, sf_dir), k=3).orderBy("vertex")

@@ -782,6 +782,24 @@ def test_triangle_count_closed_forms(spark):
     messy = [(2, 1), (1, 2), (3, 2), (1, 3), (3, 3), (3, 4), (4, 3)]
     assert stats(messy) == tri_pendant
 
+    # k-core peeling: K4 with a pendant chain — the 3-core is exactly K4
+    # (chain vertices peel in cascading rounds: removing the tail drops
+    # its neighbor under degree, the parallel-peel fixpoint equals
+    # sequential removal); the 2-core of a tree is empty; k=1 keeps
+    # every non-isolated vertex
+    from etl_poc_spark.operators.graph import k_core
+
+    k4_chain = k4 + [(3, 10), (10, 11)]
+    e = spark.createDataFrame(k4_chain, "u long, v long")
+    core3 = {r["vertex"]: r["core_degree"] for r in k_core(e, k=3).collect()}
+    release_pins()
+    assert core3 == {0: 3, 1: 3, 2: 3, 3: 3}
+    tree = spark.createDataFrame([(1, 2), (2, 3), (2, 4)], "u long, v long")
+    assert k_core(tree, k=2).count() == 0
+    release_pins()
+    assert k_core(tree, k=1).count() == 4
+    release_pins()
+
     # local clustering: triangle+pendant — corners get 2*1/(d(d-1)),
     # the degree-1 pendant is NULL
     from etl_poc_spark.operators.graph import local_clustering
