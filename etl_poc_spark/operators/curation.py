@@ -151,7 +151,10 @@ def pack_stream_cut(
 
     Adds seq_id and start_offset (token offset of the doc inside its
     group's stream)."""
-    part = group_cols or []
+    # ungrouped streams use a NON-FOLDABLE single-group key (a plain
+    # lit() is constant-folded out of the spec and Spark then logs the
+    # no-partition WindowExec warning per task — see dates_q histogram)
+    part = group_cols or [F.col(id_col).isNull()]
     w = Window.partitionBy(*part).orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, -1)
     start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
     # integer division (`div`), not float `/`: double division loses exact
