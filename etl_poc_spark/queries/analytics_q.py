@@ -624,3 +624,69 @@ def quantity_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sy") / nd - slope * (F.col("sx") / nd), 9).alias("intercept"),
         F.round((cov_n * cov_n) / (var_x_n * var_y_n), 12).alias("r_squared"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "price_distribution_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN EXTRACT(year FROM o_orderdate) = 1996 THEN 'p' ELSE 'q' END AS side,
+             LEAST(CAST(o_totalprice AS BIGINT) // 50000, 9) AS bin
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+    ), counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN side = 'p' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN side = 'q' THEN 1 ELSE 0 END) AS BIGINT) AS nq
+      FROM b GROUP BY bin
+    ), tot AS (
+      SELECT SUM(np) AS tp, SUM(nq) AS tq FROM counts
+    ), frac AS (
+      SELECT bin, np, nq,
+             (np + 1.0) / (tp + 10.0) AS p,
+             (nq + 1.0) / (tq + 10.0) AS q
+      FROM counts CROSS JOIN tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(np) AS BIGINT) AS n_base,
+           CAST(SUM(nq) AS BIGINT) AS n_compare,
+           round(SUM((p - q) * ln(p / q)), 9) AS psi
+    FROM frac
+    """,
+)
+def price_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index between the 1996 and 1997 order-price
+    distributions over 10 fixed 50k bins — the standard drift monitor an
+    ML feature pipeline runs between training snapshots (PSI < 0.1 ~
+    stable, > 0.25 ~ shifted). Laplace-smoothed fractions (+1 per bin)
+    keep empty bins finite; counts are exact integers, ln is the ONE
+    transcendental and the result is rounded to 9 places (the tf-idf
+    oracle-parity policy). One scan, one 10-row aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    side_p = (F.year("o_orderdate") == 1996).cast("long")
+    bin_ = F.least(
+        F.expr("CAST(o_totalprice AS BIGINT) div 50000"), F.lit(9)
+    ).alias("bin")
+    counts = o.select(side_p.alias("is_p"), bin_).groupBy("bin").agg(
+        F.sum("is_p").cast("bigint").alias("np"),
+        F.sum(F.lit(1) - F.col("is_p")).cast("bigint").alias("nq"),
+    )
+    tot = counts.agg(
+        F.sum("np").alias("tp"), F.sum("nq").alias("tq")
+    )
+    p = (F.col("np") + 1.0) / (F.col("tp") + 10.0)
+    q = (F.col("nq") + 1.0) / (F.col("tq") + 10.0)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("bin", "np", "nq", p.alias("p"), q.alias("q"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("np").cast("bigint").alias("n_base"),
+            F.sum("nq").cast("bigint").alias("n_compare"),
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 9
+            ).alias("psi"),
+        )
+    )
