@@ -177,3 +177,28 @@ def streaming_kmv_ingest(
     return stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame, d: int = 4
+) -> DataFrame:
+    """Join-size estimate from two count-min sketches over the join key:
+    |A JOIN B on k| = sum_k fA(k)*fB(k), estimated as the MIN over hash
+    rows of the per-row bucket inner product (Cormode-Muthukrishnan; an
+    over-estimate in expectation, error <= ||fA|| ||fB|| / w per row).
+
+    The preflight a planner runs before an expensive equi-join or
+    self-join (pass the SAME sketch twice for sum f^2 — the blowup
+    predictor for co-occurrence joins): both operands are <= d*w-row
+    sketch tables, so the product join is sketch-sized, never data-sized.
+    Returns one row (est_join_rows)."""
+    a = sketch_a.select("j", "bucket", F.col("cnt").alias("ca"))
+    b = sketch_b.select(
+        F.col("j").alias("jb"), F.col("bucket").alias("bucketb"), F.col("cnt").alias("cb")
+    )
+    per_row = (
+        a.join(b, (a.j == b.jb) & (a.bucket == b.bucketb))
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("bigint").alias("est_join_rows"))

@@ -335,3 +335,58 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.crossJoin(
         e.agg(F.countDistinct("user_id").alias("exact_distinct"))
     )
+
+
+@query(
+    "partkey_selfjoin_size_preflight",
+    oracle="""
+    WITH sk AS (
+      SELECT b.j,
+             CAST('0x' || substr(md5(CAST(b.j AS VARCHAR) || '|' || CAST(l.l_partkey AS VARCHAR)), 1, 6) AS INTEGER) % 256 AS bucket,
+             COUNT(*) AS cnt
+      FROM lineitem l CROSS JOIN (SELECT unnest(range(4)) AS j) b
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT MIN(ip) AS est_join_rows FROM (
+        SELECT j, SUM(cnt * cnt) AS ip FROM sk GROUP BY j
+      )
+    ), exact AS (
+      SELECT SUM(c * c) AS exact_join_rows FROM (
+        SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey
+      )
+    )
+    SELECT CAST(exact.exact_join_rows AS BIGINT) AS exact_join_rows,
+           CAST(est.est_join_rows AS BIGINT) AS est_join_rows,
+           round(CAST(est.est_join_rows AS DOUBLE) / exact.exact_join_rows, 9)
+             AS overestimate_ratio
+    FROM exact CROSS JOIN est
+    """,
+)
+def partkey_selfjoin_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size preflight: how many rows would `lineitem` self-joined on
+    l_partkey produce (the blowup behind the co-purchase graph)? The
+    count-min inner product (operators/sketches.py::cms_inner_product,
+    d=4 w=256, same sketch both sides = sum f^2) answers from a <=1024-row
+    sketch — no groupBy result, no join — beside the exact sum-of-squares
+    for the measured overestimate. APPROXIMATE estimator, EXACT oracle
+    (md5 grid is engine-portable — the kmv/count_min philosophy)."""
+    from etl_poc_spark.operators.sketches import cms_inner_product, count_min_build
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = count_min_build(li, "l_partkey", d=4, w=256)
+    from etl_poc_spark.operators.pins import pin
+
+    sk = pin(sk)  # both sides of the product read it
+    est = cms_inner_product(sk, sk, d=4)
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_join_rows"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_rows",
+        "est_join_rows",
+        F.round(
+            F.col("est_join_rows").cast("double") / F.col("exact_join_rows"), 9
+        ).alias("overestimate_ratio"),
+    )

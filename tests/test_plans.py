@@ -166,6 +166,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "vocab_stats",          # 1-row corpus-size scalar join for df_ratio
         "orders_expectations",  # 1-row FK-orphan count x 1-row total scalar join
         "part_copurchase_triangles",  # two 1-row count scalar joins
+        "partkey_selfjoin_size_preflight",  # 1-row exact x 1-row estimate scalar join
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():
