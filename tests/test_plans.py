@@ -143,6 +143,37 @@ def test_time_rollup_is_one_expand_one_shuffle(spark, sf_dir):
     assert p.index("HashAggregate") < p.index("Exchange")  # partial agg first
 
 
+def test_min_cost_supplier_pushdown_and_semi_join_before_agg(spark, sf_dir):
+    """Q2 shape: the part-attribute filter reaches the parquet scan, and
+    the offer aggregation is gated by a LeftSemi BEFORE the min (only
+    qualifying parts' offers aggregate)."""
+    p = formatted_plan(spark, "min_cost_supplier", sf_dir)
+    assert "EqualTo(p_type,LARGE)" in p
+    assert "LeftSemi" in p
+    first_semi = p.index("LeftSemi")
+    first_agg = p.index("HashAggregate")
+    assert first_semi < first_agg or "BroadcastHashJoin LeftSemi" in p
+
+
+def test_bloom_prefilter_no_shuffle_join(spark, sf_dir):
+    """The bloom probe evaluates as a Filter in the scan stage (literal
+    bit words, no join); the only join is the broadcast equi-join that
+    removes false positives — never a SortMergeJoin of the fact side."""
+    p = formatted_plan(spark, "orders_bloom_prefilter", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "getbit" in p.lower() or "Filter" in p
+
+
+def test_rolling_window_is_range_frame_one_shuffle(spark, sf_dir):
+    """The 7-day rolling query uses a RANGE frame over the day index and
+    shuffles once on the group key (window reuses the aggregate's
+    partitioning where possible; no extra exchange storm)."""
+    p = formatted_plan(spark, "segment_rolling_7day_revenue", sf_dir)
+    assert "RangeFrame, -6" in p  # time-based frame, not a RowFrame
+    assert "RowFrame" not in p
+    assert p.count("Exchange") <= 6  # join + agg + window partitioning, bounded
+
+
 def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
     """Sweep every registered query's physical plan for scale-killers:
     CartesianProduct anywhere is a failure; BroadcastNestedLoopJoin is
@@ -167,6 +198,8 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "orders_expectations",  # 1-row FK-orphan count x 1-row total scalar join
         "part_copurchase_triangles",  # two 1-row count scalar joins
         "partkey_selfjoin_size_preflight",  # 1-row exact x 1-row estimate scalar join
+        "price_distribution_drift",  # 1-row bin-total scalar join over the 10-bin frame
+        "segment_price_outliers",    # 5-row segment-stats broadcast onto the fact scan
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():
