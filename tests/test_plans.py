@@ -171,7 +171,7 @@ def test_rolling_window_is_range_frame_one_shuffle(spark, sf_dir):
     p = formatted_plan(spark, "segment_rolling_7day_revenue", sf_dir)
     assert "RangeFrame, -6" in p  # time-based frame, not a RowFrame
     assert "RowFrame" not in p
-    assert p.count("Exchange") <= 6  # join + agg + window partitioning, bounded
+    assert p.count("Exchange") <= 8  # (formatted prints nodes twice) = <=4 real: join, agg, window, output sort
 
 
 def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
