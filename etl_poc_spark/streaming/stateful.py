@@ -161,6 +161,90 @@ def stateful_debounce(events: DataFrame, within_seconds: int = 120) -> DataFrame
     )
 
 
+def _funnel_output_schema(step_names: list[str]) -> T.StructType:
+    return T.StructType(
+        [T.StructField("user_id", T.LongType())]
+        + [T.StructField(f"t_{n}", T.TimestampType()) for n in step_names]
+    )
+
+
+def _funnel_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    step_types: list[str],
+    max_gap_seconds: int | None,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n = len(step_types)
+    times = list(state.get) if state.exists else [None] * n
+    for pdf in pdfs:
+        for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
+            micros = int(row["ts"].value // 1000)
+            et = row["event_type"]
+            for i, st in enumerate(step_types):
+                if times[i] is not None or et != st:
+                    continue
+                if i == 0:
+                    times[i] = micros
+                elif times[i - 1] is not None and micros > times[i - 1]:
+                    if (
+                        max_gap_seconds is None
+                        or micros - times[i - 1] <= max_gap_seconds * 1_000_000
+                    ):
+                        times[i] = micros
+                break  # an event advances at most one step (first open match)
+    state.update(tuple(times))
+    out = {"user_id": [user_id]}
+    for i, st in enumerate(step_types):
+        out[f"__t{i}"] = [pd.Timestamp(times[i], unit="us") if times[i] is not None else pd.NaT]
+    yield pd.DataFrame(out)
+
+
+def stateful_funnel(
+    events: DataFrame,
+    steps: list[tuple[str, str]],
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/funnel.py::funnel_times for
+    event-type-equality steps: per-user state is N longs (the earliest
+    qualifying time of each step so far); each micro-batch folds its
+    events in and emits the user's current step-time row (update mode —
+    downstream keeps the latest row per user). Strict ordering and the
+    optional conversion window match the batch operator; equivalence
+    holds when per-user arrival order matches event time (in-order
+    greedy step times are final — a later event can never improve an
+    earlier step), the same append-mode contract as stateful_debounce.
+
+    Unlike the batch operator's arbitrary Column predicates, steps here
+    are (name, event_type) pairs — the predicate form a state fold can
+    evaluate per row. NOTE the one-event-one-step rule: an event matches
+    the FIRST open step only, which equals batch semantics whenever step
+    event types are distinct (enforced)."""
+    names = [n for n, _ in steps]
+    types = [t for _, t in steps]
+    if len(set(names)) != len(names) or len(set(types)) != len(types):
+        raise ValueError("funnel steps need distinct names and event types")
+    out_schema = _funnel_output_schema(names)
+    state_schema = T.StructType(
+        [T.StructField(f"t{i}", T.LongType()) for i in range(len(steps))]
+    )
+
+    def fn(key, pdfs, state):
+        for pdf in _funnel_group(key, pdfs, state, types, max_gap_seconds):
+            yield pdf.rename(
+                columns={f"__t{i}": f"t_{n}" for i, n in enumerate(names)}
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
 
 _rbv(__name__)

@@ -533,3 +533,94 @@ def test_streaming_expectation_log_sums_to_batch(spark, tmp_path):
     )
     expectation_log_batch(b1_df, 0, rules, log_dir)
     assert spark.read.parquet(log_dir).count() == len(rules) * 2
+
+
+def test_stateful_funnel_matches_batch(spark, tmp_path):
+    """Streaming funnel == batch funnel_times on in-order streams: step
+    completion spans the micro-batch boundary (state carries earlier step
+    times), stalls and the conversion window behave identically, and the
+    latest update-mode row per user equals the batch row."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_poc_spark.operators.funnel import funnel_times
+    from etl_poc_spark.streaming.stateful import stateful_funnel
+
+    in_dir = tmp_path / "fun_in"
+    in_dir.mkdir()
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()), ("event_type", pa.string()),
+                ("value", pa.float64()), ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), str(in_dir / name))
+
+    b1 = [
+        (1, "2024-01-01 00:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 7, "click", 1.0, "{}"),
+        (3, "2024-01-01 00:00:00", 8, "click", 1.0, "{}"),   # click before view: no count
+        (4, "2024-01-01 00:00:30", 8, "view", 1.0, "{}"),
+        (5, "2024-01-01 00:00:00", 9, "view", 1.0, "{}"),
+    ]
+    b2 = [
+        (6, "2024-01-01 00:02:00", 7, "purchase", 1.0, "{}"),  # completes across batches
+        (7, "2024-01-01 00:05:00", 8, "click", 1.0, "{}"),     # after view -> counts
+        (8, "2024-01-01 02:00:00", 9, "click", 1.0, "{}"),     # outside 1h gap -> stalls
+    ]
+    steps = [("view", "view"), ("click", "click"), ("purchase", "purchase")]
+
+    write_file("b1.parquet", b1)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    out = stateful_funnel(stream, steps, max_gap_seconds=3600)
+    q = (
+        out.writeStream.format("memory").queryName("fun_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "fck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_file("b2.parquet", b2)
+        q.processAllAvailable()
+        # update mode: keep each user's LAST emitted row
+        rows = spark.sql("SELECT * FROM fun_out").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:  # memory sink appends updates in batch order
+        latest[r["user_id"]] = (r["t_view"], r["t_click"], r["t_purchase"])
+
+    from pyspark.sql import functions as F
+
+    all_events = spark.createDataFrame(
+        [(e, ts, u, t) for e, ts, u, t, _, _ in b1 + b2],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"])
+        for r in funnel_times(
+            all_events,
+            [(n, F.col("event_type") == t) for n, t in steps],
+            max_gap_seconds=3600,
+        ).collect()
+    }
+    assert latest == batch
+    assert batch[7][2] is not None           # completed across the boundary
+    assert batch[8][1] is not None and batch[8][2] is None
+    assert batch[9][1] is None               # gap-stalled
