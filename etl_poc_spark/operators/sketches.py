@@ -202,3 +202,67 @@ def cms_inner_product(
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
     )
     return per_row.agg(F.min("ip").cast("bigint").alias("est_join_rows"))
+
+
+def rolling_kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    n_days: int = 7,
+    k: int = 64,
+) -> DataFrame:
+    """Trailing n-day distinct-count estimates per day from DAILY KMV
+    sketches — the sliding-window distinct problem at 100 TB: an exact
+    per-window countDistinct re-scans every window, but bottom-k sketches
+    merge by min-k-of-union, so each day contributes its <= k hashes ONCE
+    and every window re-derives its estimate from sketch rows only.
+
+    Shape: per-day distinct hashes -> per-day bottom-k (k rows/day) ->
+    each sketch row fans out to the <= n_days windows it serves (an
+    explode, bounded by k * n_days rows/day) -> per-window re-bottom-k ->
+    kth-min estimate. Output one row per observed day:
+    (day, n_in_sketch, kth_min_hash, est_distinct)."""
+    from pyspark.sql import Window
+
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.select(day.alias("day"), kmv_hash(F.col(key_col)).alias("h"))
+        .distinct()
+    )
+    wd = Window.partitionBy("day").orderBy("h")
+    day_sketch = (
+        daily.withColumn("__rn", F.row_number().over(wd))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    # fan out: a day-d sketch row serves windows ending d .. d+n_days-1
+    fan = day_sketch.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), n_days - 1))
+        ).alias("win_day"),
+        "h",
+    )
+    observed = daily.select("day").distinct()
+    windows = (
+        fan.join(observed, fan.win_day == observed.day, "left_semi")
+        .select(F.col("win_day").alias("day"), "h")
+        .distinct()  # same key hash may arrive from several days
+    )
+    ww = Window.partitionBy("day").orderBy("h")
+    bk = (
+        windows.withColumn("__rn", F.row_number().over(ww))
+        .where(F.col("__rn") <= k)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_in_sketch"), F.max("h").alias("kth_min_hash"))
+    )
+    est = (
+        F.lit(float(k - 1)) * F.lit(_KMV_HASH_MAX) / F.col("kth_min_hash").cast("double")
+    )
+    return bk.select(
+        "day",
+        F.col("n_in_sketch").cast("bigint").alias("n_in_sketch"),
+        "kth_min_hash",
+        F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("double"))
+        .otherwise(est)
+        .alias("est_distinct"),
+    )

@@ -390,3 +390,69 @@ def partkey_selfjoin_size_preflight(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("est_join_rows").cast("double") / F.col("exact_join_rows"), 9
         ).alias("overestimate_ratio"),
     )
+
+
+@query(
+    "rolling_7day_distinct_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM events
+    ), day_sketch AS (
+      SELECT day, h FROM (
+        SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM daily
+      ) WHERE rn <= 64
+    ), fan AS (
+      SELECT DISTINCT CAST(day + INTERVAL (o.off) DAY AS DATE) AS day, h
+      FROM day_sketch CROSS JOIN (SELECT unnest(range(7)) AS off) o
+    ), windows AS (
+      SELECT f.day, f.h FROM fan f
+      WHERE f.day IN (SELECT DISTINCT day FROM daily)
+    ), bk AS (
+      SELECT day, COUNT(*) AS n_in_sketch, MAX(h) AS kth_min_hash FROM (
+        SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM windows
+      ) WHERE rn <= 64 GROUP BY day
+    ), ex AS (
+      SELECT w.day, COUNT(DISTINCT e.user_id) AS exact_distinct
+      FROM (SELECT DISTINCT day FROM daily) w
+      JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN w.day - INTERVAL 6 DAY AND w.day
+      GROUP BY w.day
+    )
+    SELECT bk.day, CAST(bk.n_in_sketch AS BIGINT) AS n_in_sketch, bk.kth_min_hash,
+           CASE WHEN bk.n_in_sketch < 64 THEN CAST(bk.n_in_sketch AS DOUBLE)
+                ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
+                     / CAST(bk.kth_min_hash AS DOUBLE) END AS est_distinct,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM bk JOIN ex USING (day)
+    ORDER BY bk.day
+    """,
+)
+def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day via mergeable daily
+    KMV sketches (operators/sketches.py::rolling_kmv_distinct) — the
+    sliding-window distinct problem no exact per-window countDistinct
+    survives at 100 TB (here the exact side re-scans 7x for the
+    comparison column; the sketch side touches <= 64 rows per day per
+    window). md5 order statistics keep the APPROXIMATE estimates
+    hash-exact against the oracle."""
+    from etl_poc_spark.operators.sketches import rolling_kmv_distinct
+
+    e = load_table(spark, sf_dir, "events")
+    est = rolling_kmv_distinct(e, "user_id", "ts", n_days=7, k=64)
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    fan_u = e.select(
+        F.explode(
+            F.sequence(F.to_date("ts"), F.date_add(F.to_date("ts"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    exact = (
+        fan_u.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(exact, "day").orderBy("day")
