@@ -59,3 +59,40 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_col: str, n_buckets: i
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Pre-join skew diagnosis for a prospective shuffle key: one row of
+    exact stats over the per-key row counts — total/key cardinality, the
+    heaviest key and its share, the p99 key size (via the two-pass exact
+    quantile selector, so no single-task buffering of the key-count
+    frame), and the salt factor that would level the hottest reducer
+    (ceil(max/avg), 1 = no salting needed).
+
+    This is the measurement step before salted_join/AQE-skew decisions:
+    the key-count aggregate is one map-side-combined shuffle; everything
+    downstream runs on key cardinality, never row cardinality."""
+    from etl_poc_spark.operators.quantiles import exact_quantiles_2pass
+
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    p99 = exact_quantiles_2pass(
+        counts, "__c", [99], scale=1, bin_width=1024
+    ).select(F.col("value").cast("bigint").alias("p99_key_rows"))
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.max("__c").cast("bigint").alias("max_key_rows"),
+        F.max(F.struct(F.col("__c"), F.col("__k"))).getField("__k").alias("hottest_key"),
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys")
+    return stats.crossJoin(F.broadcast(p99)).select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        "hottest_key",
+        "p99_key_rows",
+        F.round(F.col("max_key_rows") / avg, 9).alias("skew_ratio"),
+        F.ceil(F.col("max_key_rows") / avg).cast("int").alias("suggested_salts"),
+    )

@@ -456,3 +456,41 @@ def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
     )
     return est.join(exact, "day").orderBy("day")
+
+
+@query(
+    "partkey_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_partkey
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows
+      FROM counts
+    ), hot AS (
+      SELECT k AS hottest_key FROM counts ORDER BY c DESC, k DESC LIMIT 1
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c) AS rn FROM counts
+    ), p AS (
+      SELECT CAST(r.c AS BIGINT) AS p99_key_rows
+      FROM ranked r CROSS JOIN s
+      WHERE r.rn = (99 * s.n_keys + 99) // 100
+    )
+    SELECT s.n_keys, s.n_rows, s.max_key_rows, hot.hottest_key, p.p99_key_rows,
+           round(s.max_key_rows / (CAST(s.n_rows AS DOUBLE) / s.n_keys), 9) AS skew_ratio,
+           CAST(CEIL(s.max_key_rows / (CAST(s.n_rows AS DOUBLE) / s.n_keys)) AS INTEGER)
+             AS suggested_salts
+    FROM s CROSS JOIN hot CROSS JOIN p
+    """,
+)
+def partkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew preflight for shuffling lineitem on l_partkey
+    (operators/skew.py::key_skew_report): exact per-key row-count stats —
+    cardinality, hottest key, p99 key size (two-pass selection, no
+    buffering), and the ceil(max/avg) salt factor salted_join would need.
+    The measurement step before any salting/AQE-skew decision, computed
+    on key cardinality after one map-side-combined shuffle."""
+    from etl_poc_spark.operators.skew import key_skew_report
+
+    return key_skew_report(load_table(spark, sf_dir, "lineitem"), "l_partkey")

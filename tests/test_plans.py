@@ -200,6 +200,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "partkey_selfjoin_size_preflight",  # 1-row exact x 1-row estimate scalar join
         "price_distribution_drift",  # 1-row bin-total scalar join over the 10-bin frame
         "segment_price_outliers",    # 5-row segment-stats broadcast onto the fact scan
+        "partkey_skew_report",       # 1-row stats x 1-row p99 scalar join
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():
