@@ -122,8 +122,11 @@ def main() -> None:
             }
         )
     )
-    # The per-query map above can exceed the driver's tail capture; repeat the
-    # totals on a SHORT final line so the headline metric always survives.
+    # The pretty line above can exceed the driver's tail capture; the FINAL
+    # line is the one the driver parses, so it carries the totals AND the
+    # complete per-query timing map (compact separators: ~4KB for 143
+    # queries) — round-over-round comparison must see the whole surface,
+    # not the last ~60 alphabetical entries of a truncated tail.
     print(
         json.dumps(
             {
@@ -135,7 +138,10 @@ def main() -> None:
                 "n_errors": len(errors),
                 "headline_incomplete": bool(headline_errs),
                 "sf": float(sf) if sf else sf_dir,
-            }
+                "timings": timings,
+                "query_errors": {n: e[:120] for n, e in errors.items()},
+            },
+            separators=(",", ":"),
         )
     )
     if errors:

@@ -65,50 +65,78 @@ def range_manifest(spark: SparkSession, path: str, key_col: str) -> DataFrame:
     )
 
 
-def z_value(x_col: str, y_col: str, bits: int = 21) -> F.Column:
-    """Morton/Z-order curve value of two non-negative integer keys: bit i
-    of x lands at position 2i, bit i of y at 2i+1 (bits<=31, so the
-    result fits a signed 64-bit long). Built as a pure shift/and/or
-    Column expression — whole-stage codegen, no UDF.
+def z_value_n(cols: list[str], bits: int | None = None) -> F.Column:
+    """Morton/Z-order curve value of n non-negative integer keys: bit i
+    of column j lands at position i*n + j, so the n dimensions interleave
+    round-robin. `bits` per dimension defaults to 63 // n (the most that
+    fits a signed 64-bit long: 31 for 2 cols, 21 for 3, 15 for 4). Built
+    as a pure shift/and/or Column expression — whole-stage codegen, no
+    UDF.
 
-    Sorting by z interleaves the two dimensions: points close in BOTH x
-    and y are close on the curve, so a range-sorted write by z gives
-    files whose min/max bounds are narrow in EVERY interleaved dimension
-    — parquet row-group/file skipping then prunes on either predicate,
-    where a single-key sort layout can only prune its sort key."""
-    if not 1 <= bits <= 31:
-        raise ValueError("bits must be in [1, 31]")
-    x = F.col(x_col).cast("long")
-    y = F.col(y_col).cast("long")
+    Sorting by z interleaves the dimensions: points close in ALL of them
+    are close on the curve, so a range-sorted write by z gives files
+    whose min/max bounds are narrow in EVERY interleaved dimension —
+    parquet row-group/file skipping then prunes on any predicate, where a
+    single-key sort layout can only prune its sort key."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-order needs at least 2 columns")
+    if bits is None:
+        bits = 63 // n
+    if not 1 <= bits * n <= 63:
+        raise ValueError(f"bits*n_cols must be in [1, 63]: bits={bits}, n={n}")
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = (
-            z.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
-            .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
-        )
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1)),
+                    i * n + j,
+                )
+            )
     return z
 
 
-def write_zorder(
-    df: DataFrame, path: str, x_col: str, y_col: str, n_ranges: int = 8, bits: int = 16
+def z_value(x_col: str, y_col: str, bits: int = 21) -> F.Column:
+    """2-column Morton value (bit i of x at 2i, of y at 2i+1) — the
+    common case, delegating to the n-dimensional interleave."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    return z_value_n([x_col, y_col], bits)
+
+
+def write_zorder_n(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_ranges: int = 8,
+    bits: int | None = None,
 ) -> None:
-    """Write `df` z-ordered on (x_col, y_col): min-max scale each key to
-    the SAME `bits`-wide integer range, range-partition + sort by the
-    interleaved value, then drop it — the layout benefit lives in the row
-    order and per-file min/max statistics, not in an extra column.
+    """Write `df` z-ordered on `cols` (2..4 typical): min-max scale each
+    key to the SAME `bits`-wide integer range (default 63 // n_cols),
+    range-partition + sort by the interleaved value, then drop it — the
+    layout benefit lives in the row order and per-file min/max
+    statistics, not in an extra column.
 
     The scaling step is load-bearing: interleaving raw keys lets the
     wider-magnitude dimension's high bits dominate the curve and the
-    other dimension never clusters (measured: unscaled interleave left
+    other dimensions never cluster (measured: unscaled interleave left
     the narrow dimension at ~98% of its global range per file). Equal bit
-    budgets are what make both dimensions skippable — the same reason
+    budgets are what make every dimension skippable — the same reason
     production z-order implementations range-bucket every column first.
     The bounds come from one 1-row aggregate (a KB to the driver, same
     class as the ANN centroid fetches)."""
-    lo_x, hi_x, lo_y, hi_y = df.agg(
-        F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
-    ).collect()[0]
-    if lo_x is None or lo_y is None:  # empty input: nothing to interleave
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-order needs at least 2 columns")
+    if bits is None:
+        bits = 63 // n
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c), F.max(c)]
+    bounds = df.agg(*aggs).collect()[0]
+    lows, highs = bounds[0::2], bounds[1::2]
+    if any(lo is None for lo in lows):  # empty input: nothing to interleave
         df.write.mode("overwrite").parquet(path)
         return
     top = (1 << bits) - 1
@@ -122,18 +150,25 @@ def write_zorder(
             / F.lit(float(hi) - float(lo))
         ).cast("long")
 
-    with_z = (
-        df.withColumn("__zx", scaled(x_col, lo_x, hi_x))
-        .withColumn("__zy", scaled(y_col, lo_y, hi_y))
-        .withColumn("__z", z_value("__zx", "__zy", bits))
-    )
+    tmp_cols = [f"__z{j}" for j in range(n)]
+    with_z = df
+    for c, t, lo, hi in zip(cols, tmp_cols, lows, highs):
+        with_z = with_z.withColumn(t, scaled(c, lo, hi))
+    with_z = with_z.withColumn("__z", z_value_n(tmp_cols, bits))
     (
         with_z.repartitionByRange(n_ranges, F.col("__z"))
         .sortWithinPartitions("__z")
-        .drop("__zx", "__zy", "__z")
+        .drop("__z", *tmp_cols)
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_zorder(
+    df: DataFrame, path: str, x_col: str, y_col: str, n_ranges: int = 8, bits: int = 16
+) -> None:
+    """2-column z-ordered write — see write_zorder_n."""
+    write_zorder_n(df, path, [x_col, y_col], n_ranges=n_ranges, bits=bits)
 
 
 def compact_files(

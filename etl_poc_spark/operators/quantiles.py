@@ -34,11 +34,17 @@ def exact_quantiles_2pass(
     scale: int = 100,
     bin_width: int = 50_000,
     max_bins: int = 1_000_000,
+    precision: int = 18,
 ) -> DataFrame:
     """(q100, value) rows: for each percentile in `q100s` (integer
     percent), the exact value at 1-based rank ceil(q*n) of the sorted
-    column. Values are fixed-point scaled (DECIMAL, exact for money-like
-    columns) by `scale` before binning.
+    column. Values are fixed-point scaled (DECIMAL(precision, 2), exact
+    for money-like columns) by `scale` before binning.
+
+    Values that overflow the decimal cast (more integer digits than
+    `precision` allows) would silently become NULL under non-ANSI
+    semantics and vanish from an "exact" result — the NULL-bin guard
+    below raises instead; widen `precision` for such columns.
 
     The driver sees only the bin histogram (guarded by `max_bins`) and
     the final quantile rows."""
@@ -47,7 +53,7 @@ def exact_quantiles_2pass(
     if any(not 0 < q <= 100 for q in q100s):
         raise ValueError(f"percentiles must be in (0, 100]: {q100s}")
 
-    v = (F.col(value_col).cast("decimal(18,2)") * scale).cast("long")
+    v = (F.col(value_col).cast(f"decimal({precision},2)") * scale).cast("long")
     vals = df.where(F.col(value_col).isNotNull()).select(v.alias("__v"))
     hist = (
         vals.groupBy(F.floor(F.col("__v") / bin_width).cast("long").alias("__bin"))
@@ -55,6 +61,13 @@ def exact_quantiles_2pass(
         .orderBy("__bin")
     )
     bins = hist.collect()  # bounded: value_range / bin_width rows
+    overflow = [r for r in bins if r["__bin"] is None]
+    if overflow:
+        raise ValueError(
+            f"{overflow[0]['__c']} non-null value(s) overflowed "
+            f"decimal({precision},2) and would be silently dropped; "
+            "raise `precision`"
+        )
     if len(bins) > max_bins:
         raise ValueError(
             f"{len(bins)} bins exceeds max_bins={max_bins}; raise bin_width"

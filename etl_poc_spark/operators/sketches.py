@@ -201,7 +201,17 @@ def cms_inner_product(
         .groupBy("j")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
     )
-    return per_row.agg(F.min("ip").cast("bigint").alias("est_join_rows"))
+    # Densify over ALL d hash rows before the MIN: a hash row whose buckets
+    # never overlap between the two sketches has inner product 0 — dropping
+    # it (inner-join artifact) would take the MIN over a subset and, for
+    # fully disjoint sketches, return NULL instead of 0. Same trap
+    # count_min_estimate avoids with its left join + coalesce.
+    spark = sketch_a.sparkSession
+    all_rows = spark.range(d).select(F.col("id").cast("int").alias("j"))
+    dense = all_rows.join(per_row, "j", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0)).alias("ip")
+    )
+    return dense.agg(F.min("ip").cast("bigint").alias("est_join_rows"))
 
 
 def rolling_kmv_distinct(

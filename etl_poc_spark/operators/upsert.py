@@ -28,6 +28,7 @@ native MERGE; the logical plan stays identical.
 
 from __future__ import annotations
 
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -123,7 +124,7 @@ def upsert_parquet(
 #
 # Layout:
 #   target/_data/<commit_id>/__p=<val>/part-*.parquet
-#   target/_commits/<seq:08d>_<commit_id>.json
+#   target/_commits/<seq:08d>.json
 #       {"commit_id": ..., "partitions": ["<val>", ...]}
 #
 # The partition value is kept as a REAL data column in the files (the
@@ -132,47 +133,91 @@ def upsert_parquet(
 # gymnastics. Manifest listing is driver-side and bounded: one small JSON
 # per commit (compact with vacuum_versioned).
 #
-# Scope notes: manifest IO uses the local filesystem API (this
-# environment's storage); a cluster deployment swaps _list_commits/
-# _finalize_commit to the Hadoop FS equivalents — rename is atomic on
-# HDFS too, and on S3 the rename becomes a conditional PUT. Partition
-# values must be directory-name-safe (dates, ids — the usual partition
-# keys); values needing escaping would diverge between the manifest
-# string and Spark's escaped directory name.
+# All manifest IO goes through the Hadoop FileSystem API (same pattern as
+# layout.py's compaction cleanup), so the protocol works unchanged against
+# whatever `fs.defaultFS` points at: local disk here, HDFS on a cluster —
+# single-file rename is atomic on both, and Hadoop's rename REFUSES an
+# existing destination (returns false) rather than overwriting, which is
+# what makes the sequence-slot claim collision-safe. On S3 the
+# FileSystem-contract rename is copy+delete (not atomic); front this
+# operator with a table format there.
+#
+# Concurrency: commits claim sequence slots optimistically. Two writers
+# touching DISJOINT partition sets both succeed (the loser of the rename
+# race re-lists and claims the next slot); writers whose partition sets
+# OVERLAP a commit that appeared after their merge base raise
+# ConcurrentWriteError, because their merged rows were computed against a
+# stale base — re-run the upsert to converge. Same conflict rule as
+# Delta/Iceberg optimistic concurrency, at partition granularity.
+#
+# Partition values must be directory-name-safe (dates, ids — the usual
+# partition keys); NULL or values Spark's partitionBy would escape are
+# rejected up front, because they would diverge between the manifest
+# string and the escaped directory name.
 
 _COMMITS = "_commits"
 _DATA = "_data"
 
+_SAFE_PART = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._\-]*$")
 
-def _list_commits(target_dir: str) -> list[dict]:
+
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent commit touching overlapping partitions finalized after
+    this writer's merge base was resolved; the merge is stale. Re-run the
+    upsert against the new table state."""
+
+
+def _join(*parts: str) -> str:
+    return "/".join(p.rstrip("/") for p in parts)
+
+
+def _hfs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem for `path`, jvm Path constructor)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
+def _list_commits(spark: SparkSession, target_dir: str) -> list[dict]:
     """Finalized commits in sequence order. Unfinalized work is invisible
     by construction (the manifest only appears via the final rename)."""
     import json
-    import os
 
-    cdir = os.path.join(target_dir, _COMMITS)
-    if not os.path.isdir(cdir):
+    cdir = _join(target_dir, _COMMITS)
+    fs, P = _hfs(spark, cdir)
+    if not fs.exists(P(cdir)):
         return []
+    names = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(P(cdir))
+        if not st.isDirectory()
+    )
+    jvm = spark._jvm
     out = []
-    for name in sorted(os.listdir(cdir)):
+    for name in names:
         if name.startswith(".") or not name.endswith(".json"):
             continue
-        with open(os.path.join(cdir, name)) as f:
-            out.append(json.load(f))
+        stream = fs.open(P(_join(cdir, name)))
+        try:
+            body = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        out.append(json.loads(body))
     return out
 
 
-def _resolve_partitions(target_dir: str) -> dict[str, str]:
+def _resolution(commits: list[dict], target_dir: str) -> dict[str, str]:
     """partition value -> leaf data path of its latest finalized commit."""
-    import os
-
     latest: dict[str, str] = {}
-    for c in _list_commits(target_dir):
+    for c in commits:
         for p in c["partitions"]:
-            latest[p] = os.path.join(
-                target_dir, _DATA, c["commit_id"], f"__p={p}"
-            )
+            latest[p] = _join(target_dir, _DATA, c["commit_id"], f"__p={p}")
     return latest
+
+
+def _resolve_partitions(spark: SparkSession, target_dir: str) -> dict[str, str]:
+    return _resolution(_list_commits(spark, target_dir), target_dir)
 
 
 def _write_commit_data(
@@ -180,41 +225,105 @@ def _write_commit_data(
 ) -> None:
     """Phase 1: write the merged rows for the affected partitions to an
     immutable fresh directory. Crashing after this leaves orphans only."""
-    import os
-
     (
         merged.withColumn("__p", F.col(partition_col).cast("string"))
         .write.partitionBy("__p")
-        .parquet(os.path.join(target_dir, _DATA, commit_id))
+        .parquet(_join(target_dir, _DATA, commit_id))
     )
 
 
 def _finalize_commit(
-    target_dir: str, commit_id: str, partitions: list[str]
+    spark: SparkSession,
+    target_dir: str,
+    commit_id: str,
+    partitions: list[str],
+    base_count: int = 0,
+    max_attempts: int = 16,
 ) -> None:
     """Phase 2: publish. One small JSON written to a dot-temp name then
-    renamed — the atomic visibility switch (POSIX/HDFS single-file
-    rename)."""
+    renamed onto a sequence slot — the atomic visibility switch. The
+    rename REFUSES an existing destination (Hadoop FS contract), so a
+    slot can be claimed by exactly one writer; on losing the race this
+    re-lists, raises ConcurrentWriteError if any commit past `base_count`
+    (the table state the merge was computed against) overlaps our
+    partitions, and otherwise claims the next slot."""
     import json
-    import os
 
-    cdir = os.path.join(target_dir, _COMMITS)
-    os.makedirs(cdir, exist_ok=True)
-    seq = len(_list_commits(target_dir)) + 1
-    tmp = os.path.join(cdir, f".tmp_{commit_id}.json")
-    with open(tmp, "w") as f:
-        json.dump({"commit_id": commit_id, "partitions": sorted(partitions)}, f)
-    os.rename(tmp, os.path.join(cdir, f"{seq:08d}_{commit_id}.json"))
+    cdir = _join(target_dir, _COMMITS)
+    fs, P = _hfs(spark, cdir)
+    fs.mkdirs(P(cdir))
+    tmp = P(_join(cdir, f".tmp_{commit_id}.json"))
+    out = fs.create(tmp, True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"commit_id": commit_id, "partitions": sorted(partitions)}
+                ).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
+
+    ours = set(partitions)
+    try:
+        for _ in range(max_attempts):
+            commits = _list_commits(spark, target_dir)
+            for c in commits[base_count:]:
+                if ours & set(c["partitions"]):
+                    raise ConcurrentWriteError(
+                        f"commit {c['commit_id']} finalized partitions "
+                        f"{sorted(ours & set(c['partitions']))} after this "
+                        "merge's base was resolved; re-run the upsert"
+                    )
+            seq = len(commits) + 1
+            # the slot name is a pure function of seq — including the
+            # commit id here would give racing writers distinct filenames
+            # and let both renames "succeed" on the same slot
+            dst = P(_join(cdir, f"{seq:08d}.json"))
+            if fs.rename(tmp, dst):
+                return
+            # slot already claimed by a disjoint concurrent writer —
+            # loop re-lists (now including the winner) and tries the next
+        raise ConcurrentWriteError(
+            f"could not claim a commit sequence slot in {max_attempts} attempts"
+        )
+    except ConcurrentWriteError:
+        fs.delete(tmp, False)  # withdraw the unpublished manifest
+        raise
 
 
 def read_versioned(spark: SparkSession, target_dir: str) -> DataFrame:
     """Read the table at its latest finalized commit per partition.
     Partitions mid-merge (data written, manifest not yet renamed) serve
     their previous committed version — the pre-merge state."""
-    paths = sorted(_resolve_partitions(target_dir).values())
+    paths = sorted(_resolve_partitions(spark, target_dir).values())
     if not paths:
         raise ValueError(f"no finalized commits under {target_dir}")
     return spark.read.parquet(*paths)
+
+
+def _checked_partition_values(updates: DataFrame, partition_col: str) -> list[str]:
+    """Distinct partition values of the batch, validated directory-safe.
+
+    NULL is rejected (Spark would write __HIVE_DEFAULT_PARTITION__ while
+    the manifest would record 'None' — a permanently unreadable table),
+    as is any value partitionBy would escape (spaces, '/', ':', '=', %).
+    Bounded collect: one value per affected partition."""
+    vals = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    for v in vals:
+        if v is None:
+            raise ValueError(
+                f"NULL {partition_col!r} partition value: the manifest string "
+                "and Spark's on-disk default-partition name would diverge; "
+                "filter or fill NULLs before the upsert"
+            )
+        if not _SAFE_PART.match(str(v)):
+            raise ValueError(
+                f"partition value {str(v)!r} is not directory-name-safe "
+                "(allowed: alphanumerics . _ - , not leading with . _ -)"
+            )
+    return [str(v) for v in vals]
 
 
 def upsert_versioned(
@@ -230,14 +339,13 @@ def upsert_versioned(
     partitions against the current committed state, write the result to
     an immutable commit directory, then atomically publish the manifest.
     Returns the commit id. Readers (read_versioned) never observe a
-    partial merge."""
+    partial merge; a concurrent overlapping commit raises
+    ConcurrentWriteError (the orphaned data dir is removed by vacuum)."""
     commit_id = uuid.uuid4().hex[:12]
     upd = updates.withColumn("__is_update", F.lit(1))
-    # bounded collect: one value per AFFECTED partition (days of a daily
-    # feed — KBs), used both to prune the current-state read and as the
-    # manifest's partition list
-    parts = [str(r[0]) for r in updates.select(partition_col).distinct().collect()]
-    current = _resolve_partitions(target_dir)
+    parts = _checked_partition_values(updates, partition_col)
+    base = _list_commits(spark, target_dir)
+    current = _resolution(base, target_dir)
     have = [p for p in parts if p in current]
     if have:
         existing = spark.read.parquet(*[current[p] for p in have]).withColumn(
@@ -247,7 +355,31 @@ def upsert_versioned(
     else:
         merged = latest_by_key(upd, key_cols, seq_col)
     _write_commit_data(merged, target_dir, partition_col, commit_id)
-    _finalize_commit(target_dir, commit_id, parts)
+    _finalize_commit(spark, target_dir, commit_id, parts, base_count=len(base))
+    return commit_id
+
+
+def compact_versioned(
+    spark: SparkSession, target_dir: str, partition_col: str
+) -> str:
+    """Atomic compaction through the same commit protocol: rewrite the
+    table's LIVE per-partition state as ONE fresh commit (hash-
+    repartitioned on the partition column, so each partition lands in few
+    files), then publish. Closes compact_files' documented non-atomic
+    window — a crash between the data write and the manifest rename
+    leaves readers serving the exact pre-compaction state, and the
+    half-written commit is vacuumable. Returns the commit id."""
+    commits = _list_commits(spark, target_dir)
+    if not commits:
+        raise ValueError(f"no finalized commits under {target_dir}")
+    live = _resolution(commits, target_dir)
+    df = spark.read.parquet(*sorted(live.values()))
+    commit_id = uuid.uuid4().hex[:12]
+    compacted = df.repartition(F.col(partition_col))
+    _write_commit_data(compacted, target_dir, partition_col, commit_id)
+    _finalize_commit(
+        spark, target_dir, commit_id, sorted(live), base_count=len(commits)
+    )
     return commit_id
 
 
@@ -257,21 +389,27 @@ def vacuum_versioned(spark: SparkSession, target_dir: str) -> int:
     leaf directories were removed. Safe to run concurrently with readers
     that resolved before the vacuum only if superseded versions outlive
     reader runtime — same caveat as any table format's vacuum."""
-    import os
-    import shutil
-
-    live = set(_resolve_partitions(target_dir).values())
-    ddir = os.path.join(target_dir, _DATA)
-    removed = 0
-    if not os.path.isdir(ddir):
+    live = set(_resolve_partitions(spark, target_dir).values())
+    ddir = _join(target_dir, _DATA)
+    fs, P = _hfs(spark, ddir)
+    if not fs.exists(P(ddir)):
         return 0
-    for cid in os.listdir(ddir):
-        cpath = os.path.join(ddir, cid)
-        for leaf in os.listdir(cpath):
-            lpath = os.path.join(cpath, leaf)
-            if leaf.startswith("__p=") and lpath not in live:
-                shutil.rmtree(lpath)
-                removed += 1
-        if not any(n.startswith("__p=") for n in os.listdir(cpath)):
-            shutil.rmtree(cpath)
+    removed = 0
+    for cst in fs.listStatus(P(ddir)):
+        if not cst.isDirectory():
+            continue
+        cid = cst.getPath().getName()
+        cpath = _join(ddir, cid)
+        kept = 0
+        for lst in fs.listStatus(P(cpath)):
+            leaf = lst.getPath().getName()
+            lpath = _join(cpath, leaf)
+            if leaf.startswith("__p="):
+                if lpath in live:
+                    kept += 1
+                else:
+                    fs.delete(P(lpath), True)
+                    removed += 1
+        if kept == 0:
+            fs.delete(P(cpath), True)
     return removed

@@ -283,9 +283,31 @@ def _apply_op(df: DataFrame, op: dict[str, Any], provider: LLMProvider) -> DataF
         # step counts + conversion ratios
         from pyspark.sql import functions as F
 
-        from etl_poc_spark.operators.funnel import funnel_rollup, funnel_times
+        from etl_poc_spark.operators.funnel import (
+            compile_funnel_steps,
+            funnel_rollup,
+            funnel_times,
+        )
 
-        steps = [(s["name"], F.expr(s["condition"])) for s in op["steps"]]
+        # two step grammars: the PORTABLE form (event_type + optional
+        # min_value/max_value — also runnable by the streaming twin,
+        # streaming/stateful.py::stateful_funnel) and the batch-only
+        # free-form `condition` SQL. Mixing them in one funnel is
+        # rejected so a config either ports to streaming wholesale or
+        # declares itself batch-only.
+        has_portable = any("event_type" in s for s in op["steps"])
+        has_condition = any("condition" in s for s in op["steps"])
+        if has_portable and has_condition:
+            raise PipelineConfigError(
+                "funnel steps must be all portable (event_type [+ value "
+                "bounds]) or all free-form `condition` SQL, not a mix"
+            )
+        if has_portable:
+            steps = compile_funnel_steps(
+                op["steps"], value_col=op.get("value_key", "value")
+            )
+        else:
+            steps = [(s["name"], F.expr(s["condition"])) for s in op["steps"]]
         per_entity = funnel_times(
             df,
             steps,

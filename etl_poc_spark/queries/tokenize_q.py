@@ -139,16 +139,19 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a global row_number window here would instead force every scored doc
     # through a single-partition sort
     top = agg.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
-    # rank = row position of the already-bounded top-k: one partition of
-    # <=20 rows, explicitly re-sorted, ids assigned in iteration order —
-    # no global Window node, so the gate log stays free of WindowExec
-    # no-partition warnings (a foldable partitionBy(lit) gets optimized
-    # away and still warns)
-    return (
-        top.coalesce(1)
-        .sortWithinPartitions(F.desc("bm25"), F.asc("doc_id"))
-        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+    # rank over the already-bounded top-k via row_number with a NON-FOLDABLE
+    # single-group partition key (doc_id*0 — same idiom as dates_q): ordering
+    # is guaranteed by the window spec itself, unlike monotonically_
+    # increasing_id over a coalesced sort, which relies on physical row
+    # order surviving optimization; the frame is <=20 rows so the single
+    # partition costs nothing, and the non-foldable key keeps the gate log
+    # free of WindowExec no-partition warnings
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
+        F.desc("bm25"), F.asc("doc_id")
     )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 @query(
@@ -220,11 +223,12 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
     # same bounded-rank idiom as bm25_search (see comment there)
-    return (
-        top.coalesce(1)
-        .sortWithinPartitions(F.desc("rrf_score"), F.asc("doc_id"))
-        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
     )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 @query(

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -53,16 +54,40 @@ def _sessionize_group(
         return
 
     start, last, n = state.get if state.exists else (None, None, 0)
-    rows = []
-    for pdf in pdfs:
-        for ts in sorted(pdf["ts"]):
-            micros = int(ts.value // 1000)  # pandas ns -> micros
-            if last is None or micros - last > gap_seconds * 1_000_000:
-                if last is not None:
-                    rows.append((user_id, start, last, n))  # close previous session
-                start, n = micros, 0
-            last = micros
-            n += 1
+    # Vectorized fold (no per-row Python): session boundaries are exactly
+    # the positions where the gap to the previous event exceeds the
+    # threshold, so one sorted timestamp vector + one diff gives every
+    # segment; the carried state only affects whether the first segment
+    # continues the open session.
+    parts = [pdf["ts"] for pdf in pdfs if len(pdf)]
+    m = (
+        np.sort(pd.concat(parts).to_numpy(dtype="datetime64[ns]").astype("int64"))
+        // 1000
+        if parts
+        else np.empty(0, dtype="int64")
+    )
+    gap_us = gap_seconds * 1_000_000
+    rows: list[tuple] = []
+    if m.size:
+        flags = np.empty(m.size, dtype=bool)
+        flags[0] = last is None or m[0] - last > gap_us
+        np.greater(m[1:] - m[:-1], gap_us, out=flags[1:])
+        begins = np.flatnonzero(flags)
+        if flags[0] and last is not None:
+            rows.append((user_id, start, last, n))  # carried session closed
+        if not flags[0]:
+            begins = np.concatenate(([0], begins))
+        ends = np.append(begins[1:], m.size)
+        firsts, lasts = m[begins], m[ends - 1]
+        counts = ends - begins
+        seg_starts = firsts.tolist()
+        seg_counts = counts.tolist()
+        if not flags[0] and last is not None:  # segment 0 continues the carry
+            seg_starts[0] = start
+            seg_counts[0] += n
+        for i in range(len(seg_starts) - 1):  # all but the final close now
+            rows.append((user_id, seg_starts[i], int(lasts[i]), int(seg_counts[i])))
+        start, last, n = seg_starts[-1], int(lasts[-1]), int(seg_counts[-1])
     state.update((start, last, n))
     state.setTimeoutDuration(gap_seconds * 1000)
     rows.append((user_id, start, last, n))  # current (possibly open) session
@@ -118,24 +143,42 @@ def _debounce_group(
         state.remove()
         return
     (last,) = state.get if state.exists else (None,)
-    keep = []
-    for pdf in pdfs:
-        for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
-            micros = int(row["ts"].value // 1000)
-            if last is None or micros - last >= within_seconds * 1_000_000:
-                keep.append((int(row["event_id"]), row["ts"]))
-            # lag-vs-previous-EVENT (kept or not) — identical to the
-            # batch operators/funnel.py::debounce_flag formulation
-            last = micros
+    # Vectorized fold: `last` advances to EVERY event's time (kept or
+    # not — the batch operators/funnel.py::debounce_flag lag-vs-previous
+    # formulation), so the keep decision is a pure adjacent diff: row i
+    # survives iff ts[i] - ts[i-1] >= window, with the carried `last`
+    # standing in as row -1. No recurrence on the kept set -> one numpy
+    # compare per batch instead of per-row Python.
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if parts:
+        batch = (
+            pd.concat(parts)
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        m = batch["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+        win_us = within_seconds * 1_000_000
+        prev = np.empty_like(m)
+        prev[1:] = m[:-1]
+        keep_mask = np.empty(m.size, dtype=bool)
+        if last is None:
+            keep_mask[0] = True
+        else:
+            keep_mask[0] = m[0] - last >= win_us
+        np.greater_equal(m[1:] - prev[1:], win_us, out=keep_mask[1:])
+        last = int(m[-1])
+        kept = batch[keep_mask]
+    else:
+        kept = None
     state.update((last,))
     state.setTimeoutDuration(within_seconds * 1000)
-    if keep:
+    if kept is not None and len(kept):
         yield pd.DataFrame(
             {
-                "event_id": [k[0] for k in keep],
+                "event_id": kept["event_id"].astype("int64").to_numpy(),
                 "user_id": user_id,
                 "event_type": event_type,
-                "ts": [k[1] for k in keep],
+                "ts": kept["ts"].to_numpy(),
             }
         )
 
@@ -172,28 +215,56 @@ def _funnel_group(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
-    step_types: list[str],
+    step_types: list,
     max_gap_seconds: int | None,
+    value_col: str = "value",
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n = len(step_types)
+    # each step: bare event_type string, or (event_type, min_value,
+    # max_value) with None bounds meaning unbounded — the compiled form
+    # of the portable spec (operators/funnel.py::compile_funnel_steps)
+    steps = [
+        (s, None, None) if isinstance(s, str) else tuple(s) for s in step_types
+    ]
+    n = len(steps)
     times = list(state.get) if state.exists else [None] * n
-    for pdf in pdfs:
-        for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
-            micros = int(row["ts"].value // 1000)
-            et = row["event_type"]
-            for i, st in enumerate(step_types):
-                if times[i] is not None or et != st:
-                    continue
-                if i == 0:
-                    times[i] = micros
-                elif times[i - 1] is not None and micros > times[i - 1]:
-                    if (
-                        max_gap_seconds is None
-                        or micros - times[i - 1] <= max_gap_seconds * 1_000_000
-                    ):
-                        times[i] = micros
-                break  # an event advances at most one step (first open match)
+    # Vectorized fold, relying on the enforced-distinct step types: an
+    # event's type matches AT MOST ONE step, so the time-ordered scan
+    # collapses to a sequential pass over the N steps (N tiny), each a
+    # numpy min over that step's qualifying events. Equivalence with the
+    # row scan: times[i-1], once set, never changes, and any event with
+    # ts strictly greater than it sorts after the event that set it — so
+    # "step open when the event was scanned" == "ts > times[i-1]".
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if parts:
+        batch = pd.concat(parts)
+        m = batch["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+        et = batch["event_type"].to_numpy()
+        vals = (
+            batch[value_col].to_numpy(dtype="float64")
+            if value_col in batch.columns
+            else None
+        )
+        gap_us = (
+            max_gap_seconds * 1_000_000 if max_gap_seconds is not None else None
+        )
+        for i, (st, lo, hi) in enumerate(steps):
+            if times[i] is not None:
+                continue  # in-order greedy step times are final
+            if i > 0 and times[i - 1] is None:
+                break  # later steps cannot fill before their predecessor
+            mask = et == st
+            if lo is not None:
+                mask &= vals >= lo
+            if hi is not None:
+                mask &= vals <= hi
+            if i > 0:
+                mask &= m > times[i - 1]
+                if gap_us is not None:
+                    mask &= m - times[i - 1] <= gap_us
+            cand = m[mask]
+            if cand.size:
+                times[i] = int(cand.min())
     state.update(tuple(times))
     out = {"user_id": [user_id]}
     for i, st in enumerate(step_types):
@@ -203,35 +274,59 @@ def _funnel_group(
 
 def stateful_funnel(
     events: DataFrame,
-    steps: list[tuple[str, str]],
+    steps: list,
     max_gap_seconds: int | None = None,
+    value_col: str = "value",
 ) -> DataFrame:
-    """Streaming twin of operators/funnel.py::funnel_times for
-    event-type-equality steps: per-user state is N longs (the earliest
-    qualifying time of each step so far); each micro-batch folds its
-    events in and emits the user's current step-time row (update mode —
-    downstream keeps the latest row per user). Strict ordering and the
-    optional conversion window match the batch operator; equivalence
-    holds when per-user arrival order matches event time (in-order
-    greedy step times are final — a later event can never improve an
-    earlier step), the same append-mode contract as stateful_debounce.
+    """Streaming twin of operators/funnel.py::funnel_times for the
+    restricted portable step form: per-user state is N longs (the
+    earliest qualifying time of each step so far); each micro-batch
+    folds its events in and emits the user's current step-time row
+    (update mode — downstream keeps the latest row per user). Strict
+    ordering and the optional conversion window match the batch
+    operator; equivalence holds when per-user arrival order matches
+    event time (in-order greedy step times are final — a later event can
+    never improve an earlier step), the same append-mode contract as
+    stateful_debounce.
 
-    Unlike the batch operator's arbitrary Column predicates, steps here
-    are (name, event_type) pairs — the predicate form a state fold can
-    evaluate per row. NOTE the one-event-one-step rule: an event matches
-    the FIRST open step only, which equals batch semantics whenever step
-    event types are distinct (enforced)."""
-    names = [n for n, _ in steps]
-    types = [t for _, t in steps]
+    Steps accept either (name, event_type) pairs or the SAME dict specs
+    operators/funnel.py::compile_funnel_steps compiles for batch —
+    {"name", "event_type", optional "min_value"/"max_value"} — so one
+    funnel config drives both engines (r7 VERDICT #4). Arbitrary Column
+    predicates remain batch-only: a state fold can evaluate equality and
+    value bounds per row, not SQL. NOTE the one-event-one-step rule: an
+    event matches the FIRST open step only, which equals batch semantics
+    whenever step event types are distinct (enforced)."""
+    norm: list[tuple[str, str, float | None, float | None]] = []
+    for s in steps:
+        if isinstance(s, dict):
+            if "event_type" not in s or "name" not in s:
+                raise ValueError(f"funnel step needs name + event_type: {s!r}")
+            norm.append(
+                (
+                    s["name"],
+                    s["event_type"],
+                    float(s["min_value"]) if s.get("min_value") is not None else None,
+                    float(s["max_value"]) if s.get("max_value") is not None else None,
+                )
+            )
+        else:
+            name, etype = s
+            norm.append((name, etype, None, None))
+    names = [n for n, *_ in norm]
+    types = [t for _, t, _, _ in norm]
     if len(set(names)) != len(names) or len(set(types)) != len(types):
         raise ValueError("funnel steps need distinct names and event types")
+    compiled = [(t, lo, hi) for _, t, lo, hi in norm]
     out_schema = _funnel_output_schema(names)
     state_schema = T.StructType(
-        [T.StructField(f"t{i}", T.LongType()) for i in range(len(steps))]
+        [T.StructField(f"t{i}", T.LongType()) for i in range(len(norm))]
     )
 
     def fn(key, pdfs, state):
-        for pdf in _funnel_group(key, pdfs, state, types, max_gap_seconds):
+        for pdf in _funnel_group(
+            key, pdfs, state, compiled, max_gap_seconds, value_col
+        ):
             yield pdf.rename(
                 columns={f"__t{i}": f"t_{n}" for i, n in enumerate(names)}
             )

@@ -105,6 +105,77 @@ def test_zorder_layout_narrows_both_dims(spark, sf_dir, tmp_path):
     assert mean_width(z_path, "o_orderkey") < 0.7 * full
 
 
+def test_zorder_3dim_narrows_every_dim(spark, sf_dir, tmp_path):
+    """3-column z-order (21 bits/dim): against the single-key sorted
+    layout, BOTH non-sort dimensions narrow per file while the sort key
+    stays meaningfully below its global range — all three predicates
+    become skippable, the feature-table layout VERDICT r7 asked for."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.layout import write_range_sorted, write_zorder_n
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    z_path = str(tmp_path / "z3")
+    s_path = str(tmp_path / "s1")
+    write_zorder_n(orders, z_path, ["o_orderkey", "o_custkey", "o_totalprice"],
+                   n_ranges=8)
+    write_range_sorted(orders, s_path, "o_orderkey", n_ranges=8)
+
+    def mean_width(path: str, col: str) -> float:
+        rows = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("w"))
+            .collect()
+        )
+        return sum(r.w for r in rows) / len(rows)
+
+    # the orderkey-sorted layout leaves custkey and totalprice unclustered
+    assert mean_width(z_path, "o_custkey") < 0.7 * mean_width(s_path, "o_custkey")
+    assert mean_width(z_path, "o_totalprice") < 0.7 * mean_width(s_path, "o_totalprice")
+    full = orders.agg(F.max("o_orderkey") - F.min("o_orderkey")).collect()[0][0]
+    assert mean_width(z_path, "o_orderkey") < 0.8 * full
+    # row set preserved
+    assert spark.read.parquet(z_path).count() == orders.count()
+
+
+def test_z_value_n_matches_reference_and_guards(spark):
+    """n-dim interleave against a pure-Python mirror for 3 and 4 columns,
+    plus the arity/bit-budget guards."""
+    import pytest
+
+    from etl_poc_spark.operators.layout import z_value_n
+
+    def py_zn(vals, bits):
+        n = len(vals)
+        z = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * n + j)
+        return z
+
+    rows3 = [(0, 0, 0), (1, 2, 3), (5, 9, 17), (2**21 - 1, 0, 2**21 - 1)]
+    df3 = spark.createDataFrame(rows3, ["a", "b", "c"]).withColumn(
+        "z", z_value_n(["a", "b", "c"])
+    )
+    for r in df3.collect():
+        assert r.z == py_zn((r.a, r.b, r.c), 21), (r.a, r.b, r.c)
+
+    rows4 = [(1, 2, 3, 4), (2**15 - 1,) * 4]
+    df4 = spark.createDataFrame(rows4, ["a", "b", "c", "d"]).withColumn(
+        "z", z_value_n(["a", "b", "c", "d"])
+    )
+    for r in df4.collect():
+        assert r.z == py_zn((r.a, r.b, r.c, r.d), 15)
+
+    with pytest.raises(ValueError, match="at least 2"):
+        z_value_n(["a"])
+    with pytest.raises(ValueError, match="bits"):
+        z_value_n(["a", "b", "c"], bits=22)  # 66 bits > signed long
+
+
 def test_compact_files(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 

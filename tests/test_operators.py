@@ -363,6 +363,30 @@ def test_count_min_never_underestimates(spark):
     assert est["hot"] < true["hot"] + 2500 * 4 / 32
 
 
+def test_cms_inner_product_disjoint_sketches_estimate_zero(spark):
+    from etl_poc_spark.operators.sketches import cms_inner_product
+
+    # Hand-built sketch tables (j, bucket, cnt): stored rows are the NON-EMPTY
+    # buckets only, so a hash row with zero overlap between the operands must
+    # contribute inner product 0 — the MIN has to run over all d rows, not
+    # just the ones the bucket join happens to produce.
+    a = spark.createDataFrame([(0, 1, 5), (1, 3, 2)], "j int, bucket int, cnt long")
+    b = spark.createDataFrame([(0, 2, 7), (1, 4, 9)], "j int, bucket int, cnt long")
+    [(est,)] = cms_inner_product(a, b, d=4).collect()
+    assert est == 0  # fully disjoint: 0, not NULL
+
+    # Partial overlap: hash row 0 shares bucket 1 (5*7=35) but rows 1..3 are
+    # empty-intersection -> densified min is still 0.
+    c = spark.createDataFrame([(0, 1, 7), (1, 9, 4)], "j int, bucket int, cnt long")
+    [(est2,)] = cms_inner_product(a, c, d=4).collect()
+    assert est2 == 0
+
+    # Overlap in EVERY hash row -> min of the per-row products.
+    d_ = spark.createDataFrame([(0, 1, 7), (1, 3, 10)], "j int, bucket int, cnt long")
+    [(est3,)] = cms_inner_product(a, d_, d=2).collect()
+    assert est3 == min(5 * 7, 2 * 10)
+
+
 def test_chunk_udtf_matches_column_chunker(spark):
     from etl_poc_spark.functions.sql_registry import register_sql_functions
     from etl_poc_spark.operators.chunker import chunk_by_tokens
@@ -668,6 +692,36 @@ def test_exact_quantiles_2pass(spark):
         ).collect()
     with pytest.raises(ValueError, match="max_bins"):
         exact_quantiles_2pass(df, "x", [50], bin_width=1, max_bins=3)
+
+
+def test_exact_quantiles_2pass_decimal_overflow_is_loud(spark):
+    """A value with more integer digits than the decimal precision allows
+    must raise, never silently drop from an 'exact' quantile: under ANSI
+    the cast itself throws; under non-ANSI the cast yields NULL and the
+    NULL-bin guard raises. A wider `precision` makes the same input work."""
+    import pytest
+
+    from etl_poc_spark.operators.quantiles import exact_quantiles_2pass
+
+    big = 5.0e16  # 17 integer digits: overflows decimal(18,2)'s 16
+    df = spark.createDataFrame([(1.0,), (big,)], "x double")
+
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with pytest.raises(ValueError, match="precision"):
+            exact_quantiles_2pass(df, "x", [50], bin_width=10**16)
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        with pytest.raises(Exception):  # ANSI: Spark's own arithmetic error
+            exact_quantiles_2pass(df, "x", [50], bin_width=10**16)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+
+    # precision wide enough for the scaled magnitude -> exact answer
+    got = exact_quantiles_2pass(
+        df, "x", [100], bin_width=10**16, precision=38
+    ).collect()
+    assert got[0]["value"] == big
 
 
 def test_timeseries_gapfill_and_rolling(spark):

@@ -114,11 +114,11 @@ def test_versioned_upsert_merge_and_untouched_partitions(spark, tmp_path):
         _rows(spark, [(1, "d1", "x", 1), (2, "d1", "y", 2), (3, "d2", "z", 1)]),
         target, ["k"], "seq", "day",
     )
-    before = _resolve_partitions(target)
+    before = _resolve_partitions(spark, target)
     upsert_versioned(
         spark, _rows(spark, [(1, "d1", "new", 5)]), target, ["k"], "seq", "day"
     )
-    after = _resolve_partitions(target)
+    after = _resolve_partitions(spark, target)
     got = _vread(spark, target)
     assert got[1] == ("d1", "new", 5)
     assert got[2] == ("d1", "y", 2)      # carried through the d1 merge
@@ -185,3 +185,196 @@ def test_versioned_read_errors_without_commits(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no finalized commits"):
         read_versioned(spark, str(tmp_path / "nothing"))
+
+
+def test_versioned_upsert_rejects_null_and_unsafe_partition_values(
+    spark, tmp_path
+):
+    """NULL would write __HIVE_DEFAULT_PARTITION__ on disk but 'None' in
+    the manifest — an unreadable table forever after; escaped values
+    diverge the same way. Both are rejected BEFORE any data is written."""
+    import pytest
+
+    from etl_poc_spark.operators.upsert import upsert_versioned
+
+    target = str(tmp_path / "vt")
+    with_null = spark.createDataFrame(
+        [(1, None, "a", 1)], "k long, day string, v string, seq long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        upsert_versioned(spark, with_null, target, ["k"], "seq", "day")
+    with pytest.raises(ValueError, match="directory-name-safe"):
+        upsert_versioned(
+            spark, _rows(spark, [(1, "d 1/x:y", "a", 1)]), target,
+            ["k"], "seq", "day",
+        )
+    # nothing was written — the table stays bootstrappable
+    assert not (tmp_path / "vt").exists()
+    upsert_versioned(
+        spark, _rows(spark, [(1, "2024-01-01", "a", 1)]), target,
+        ["k"], "seq", "day",
+    )  # a normal date partition passes the gate
+
+
+def test_versioned_concurrent_disjoint_writers_both_commit(spark, tmp_path):
+    """Two writers that resolved the SAME base and touch DISJOINT
+    partitions must both land: the rename-race loser re-lists and claims
+    the next sequence slot (simulated by finalizing writer B with the
+    stale base_count after A already committed)."""
+    import etl_poc_spark.operators.upsert as U
+
+    target = str(tmp_path / "vt")
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "a", 1), (2, "d2", "b", 1)]),
+        target, ["k"], "seq", "day",
+    )
+    base = len(U._list_commits(spark, target))
+
+    # writer A commits d1 normally
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "A2", 2)]), target, ["k"], "seq", "day"
+    )
+
+    # writer B: merge was computed against the pre-A base, touches only d3
+    merged = U.latest_by_key(
+        _rows(spark, [(9, "d3", "c", 1)]).withColumn("__is_update", F.lit(1)),
+        ["k"], "seq",
+    )
+    cid = "beefbeefbeef"
+    U._write_commit_data(merged, target, "day", cid)
+    U._finalize_commit(spark, target, cid, ["d3"], base_count=base)
+
+    got = _vread(spark, target)
+    assert got[1] == ("d1", "A2", 2) and got[9] == ("d3", "c", 1)
+    # no dangling temp manifest
+    import os
+
+    assert [n for n in os.listdir(os.path.join(target, "_commits"))
+            if n.startswith(".tmp")] == []  # (.crc checksum sidecars are fine)
+
+
+def test_versioned_concurrent_overlapping_writer_raises_and_withdraws(
+    spark, tmp_path
+):
+    """A writer whose partitions OVERLAP a commit finalized after its
+    merge base must fail loudly (its merged rows are stale), withdraw its
+    unpublished manifest, and leave the winner's state untouched; vacuum
+    then reclaims its orphaned data dir."""
+    import os
+
+    import pytest
+
+    import etl_poc_spark.operators.upsert as U
+
+    target = str(tmp_path / "vt")
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "a", 1)]), target, ["k"], "seq", "day"
+    )
+    base = len(U._list_commits(spark, target))
+    U.upsert_versioned(  # the winner, also touching d1
+        spark, _rows(spark, [(1, "d1", "WIN", 5)]), target, ["k"], "seq", "day"
+    )
+
+    merged = U.latest_by_key(
+        _rows(spark, [(1, "d1", "stale", 2)]).withColumn("__is_update", F.lit(1)),
+        ["k"], "seq",
+    )
+    cid = "cafecafecafe"
+    U._write_commit_data(merged, target, "day", cid)
+    with pytest.raises(U.ConcurrentWriteError, match="re-run"):
+        U._finalize_commit(spark, target, cid, ["d1"], base_count=base)
+
+    assert _vread(spark, target)[1] == ("d1", "WIN", 5)
+    assert [n for n in os.listdir(os.path.join(target, "_commits"))
+            if n.startswith(".tmp")] == []  # (.crc checksum sidecars are fine)
+    assert U.vacuum_versioned(spark, target) >= 1  # the stale orphan
+    assert _vread(spark, target)[1] == ("d1", "WIN", 5)
+
+
+def test_versioned_finalize_rename_race_retries_next_slot(
+    spark, tmp_path, monkeypatch
+):
+    """Force the actual rename collision: finalize computes its sequence
+    from a STALE commit listing (one short), so its first rename targets
+    an already-claimed slot and must be refused by the filesystem; the
+    loop then re-lists and lands on the next slot."""
+    import etl_poc_spark.operators.upsert as U
+
+    target = str(tmp_path / "vt")
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "a", 1), (2, "d2", "b", 1)]),
+        target, ["k"], "seq", "day",
+    )
+
+    real_list = U._list_commits
+    calls = {"n": 0}
+
+    def stale_once(sp, td):
+        commits = real_list(sp, td)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return commits[:-1]  # pretend the latest commit isn't visible yet
+        return commits
+
+    merged = U.latest_by_key(
+        _rows(spark, [(3, "d3", "c", 1)]).withColumn("__is_update", F.lit(1)),
+        ["k"], "seq",
+    )
+    cid = "feedfeedfeed"
+    U._write_commit_data(merged, target, "day", cid)
+    monkeypatch.setattr(U, "_list_commits", stale_once)
+    U._finalize_commit(spark, target, cid, ["d3"], base_count=0)
+    monkeypatch.undo()
+
+    assert calls["n"] >= 2  # first rename was refused, loop re-listed
+    names = sorted(
+        n for n in __import__("os").listdir(f"{target}/_commits")
+        if n.endswith(".json")
+    )
+    assert len(names) == len(set(n.split("_")[0] for n in names))  # unique seqs
+    assert _vread(spark, target)[3] == ("d3", "c", 1)
+
+
+def test_compact_versioned_is_atomic_and_preserves_state(spark, tmp_path):
+    """compact_versioned rewrites the live state as one commit: visible
+    rows identical before/after, fewer files, and a crash between the
+    data write and the manifest rename leaves readers on the exact
+    pre-compaction state (the non-atomic window compact_files documents
+    does not exist here)."""
+    import glob
+    import os
+
+    import pytest
+
+    import etl_poc_spark.operators.upsert as U
+
+    target = str(tmp_path / "vt")
+    for s in range(1, 4):  # three commits -> several small files per partition
+        U.upsert_versioned(
+            spark,
+            _rows(spark, [(s, "d1", f"v{s}", s), (10 + s, "d2", f"w{s}", s)]),
+            target, ["k"], "seq", "day",
+        )
+    pre = _vread(spark, target)
+
+    # crash sim: data written, manifest never published
+    real_finalize = U._finalize_commit
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    U._finalize_commit = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            U.compact_versioned(spark, target, "day")
+    finally:
+        U._finalize_commit = real_finalize
+    assert _vread(spark, target) == pre  # readers unaffected
+
+    U.compact_versioned(spark, target, "day")
+    assert _vread(spark, target) == pre  # same visible rows
+    U.vacuum_versioned(spark, target)
+    files = glob.glob(os.path.join(target, "_data", "*", "__p=*", "*.parquet"))
+    # every live partition now serves from the single compacted commit
+    cids = {f.split(os.sep)[-3] for f in files}
+    assert len(cids) == 1
