@@ -1,0 +1,336 @@
+"""Behavioral / entity-analytics tier: activity streaks, event-transition
+matrices, last-touch attribution, RFM segmentation, time-weighted
+averages, and blocked fuzzy record linkage.
+
+All oracle-exact by the house arithmetic discipline: integer microsecond
+time math, DECIMAL(18,2) value accumulation (events.value and TPC-H
+prices are 2-decimal), single int/int or decimal/int double divisions at
+the output boundary, and deterministic window orderings with explicit
+tiebreaks. Reference parity: the reference has no event analytics; this
+extends the engine's events/curation surface (SURVEY §2.10 and the
+north-star training-pipeline tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_poc_spark.io import load_table
+from etl_poc_spark.registry import query
+
+
+@query(
+    "user_daily_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS anchor
+      FROM days
+    ), runs AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of consecutive active
+    days. The island anchor is day minus the day's per-user rank — equal
+    for every day of one consecutive run — so the whole computation is
+    one window + two aggregates on a per-user partitioning that holds a
+    few hundred distinct DATES per user regardless of event volume (the
+    distinct collapses first). No self-joins, no driver loops."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("run_len").alias("longest_streak"),
+            F.sum("run_len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), totals AS (
+      SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+      FROM t GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n_transitions,
+           CAST(t.n_transitions AS DOUBLE) / tot.n_from AS p
+    FROM t JOIN totals tot USING (from_type)
+    ORDER BY t.from_type, t.to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    count and conditional probability of each event-type bigram. One
+    shuffle on user_id for the lag window, then a 25-cell aggregate; the
+    probability is a single int/int double division. The behavioral
+    fingerprint a product-analytics pipeline monitors for drift."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wf = Window.partitionBy("from_type")
+    return (
+        t.withColumn("n_from", F.sum("n_transitions").over(wf))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            (F.col("n_transitions").cast("double") / F.col("n_from")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "purchase_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_ts
+      FROM events
+    )
+    SELECT CASE WHEN prev_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(prev_ts) <= 3600000000
+                THEN prev_type ELSE 'direct' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+)
+def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent non-purchase event within the hour before it, else 'direct'.
+    Both the crediting type and its timestamp come from the SAME
+    conditional last-value window (one user shuffle serves both), and
+    the window predicate is integer-microsecond arithmetic. The
+    marketing-attribution query every event pipeline grows."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    np_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    seq = e.select(
+        "event_type",
+        "ts",
+        F.last(non_purchase, ignorenulls=True).over(w).alias("prev_type"),
+        F.last(np_ts, ignorenulls=True).over(w).alias("prev_ts"),
+    ).where(F.col("event_type") == "purchase")
+    channel = F.when(
+        F.col("prev_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+            <= 3_600_000_000
+        ),
+        F.col("prev_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        seq.select(channel.alias("channel"))
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("channel")
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS recency,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY recency DESC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM m
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintiles per
+    customer (score 1 = best), rolled up to cell counts. Ordering ties
+    break on custkey so the ntile assignment is deterministic in both
+    engines; monetary accumulates in DECIMAL. The quintile windows run
+    on the customer-grained aggregate (dim-sized, not order-sized) under
+    a non-foldable single-group key — the same bounded-frame idiom as
+    dates_q — so no event-volume data ever crosses a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    zero = F.col("o_custkey") * F.lit(0)
+    scored = m.select(
+        F.ntile(5)
+        .over(Window.partitionBy(zero).orderBy(F.desc("recency"), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.partitionBy(zero).orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.partitionBy(zero).orderBy(F.desc("monetary"), "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@query(
+    "event_type_twap",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(dur_us) AS BIGINT) AS n_weighted,
+           round(CAST(SUM(CAST(v * dur_us AS DECIMAL(38,2))) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE), 9) AS twap,
+           round(CAST(SUM(CAST(v AS DECIMAL(38,2))) AS DOUBLE) / COUNT(v), 9) AS plain_mean
+    FROM seq WHERE dur_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_type_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type: each event's value is
+    held until the user's next event, so the weight is the exact
+    microsecond duration (a user's last event has no duration and drops
+    out). Products accumulate as DECIMAL(38,2) — value is 2-decimal and
+    the duration an integer, so the product is exact and the sum
+    order-independent; one double division at the end, rounded to 9
+    places (the house big-decimal-to-double seam policy). Compare with the
+    unweighted mean to read dwell-time bias directly off the gate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("dur_us").alias("n_weighted"),
+            F.round(
+                F.sum((F.col("v") * F.col("dur_us")).cast("decimal(38,2)"))
+                .cast("double")
+                / F.sum("dur_us").cast("double"),
+                9,
+            ).alias("twap"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,2)")).cast("double")
+                / F.count("v"),
+                9,
+            ).alias("plain_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "customer_name_fuzzy_pairs",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name,
+             substr(c_name, 1, length(c_name) - 2) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS distance
+    FROM c a JOIN c b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+     AND abs(length(a.c_name) - length(b.c_name)) <= 1
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (operators/linkage.py): customer-name
+    pairs within edit distance 1, candidate set bounded by a prefix
+    block (name minus its last two characters) — the Fellegi-Sunter
+    blocking shape: one hash shuffle on the block key, a two-int length
+    prefilter, then Spark's codegen levenshtein verifies survivors. No
+    all-pairs comparison anywhere; oversized blocks are excluded by the
+    operator's cap rather than silently exploding."""
+    from etl_poc_spark.operators.linkage import blocked_fuzzy_pairs
+
+    c = load_table(spark, sf_dir, "customer")
+    pairs = blocked_fuzzy_pairs(
+        c,
+        id_col="c_custkey",
+        name_col="c_name",
+        block=F.expr("substring(c_name, 1, length(c_name) - 2)"),
+        max_distance=1,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    ).orderBy("id_a", "id_b")

@@ -1119,3 +1119,56 @@ def test_funnel_guards(spark):
     assert roll.click_to_purchase is None  # explicit NULL, not NaN/inf/error
     # and the oracle-side formulation agrees
     assert duckdb.sql("SELECT 0.0 / NULLIF(0, 0)").fetchone()[0] is None
+
+
+def test_blocked_fuzzy_pairs_semantics_and_block_cap(spark):
+    """Blocked fuzzy linkage: only same-block pairs are compared, the
+    length prefilter cannot drop a true match (|len gap| <= d is
+    necessary for lev <= d), oversized blocks are excluded and reported,
+    and NULL names/blocks never join."""
+    from etl_poc_spark.operators.linkage import blocked_fuzzy_pairs, oversized_blocks
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "smith"), (2, "smyth"),      # block "sm": distance 1 -> pair
+        (3, "smithers"),                 # block "sm": too far from both
+        (4, "jones"), (5, "jonez"),      # block "jo": distance 1 -> pair
+        (6, "smeth"),                    # block "sm": 1 from smith, 2 from smyth
+        (7, None),                       # NULL name: ignored
+        (8, "smyth"),                    # exact duplicate of 2: distance 0
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = blocked_fuzzy_pairs(
+        df, "id", "name", F.substring("name", 1, 2), max_distance=1
+    )
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in pairs.collect()}
+    assert got == {
+        (1, 2): 1,   # smith-smyth
+        (1, 6): 1,   # smith-smeth
+        (1, 8): 1,   # smith-smyth (dup copy)
+        (2, 6): 1,   # smyth-smeth
+        (2, 8): 0,   # exact duplicate names
+        (6, 8): 1,   # smeth-smyth
+        (4, 5): 1,   # jones-jonez
+    }
+
+    # cross-block near-match is NOT found (blocking is a recall trade,
+    # stated, not silent): "aones" vs "jones" differ in block
+    df2 = spark.createDataFrame([(1, "aones"), (2, "jones")], "id long, name string")
+    assert (
+        blocked_fuzzy_pairs(df2, "id", "name", F.substring("name", 1, 2), 1).count()
+        == 0
+    )
+
+    # oversized block: excluded from pairs, surfaced by the report
+    big = spark.createDataFrame(
+        [(i, f"dup{i % 3}") for i in range(10)] + [(99, "zz1"), (98, "zz2")],
+        "id long, name string",
+    )
+    capped = blocked_fuzzy_pairs(
+        big, "id", "name", F.substring("name", 1, 2), max_distance=1,
+        max_block_size=5,
+    )
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(98, 99)}
+    rep = oversized_blocks(big, "name", F.substring("name", 1, 2), 5).collect()
+    assert [(r["block"], r["n_records"]) for r in rep] == [("du", 10)]
