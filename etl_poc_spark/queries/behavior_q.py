@@ -334,3 +334,114 @@ def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("distance").cast("int").alias("distance")
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "repeat_purchase_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders
+    ), g AS (SELECT gap_days FROM seq WHERE gap_days IS NOT NULL),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM g),
+    r AS (SELECT gap_days, row_number() OVER (ORDER BY gap_days) AS rn FROM g)
+    SELECT (SELECT c FROM n) AS n_gaps,
+           CAST(MIN(g.gap_days) AS BIGINT) AS min_gap_days,
+           CAST(MAX(g.gap_days) AS BIGINT) AS max_gap_days,
+           round(CAST(SUM(g.gap_days) AS DOUBLE) / (SELECT c FROM n), 9)
+             AS mean_gap_days,
+           CAST((SELECT gap_days FROM r, n WHERE rn = (50 * c + 99) // 100)
+                AS BIGINT) AS p50_gap_days
+    FROM g
+    """,
+)
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: day gaps between each
+    customer's consecutive orders (one lag window on the customer
+    shuffle), summarized as min/mean/max plus the EXACT ceil-rank median
+    via the 2-pass selector — integer day arithmetic throughout, one
+    rounded double division. The repeat-behavior metric behind every
+    retention model."""
+    from etl_poc_spark.operators.pins import pin
+    from etl_poc_spark.operators.quantiles import exact_quantiles_2pass
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # pinned: the lag-window frame feeds the 2-pass selector (two reads)
+    # AND the summary aggregate — without the pin each consumer re-runs
+    # the customer shuffle (3 shuffles of the orders table instead of 1)
+    gaps = pin(
+        o.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days")
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    [(p50,)] = (
+        exact_quantiles_2pass(gaps, "gap_days", [50], scale=1, bin_width=64)
+        .select("value")
+        .collect()
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+        F.round(
+            F.sum("gap_days").cast("double") / F.count(F.lit(1)), 9
+        ).alias("mean_gap_days"),
+        F.lit(int(p50)).cast("long").alias("p50_gap_days"),
+    )
+
+
+@query(
+    "nation_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           round(CAST(SUM(CAST(rev.r * rev.r AS DECIMAL(38,4))) AS DOUBLE)
+                 / (CAST(SUM(rev.r) AS DOUBLE) * CAST(SUM(rev.r) AS DOUBLE)),
+                 9) AS hhi
+    FROM rev JOIN nation n ON rev.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue per nation:
+    HHI = sum(r_i^2) / (sum r_i)^2 — both moments accumulate as exact
+    DECIMAL over the supplier-grained aggregate (order-independent), so
+    the only float is ONE rounded division per nation. Dim-sized
+    downstream: the lineitem scan collapses to per-supplier rows before
+    anything else happens, and the nation dim broadcasts. The market-
+    concentration screen a procurement or marketplace pipeline tracks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r"))
+    )
+    return (
+        rev.join(F.broadcast(n), rev.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum((F.col("r") * F.col("r")).cast("decimal(38,4)")).cast("double")
+                / (F.sum("r").cast("double") * F.sum("r").cast("double")),
+                9,
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )

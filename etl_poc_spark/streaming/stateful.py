@@ -340,6 +340,74 @@ def stateful_funnel(
     )
 
 
+TRANSITION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+    ]
+)
+
+TRANSITION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def _transitions_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    last_ts, last_type = state.get if state.exists else (None, None)
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if not parts:
+        return
+    batch = (
+        pd.concat(parts).sort_values(["ts", "event_id"]).reset_index(drop=True)
+    )
+    types = batch["event_type"].to_numpy()
+    m = batch["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+    # vectorized bigram: previous-event type per row, with the carried
+    # state standing in for row -1 (the cross-batch boundary transition
+    # a naive per-batch lag window would lose)
+    prev = np.empty(types.shape, dtype=object)
+    prev[1:] = types[:-1]
+    prev[0] = last_type
+    mask = prev != None  # noqa: E711 — elementwise against object array
+    if mask.any():
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "from_type": prev[mask],
+                "to_type": types[mask],
+            }
+        )
+    state.update((int(m[-1]), str(types[-1])))
+
+
+def stateful_transitions(events: DataFrame) -> DataFrame:
+    """Streaming twin of queries/behavior_q.py::event_transition_matrix's
+    bigram extraction: per-user state is ONE (last_ts, last_type) pair,
+    and each micro-batch emits its event-type transitions INCLUDING the
+    batch-boundary bigram the carried state supplies (a per-batch lag
+    window would silently drop one transition per user per batch).
+    Downstream, counts are mergeable by addition — aggregate the emitted
+    rows per micro-batch and fold into a store (same shape as
+    streaming/rollup.py), or feed a streaming groupBy count. Append-mode
+    contract: per-user arrival order must match event time."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _transitions_group,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
 
 _rbv(__name__)

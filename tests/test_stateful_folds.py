@@ -220,3 +220,23 @@ def test_vectorized_folds_do_not_dominate_a_10k_event_batch():
 
     for name, t in [("sessionize", t_sess), ("debounce", t_deb), ("funnel", t_fun)]:
         assert t < 0.5, f"{name} fold took {t:.2f}s for 10k events — per-row Python?"
+
+
+def test_transitions_fold_emits_boundary_bigrams():
+    """The carried (last_ts, last_type) state supplies the cross-batch
+    bigram; within-batch bigrams are the adjacent pairs; a lone first
+    batch emits n-1 transitions."""
+    from etl_poc_spark.streaming.stateful import _transitions_group
+
+    rows1 = [(1, 1_000_000, "view"), (2, 2_000_000, "click")]
+    rows2 = [(3, 3_000_000, "purchase")]
+    state = FakeState()
+    out1 = list(_transitions_group((7,), iter([_events_pdf(rows1)]), state))
+    got1 = [(r.from_type, r.to_type) for r in out1[0].itertuples()]
+    assert got1 == [("view", "click")]
+    out2 = list(_transitions_group((7,), iter([_events_pdf(rows2)]), state))
+    got2 = [(r.from_type, r.to_type) for r in out2[0].itertuples()]
+    assert got2 == [("click", "purchase")]  # boundary bigram from state
+    # empty batch: no output, state untouched
+    assert list(_transitions_group((7,), iter([]), state)) == []
+    assert state.get == (3_000_000, "purchase")

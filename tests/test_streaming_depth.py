@@ -747,3 +747,80 @@ def test_one_portable_funnel_spec_drives_batch_and_streaming(spark, tmp_path):
     }]
     with pytest.raises(PipelineConfigError, match="not a mix"):
         run_pipeline(spark, bad, datasets={"events": events})
+
+
+def test_stateful_transitions_match_batch_bigrams(spark, tmp_path):
+    """Streaming transition extraction == batch lag-window bigrams,
+    including the cross-batch boundary transition carried by state (the
+    row a per-batch window would lose)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_poc_spark.streaming.stateful import stateful_transitions
+
+    in_dir = tmp_path / "tr_in"
+    in_dir.mkdir()
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        schema = pa.schema([
+            ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+            ("value", pa.float64()), ("props", pa.string()),
+        ])
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), str(in_dir / name))
+
+    b1 = [
+        (1, "2024-01-01 00:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 7, "click", 1.0, "{}"),
+        (3, "2024-01-01 00:00:00", 8, "view", 1.0, "{}"),
+    ]
+    b2 = [
+        (4, "2024-01-01 00:02:00", 7, "purchase", 1.0, "{}"),  # boundary: click->purchase
+        (5, "2024-01-01 00:03:00", 8, "error", 1.0, "{}"),     # boundary: view->error
+        (6, "2024-01-01 00:04:00", 8, "view", 1.0, "{}"),
+    ]
+    write_file("b1.parquet", b1)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet").option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    q = (
+        stateful_transitions(stream)
+        .writeStream.format("memory").queryName("tr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tr_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_file("b2.parquet", b2)
+        q.processAllAvailable()
+        got = {}
+        for r in spark.sql("SELECT * FROM tr_out").collect():
+            k = (r["from_type"], r["to_type"])
+            got[k] = got.get(k, 0) + 1
+    finally:
+        q.stop()
+
+    from pyspark.sql import Window
+
+    all_e = spark.createDataFrame(
+        [(e, ts, u, t) for e, ts, u, t, _, _ in b1 + b2],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = {}
+    for r in (
+        all_e.select(F.lag("event_type").over(w).alias("f"), F.col("event_type").alias("t"))
+        .where(F.col("f").isNotNull())
+        .groupBy("f", "t").count().collect()
+    ):
+        batch[(r["f"], r["t"])] = r["count"]
+    assert got == batch
+    assert ("click", "purchase") in got and ("view", "error") in got  # boundary bigrams
