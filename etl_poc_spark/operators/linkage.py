@@ -50,7 +50,14 @@ def blocked_fuzzy_pairs(
     sizes = base.groupBy("__blk").agg(F.count(F.lit(1)).alias("__n"))
     ok_blocks = sizes.where(F.col("__n") <= max_block_size).select("__blk")
     pruned = base.join(ok_blocks, "__blk", "left_semi")
-    a = pruned.select(
+    # spread blocks across tasks: the probe side's parallelism caps the
+    # verify stage's parallelism (a single-file input would run every
+    # edit-distance DP in one task). The partition count is EXPLICIT
+    # because the stage is CPU-bound (O(len^2) DP per candidate pair) at
+    # kilobyte data sizes — AQE's byte-based coalescing would fold a
+    # column-count repartition back to one task and serialize the DPs.
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    a = pruned.repartition(n_parts, F.col("__blk")).select(
         F.col("__blk"),
         F.col("__id").alias("id_a"),
         F.col("__name").alias("name_a"),
