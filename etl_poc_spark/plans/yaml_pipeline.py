@@ -332,6 +332,67 @@ def _apply_op(df: DataFrame, op: dict[str, Any], provider: LLMProvider) -> DataF
             within_seconds=int(op.get("within_seconds", 120)),
             tiebreak_cols=tuple(op.get("tiebreak") or ["event_id"]),
         )
+    if t == "transition_matrix":
+        # first-order Markov event-type bigrams + conditional probability
+        # (queries/behavior_q.py semantics); streaming twin:
+        # streaming/stateful.py::stateful_transitions
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        entity = op.get("entity_key", "user_id")
+        state_col = op.get("state_key", "event_type")
+        ts_col = op.get("ts_key", "ts")
+        tiebreak = op.get("tiebreak", "event_id")
+        w = Window.partitionBy(entity).orderBy(ts_col, tiebreak)
+        seq = df.select(
+            F.lag(state_col).over(w).alias("from_type"),
+            F.col(state_col).alias("to_type"),
+        ).where(F.col("from_type").isNotNull())
+        t_ = seq.groupBy("from_type", "to_type").agg(
+            F.count(F.lit(1)).alias("n_transitions")
+        )
+        wf = Window.partitionBy("from_type")
+        return t_.withColumn("n_from", F.sum("n_transitions").over(wf)).select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            (F.col("n_transitions").cast("double") / F.col("n_from")).alias("p"),
+        )
+    if t == "streaks":
+        # gaps-and-islands consecutive-day runs per entity
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        entity = op.get("entity_key", "user_id")
+        ts_col = op.get("ts_key", "ts")
+        days = df.select(entity, F.to_date(ts_col).alias("__day")).distinct()
+        w = Window.partitionBy(entity).orderBy("__day")
+        runs = (
+            days.withColumn(
+                "__anchor", F.date_sub(F.col("__day"), F.row_number().over(w))
+            )
+            .groupBy(entity, "__anchor")
+            .agg(F.count(F.lit(1)).alias("__run"))
+        )
+        return runs.groupBy(entity).agg(
+            F.max("__run").alias("longest_streak"),
+            F.sum("__run").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+    if t == "fuzzy_link":
+        # blocked fuzzy record linkage (operators/linkage.py)
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.linkage import blocked_fuzzy_pairs
+
+        return blocked_fuzzy_pairs(
+            df,
+            id_col=op.get("id", "doc_id"),
+            name_col=op.get("name_key", "text"),
+            block=F.expr(op["block_expr"]),
+            max_distance=int(op.get("max_distance", 1)),
+            max_block_size=int(op.get("max_block_size", 10_000)),
+        )
     if t == "span_dedup":
         # ExactSubstr-style doc filter (Lee et al. 2021): drop documents
         # whose cross-doc duplicated-span coverage exceeds max_coverage

@@ -421,3 +421,63 @@ def test_yaml_span_dedup_op(spark):
     # 1 and 2 exceed 0.25; doc 3 sits exactly AT 0.25 (not above) and stays
     assert kept == [3, 4]
     assert out["__final__"].columns == ["doc_id", "text"]
+
+
+def test_yaml_transition_streaks_fuzzylink_ops(spark):
+    """The round-8 analytics join the declarative vocabulary: transition
+    matrix, daily streaks, and blocked fuzzy linkage all drive from
+    config with the same semantics as their query/operator forms."""
+    from datetime import datetime
+
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    t = lambda d, h=0: datetime(2024, 1, d, h)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            (1, 1, "view", t(1)),
+            (2, 1, "click", t(1, 1)),
+            (3, 1, "view", t(2)),
+            (4, 1, "view", t(5)),     # gap -> second streak
+            (5, 2, "view", t(1)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+
+    def run(op):
+        cfg = {
+            "default_model": "stub",
+            "datasets": {"events": {"path": "injected.json"}},
+            "operations": [op],
+            "pipeline": {"steps": [
+                {"name": "s", "input": "events", "operations": [op["name"]]}
+            ]},
+        }
+        return run_pipeline(spark, cfg, datasets={"events": events})["__final__"]
+
+    tm = {(r["from_type"], r["to_type"]): (r["n_transitions"], r["p"])
+          for r in run({"name": "tm", "type": "transition_matrix"}).collect()}
+    assert tm[("view", "click")] == (1, 0.5)
+    assert tm[("view", "view")] == (1, 0.5)
+    assert tm[("click", "view")] == (1, 1.0)
+
+    st = {r["user_id"]: (r["longest_streak"], r["n_active_days"], r["n_streaks"])
+          for r in run({"name": "st", "type": "streaks"}).collect()}
+    assert st[1] == (2, 3, 2) and st[2] == (1, 1, 1)
+
+    names = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "jones")], "doc_id long, text string"
+    )
+    cfg = {
+        "default_model": "stub",
+        "datasets": {"names": {"path": "injected.json"}},
+        "operations": [{
+            "name": "fl", "type": "fuzzy_link", "id": "doc_id",
+            "name_key": "text", "block_expr": "substring(text, 1, 2)",
+            "max_distance": 1,
+        }],
+        "pipeline": {"steps": [
+            {"name": "s", "input": "names", "operations": ["fl"]}
+        ]},
+    }
+    pairs = run_pipeline(spark, cfg, datasets={"names": names})["__final__"].collect()
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in pairs] == [(1, 2, 1)]
