@@ -293,11 +293,26 @@ def _finalize_commit(
         raise
 
 
-def read_versioned(spark: SparkSession, target_dir: str) -> DataFrame:
+def read_versioned(
+    spark: SparkSession, target_dir: str, as_of: int | None = None
+) -> DataFrame:
     """Read the table at its latest finalized commit per partition.
     Partitions mid-merge (data written, manifest not yet renamed) serve
-    their previous committed version — the pre-merge state."""
-    paths = sorted(_resolve_partitions(spark, target_dir).values())
+    their previous committed version — the pre-merge state.
+
+    `as_of` gives time travel: resolve using only the first `as_of`
+    finalized commits (1-based sequence numbers), i.e. the exact table
+    state after commit `as_of` published. Valid as long as the
+    superseded data dirs haven't been vacuumed — the same retention
+    contract as any table format's VERSION AS OF."""
+    commits = _list_commits(spark, target_dir)
+    if as_of is not None:
+        if not 1 <= as_of <= len(commits):
+            raise ValueError(
+                f"as_of={as_of} out of range: {len(commits)} finalized commit(s)"
+            )
+        commits = commits[:as_of]
+    paths = sorted(_resolution(commits, target_dir).values())
     if not paths:
         raise ValueError(f"no finalized commits under {target_dir}")
     return spark.read.parquet(*paths)

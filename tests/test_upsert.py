@@ -378,3 +378,46 @@ def test_compact_versioned_is_atomic_and_preserves_state(spark, tmp_path):
     # every live partition now serves from the single compacted commit
     cids = {f.split(os.sep)[-3] for f in files}
     assert len(cids) == 1
+
+
+def test_versioned_time_travel_reads_exact_historical_state(spark, tmp_path):
+    """read_versioned(as_of=n) serves the exact table state after the
+    n-th commit published — valid until vacuum reclaims superseded
+    versions, after which only the live state remains readable."""
+    import pytest
+
+    import etl_poc_spark.operators.upsert as U
+
+    target = str(tmp_path / "vt")
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "v1", 1), (2, "d2", "w1", 1)]),
+        target, ["k"], "seq", "day",
+    )
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "v2", 2)]), target, ["k"], "seq", "day"
+    )
+    U.upsert_versioned(
+        spark, _rows(spark, [(3, "d1", "x1", 1)]), target, ["k"], "seq", "day"
+    )
+
+    def at(n):
+        return {
+            r["k"]: r["v"]
+            for r in U.read_versioned(spark, target, as_of=n).collect()
+        }
+
+    assert at(1) == {1: "v1", 2: "w1"}
+    assert at(2) == {1: "v2", 2: "w1"}
+    assert at(3) == {1: "v2", 2: "w1", 3: "x1"}
+    assert at(3) == {
+        r["k"]: r["v"] for r in U.read_versioned(spark, target).collect()
+    }
+    with pytest.raises(ValueError, match="out of range"):
+        U.read_versioned(spark, target, as_of=4)
+    with pytest.raises(ValueError, match="out of range"):
+        U.read_versioned(spark, target, as_of=0)
+
+    # vacuum keeps only the live resolution; historical reads that need
+    # superseded dirs now fail at scan time (retention contract)
+    U.vacuum_versioned(spark, target)
+    assert at(3) == {1: "v2", 2: "w1", 3: "x1"}  # live state still fine
