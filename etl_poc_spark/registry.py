@@ -67,6 +67,7 @@ def load_all() -> None:
         relational3_q,
         relational4_q,
         relational5_q,
+        scd_q,
         similarity_q,
         spandedup_q,
         temporal_q,
