@@ -102,6 +102,77 @@ def scd2_merge(
     return untouched.unionByName(closed.unionByName(recomputed))
 
 
+def incremental_scd2_ingest(
+    spark,
+    batch_df: DataFrame,
+    store_dir: str,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> None:
+    """Fold one change batch into a parquet-backed SCD2 dimension store:
+    first batch bootstraps via scd2_from_changes, later batches fold via
+    scd2_merge (affected-key state only crosses the shuffle). The store
+    rewrite goes through a staging hop (Spark cannot overwrite a path it
+    is lazily reading from — same pattern as operators/upsert.py).
+    At-least-once caveat: a replayed batch whose values already extend
+    the open episode is a no-op (scd2_merge collapses repeats), but a
+    replayed batch with intermediate values would re-derive the same
+    episodes — idempotent as long as batch boundaries are stable, which
+    the checkpointed streaming front-end guarantees."""
+    import uuid as _uuid
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        current = spark.read.parquet(store_dir)
+        have = True
+    except AnalysisException:
+        have = False
+    if have:
+        merged = scd2_merge(
+            current, batch_df, key_cols, attr_cols, ts_col, tiebreak_cols
+        )
+    else:
+        merged = scd2_from_changes(
+            batch_df, key_cols, attr_cols, ts_col, tiebreak_cols
+        )
+    staging = f"{store_dir}__staging_{_uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(store_dir)
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(staging)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:  # noqa: BLE001 — cleanup must never fail the ingest
+        pass
+
+
+def streaming_scd2_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+):
+    """Structured Streaming front-end: each micro-batch folds via
+    incremental_scd2_ingest. Returns a configured DataStreamWriter —
+    call .trigger(...).start() (same convention as streaming/rollup.py)."""
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        incremental_scd2_ingest(
+            batch_df.sparkSession, batch_df, store_dir,
+            key_cols, attr_cols, ts_col, tiebreak_cols,
+        )
+
+    return stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
 def pit_join(
     facts: DataFrame,
     history: DataFrame,

@@ -159,3 +159,55 @@ def test_pit_join_same_instant_double_change(spark):
         for r in pit_join(facts, history, ["k"], "fts", ["attr"]).collect()
     }
     assert out == {100: "a", 101: "c", 102: "c"}
+
+
+def test_incremental_and_streaming_scd2_ingest_match_batch(spark, tmp_path):
+    """Parquet-backed SCD2 store: sequential incremental folds == one
+    batch rebuild; the checkpointed streaming front-end == sequential."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_poc_spark.operators.scd import (
+        incremental_scd2_ingest,
+        streaming_scd2_ingest,
+    )
+
+    full = [
+        (1, "bronze", _t(1)), (2, "bronze", _t(1)),
+        (1, "silver", _t(3)), (2, "bronze", _t(4)),   # no-op
+        (1, "gold", _t(6)), (3, "new", _t(6)),
+    ]
+    b1, b2, b3 = full[:2], full[2:4], full[4:]
+
+    seq_store = str(tmp_path / "seq")
+    for b in [b1, b2, b3]:
+        incremental_scd2_ingest(
+            spark, _log(spark, b), seq_store, ["k"], ["attr"], "ts"
+        )
+    got = _hist_dict(spark.read.parquet(seq_store))
+    want = _hist_dict(
+        scd2_from_changes(_log(spark, full), ["k"], ["attr"], "ts")
+    )
+    assert got == want
+
+    in_dir = tmp_path / "scd_in"
+    in_dir.mkdir()
+    schema = pa.schema([
+        ("k", pa.int64()), ("attr", pa.string()), ("ts", pa.timestamp("us")),
+    ])
+    for i, b in enumerate([b1, b2, b3]):
+        pdf = pd.DataFrame(b, columns=["k", "attr", "ts"])
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema),
+                       str(in_dir / f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema("k long, attr string, ts timestamp")
+        .format("parquet").option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    s_store = str(tmp_path / "s_store")
+    q = streaming_scd2_ingest(
+        stream, s_store, str(tmp_path / "ck"), ["k"], ["attr"], "ts"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    assert _hist_dict(spark.read.parquet(s_store)) == want
