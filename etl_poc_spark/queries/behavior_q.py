@@ -445,3 +445,43 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "segment_target_encoding",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS category,
+             CAST(CAST('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 6)
+                       AS INTEGER) % 4 AS INTEGER) AS fold,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS t
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cells AS (
+      SELECT category, fold, CAST(COUNT(*) AS BIGINT) AS n, SUM(t) AS s
+      FROM j GROUP BY category, fold
+    )
+    SELECT category, fold, n,
+           round(CAST(SUM(s) OVER (PARTITION BY category) - s AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY category) - n AS DOUBLE),
+                 9) AS encoded
+    FROM cells ORDER BY category, fold
+    """,
+)
+def segment_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding
+    (operators/encoding.py): mean order price per market segment,
+    computed for each md5 fold from the OTHER folds only — the feature
+    a training pipeline joins onto rows without leaking any row's own
+    label. One scan builds the (category, fold) decimal cells; the
+    complement means are windows over that 25-row frame. The md5 fold
+    assignment makes the whole feature engine-exact."""
+    from etl_poc_spark.operators.encoding import target_encode_cells
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "o_totalprice", "o_orderkey"
+    )
+    return target_encode_cells(
+        j, "seg", "o_totalprice", F.col("o_orderkey"), n_folds=4
+    ).orderBy("category", "fold")

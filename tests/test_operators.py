@@ -1172,3 +1172,58 @@ def test_blocked_fuzzy_pairs_semantics_and_block_cap(spark):
     assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(98, 99)}
     rep = oversized_blocks(big, "name", F.substring("name", 1, 2), 5).collect()
     assert [(r["block"], r["n_records"]) for r in rep] == [("du", 10)]
+
+
+def test_target_encode_is_leakage_free(spark):
+    """Out-of-fold encoding: each cell's value equals the brute-force
+    mean over the category's OTHER folds; rows attached via
+    target_encode never see their own fold's contribution; smoothing
+    shrinks toward the global mean; a single-fold category encodes NULL
+    unsmoothed."""
+    from collections import defaultdict
+
+    from etl_poc_spark.operators.encoding import target_encode, target_encode_cells
+    from etl_poc_spark.operators.curation import hash_bucket
+
+    rows = [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(60)]
+    rows.append((1000, "lonely", 5.0))  # one row -> one fold only
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+
+    folds = {
+        r["id"]: r["f"]
+        for r in df.select("id", hash_bucket(F.col("id"), 4).alias("f")).collect()
+    }
+    by_cell = defaultdict(lambda: [0, 0.0])
+    for i, c, y in rows:
+        k = (c, folds[i])
+        by_cell[k][0] += 1
+        by_cell[k][1] += y
+
+    cells = target_encode_cells(df, "cat", "y", F.col("id"), n_folds=4).collect()
+    for r in cells:
+        comp_n = sum(v[0] for (c, f), v in by_cell.items()
+                     if c == r["category"] and f != r["fold"])
+        comp_s = sum(v[1] for (c, f), v in by_cell.items()
+                     if c == r["category"] and f != r["fold"])
+        if comp_n == 0:
+            assert r["encoded"] is None  # own-fold-only category: honest NULL
+        else:
+            assert abs(r["encoded"] - comp_s / comp_n) < 1e-9, r
+
+    # row attach: every row gets the encoding of (its category, its fold)
+    attached = target_encode(df, "cat", "y", F.col("id"), n_folds=4).collect()
+    assert len(attached) == len(rows)
+    cell_map = {(r["category"], r["fold"]): r["encoded"] for r in cells}
+    for r in attached:
+        assert r["encoded"] == cell_map[(r["cat"], folds[r["id"]])]
+
+    # smoothing: the lonely category pulls to the global mean
+    sm = {
+        (r["category"], r["fold"]): r["encoded"]
+        for r in target_encode_cells(
+            df, "cat", "y", F.col("id"), n_folds=4, prior_weight=10
+        ).collect()
+    }
+    g_mean = sum(y for _, _, y in rows) / len(rows)
+    lonely_fold = folds[1000]
+    assert abs(sm[("lonely", lonely_fold)] - g_mean) < 1e-9  # comp empty -> prior only
