@@ -32,6 +32,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Inclusive as-of join: append, to every left row, the payload of the
     latest right row with right_ts <= left_ts (direction='backward') or the
@@ -39,9 +40,16 @@ def asof_join(
     within the same `by` group (nulls when no match — left-join
     semantics). Same single-shuffle union + window plan either way; only
     the tie-order of left vs right at equal timestamps and the frame
-    direction flip."""
+    direction flip.
+
+    `tolerance_seconds` bounds the lookback/lookahead (pandas merge_asof
+    parity): a matched right row farther than the tolerance nulls out —
+    the matched ts rides along in the same window pick, so the bound
+    costs one integer comparison, not a second join."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if tolerance_seconds is not None and tolerance_seconds < 0:
+        raise ValueError("tolerance_seconds must be >= 0")
     right_cols = right_cols or [c for c in right.columns if c not in (*by, right_ts)]
     l_payload = [c for c in left.columns if c not in (*by,)]
 
@@ -77,10 +85,39 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = lambda c: F.first(F.col(c), ignorenulls=True)  # noqa: E731
+    if tolerance_seconds is not None:
+        # the matched right row's own timestamp rides along in the same
+        # window pick so the tolerance check is one integer compare
+        l_tag = l_tag.withColumn("__r___ts", F.lit(None).cast(r_tag.schema["__ts"].dataType))
+        r_tag = r_tag.withColumn("__r___ts", F.col("__ts"))
     matched = l_tag.unionByName(r_tag)
     for c in right_cols:
         matched = matched.withColumn(f"__m_{c}", pick(f"__r_{c}").over(w))
-    return matched.filter(F.col("__side") == 1).select(
+    out = matched.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        m_ts = pick("__r___ts").over(w)
+        matched = matched.withColumn("__m___ts", m_ts)
+        out = matched.filter(F.col("__side") == 1)
+        # timestamp keys compare in integer microseconds; plain numeric
+        # keys compare raw (tolerance then reads in the key's own units)
+        if dict(matched.dtypes)["__ts"].startswith("timestamp"):
+            gap = F.abs(
+                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m___ts"))
+            )
+            tol = F.lit(tolerance_seconds) * 1_000_000
+        else:
+            gap = F.abs(F.col("__ts") - F.col("__m___ts"))
+            tol = F.lit(tolerance_seconds)
+        within = F.col("__m___ts").isNotNull() & (gap <= tol)
+        return out.select(
+            *by,
+            *[F.col(c) for c in l_payload],
+            *[
+                F.when(within, F.col(f"__m_{c}")).alias(f"asof_{c}")
+                for c in right_cols
+            ],
+        )
+    return out.select(
         *by,
         *[F.col(c) for c in l_payload],
         *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in right_cols],

@@ -1227,3 +1227,35 @@ def test_target_encode_is_leakage_free(spark):
     g_mean = sum(y for _, _, y in rows) / len(rows)
     lonely_fold = folds[1000]
     assert abs(sm[("lonely", lonely_fold)] - g_mean) < 1e-9  # comp empty -> prior only
+
+
+def test_asof_join_tolerance(spark):
+    """merge_asof-style tolerance: a backward match farther than the
+    bound nulls out; forward symmetric; numeric keys read the tolerance
+    in their own units; tolerance=None is the unbounded baseline."""
+    from etl_poc_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 1), (1, 103, 2), (1, 200, 3)], "k int, ts int, lid int"
+    )
+    right = spark.createDataFrame(
+        [(1, 99, "a"), (1, 150, "b")], "k int, ts int, tag string"
+    )
+    base = {r["lid"]: r["asof_tag"]
+            for r in asof_join(left, right, by=["k"], right_cols=["tag"]).collect()}
+    assert base == {1: "a", 2: "a", 3: "b"}
+
+    tight = {r["lid"]: r["asof_tag"]
+             for r in asof_join(left, right, by=["k"], right_cols=["tag"],
+                                tolerance_seconds=2).collect()}
+    assert tight == {1: "a", 2: None, 3: None}  # 103-99=4 > 2; 200-150=50 > 2
+
+    fwd = {r["lid"]: r["asof_tag"]
+           for r in asof_join(left, right, by=["k"], right_cols=["tag"],
+                              direction="forward", tolerance_seconds=50).collect()}
+    assert fwd == {1: "b", 2: "b", 3: None}  # 150 within 50 of 100 and 103
+
+    import pytest
+
+    with pytest.raises(ValueError, match="tolerance_seconds"):
+        asof_join(left, right, by=["k"], right_cols=["tag"], tolerance_seconds=-1)
