@@ -158,14 +158,12 @@ def _debounce_group(
         )
         m = batch["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
         win_us = within_seconds * 1_000_000
-        prev = np.empty_like(m)
-        prev[1:] = m[:-1]
         keep_mask = np.empty(m.size, dtype=bool)
         if last is None:
             keep_mask[0] = True
         else:
             keep_mask[0] = m[0] - last >= win_us
-        np.greater_equal(m[1:] - prev[1:], win_us, out=keep_mask[1:])
+        np.greater_equal(m[1:] - m[:-1], win_us, out=keep_mask[1:])
         last = int(m[-1])
         kept = batch[keep_mask]
     else:
