@@ -116,8 +116,62 @@ def _load_dataset(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     raise PipelineConfigError(f"unknown dataset format {fmt!r}")
 
 
-def _apply_op(df: DataFrame, op: dict[str, Any], provider: LLMProvider) -> DataFrame:
+def _apply_op(
+    df: DataFrame,
+    op: dict[str, Any],
+    provider: LLMProvider,
+    frames: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     t = op["type"]
+
+    def _frame(ref_key: str) -> DataFrame:
+        # ops with a SECOND input (join/pit_join) name another dataset or
+        # an already-completed step; linear steps stay the common case
+        name = op[ref_key]
+        if not frames or name not in frames:
+            raise PipelineConfigError(
+                f"op {op.get('name', t)!r}: unknown frame {name!r} for {ref_key!r} "
+                "(must be a dataset or an earlier step)"
+            )
+        return frames[name]
+
+    if t == "join":
+        # relational join against another dataset/step; `on` is a list of
+        # column names (equi) or a SQL condition string
+        right = _frame("right")
+        on = op.get("on")
+        how = op.get("how", "inner")
+        if op.get("broadcast"):
+            from pyspark.sql import functions as F
+
+            right = F.broadcast(right)
+        if isinstance(on, str):
+            from pyspark.sql import functions as F
+
+            return df.join(right, F.expr(on), how)
+        return df.join(right, on, how)
+    if t == "scd2":
+        # change-log -> SCD2 validity episodes (operators/scd.py)
+        from etl_poc_spark.operators.scd import scd2_from_changes
+
+        return scd2_from_changes(
+            df,
+            key_cols=op.get("keys") or ["doc_id"],
+            attr_cols=op["attrs"],
+            ts_col=op.get("ts_key", "ts"),
+            tiebreak_cols=tuple(op.get("tiebreak") or ()),
+        )
+    if t == "pit_join":
+        # point-in-time attribute lookup against an SCD2 history frame
+        from etl_poc_spark.operators.scd import pit_join
+
+        return pit_join(
+            df,
+            _frame("history"),
+            key_cols=op.get("keys") or ["doc_id"],
+            fact_ts_col=op.get("ts_key", "ts"),
+            attr_cols=op["attrs"],
+        )
     if t == "split":
         return chunk_by_tokens(
             df,
@@ -435,7 +489,8 @@ def run_pipeline(
     for step in config["pipeline"]["steps"]:
         df = frames[step["input"]] if step.get("input") in frames else out[step["input"]]
         for op_name in step.get("operations", []):
-            df = _apply_op(df, ops_by_name[op_name], provider)
+            # second-input ops resolve against datasets AND completed steps
+            df = _apply_op(df, ops_by_name[op_name], provider, {**frames, **out})
         if intermediate_dir:
             ckpt = os.path.join(intermediate_dir, step["name"])
             df.write.mode("overwrite").parquet(ckpt)

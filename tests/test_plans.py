@@ -481,3 +481,65 @@ def test_yaml_transition_streaks_fuzzylink_ops(spark):
     }
     pairs = run_pipeline(spark, cfg, datasets={"names": names})["__final__"].collect()
     assert [(r["id_a"], r["id_b"], r["distance"]) for r in pairs] == [(1, 2, 1)]
+
+
+def test_yaml_join_scd2_pit_ops(spark):
+    """Multi-input ops: a feature pipeline built ENTIRELY from config —
+    step 1 derives an SCD2 history from a change log, step 2 point-in-
+    time-joins facts against that step's output, and a plain `join` op
+    enriches against a dimension dataset."""
+    from datetime import datetime
+
+    from etl_poc_spark.plans.yaml_pipeline import PipelineConfigError, run_pipeline
+
+    t = lambda d: datetime(2024, 1, d)  # noqa: E731
+    changes = spark.createDataFrame(
+        [(1, "bronze", t(1)), (1, "silver", t(5)), (2, "gold", t(3))],
+        "k long, tier string, ts timestamp",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, t(2)), (101, 1, t(6)), (102, 2, t(1))],
+        "fact_id long, k long, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [("bronze", 1), ("silver", 2), ("gold", 3)], "tier string, rank int"
+    )
+    cfg = {
+        "default_model": "stub",
+        "datasets": {
+            "changes": {"path": "injected"},
+            "facts": {"path": "injected"},
+            "tier_dim": {"path": "injected"},
+        },
+        "operations": [
+            {"name": "hist", "type": "scd2", "keys": ["k"],
+             "attrs": ["tier"], "ts_key": "ts"},
+            {"name": "lookup", "type": "pit_join", "history": "history",
+             "keys": ["k"], "ts_key": "ts", "attrs": ["tier"]},
+            {"name": "enrich", "type": "join", "right": "tier_dim",
+             "on": ["tier"], "how": "left", "broadcast": True},
+        ],
+        "pipeline": {"steps": [
+            {"name": "history", "input": "changes", "operations": ["hist"]},
+            {"name": "features", "input": "facts",
+             "operations": ["lookup", "enrich"]},
+        ]},
+    }
+    out = run_pipeline(
+        spark, cfg, datasets={"changes": changes, "facts": facts, "tier_dim": dim}
+    )
+    feats = {r["fact_id"]: (r["tier"], r["rank"])
+             for r in out["features"].collect()}
+    assert feats == {100: ("bronze", 1), 101: ("silver", 2), 102: (None, None)}
+
+    # unknown second-input frame fails loudly at execution
+    bad = dict(cfg)
+    bad["datasets"] = {"facts": {"path": "injected"}}
+    bad["operations"] = [dict(cfg["operations"][1], history="nope")]
+    bad["pipeline"] = {"steps": [
+        {"name": "features", "input": "facts", "operations": ["lookup"]}
+    ]}
+    import pytest
+
+    with pytest.raises(PipelineConfigError, match="unknown frame"):
+        run_pipeline(spark, bad, datasets={"facts": facts})
