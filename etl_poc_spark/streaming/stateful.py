@@ -406,6 +406,88 @@ def stateful_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+PIT_ENRICH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("fact_id", T.LongType()),
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("attr", T.StringType()),
+    ]
+)
+
+PIT_ENRICH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("last_attr", T.StringType()),
+    ]
+)
+
+
+def _pit_enrich_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (k,) = key
+    last_ts, last_attr = state.get if state.exists else (None, None)
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if not parts:
+        return
+    # changes sort BEFORE facts at the same instant (inclusive
+    # valid_from — identical tie rule to the batch pit_join carry)
+    batch = (
+        pd.concat(parts)
+        .sort_values(["ts", "is_change", "fact_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    is_change = batch["is_change"].to_numpy() == 1
+    attrs = batch["attr"].to_numpy(dtype=object)
+    # vectorized forward-fill of the change rows' attrs onto the rows
+    # that follow them, seeded by the carried state
+    src = np.where(is_change, np.arange(len(batch)), -1)
+    np.maximum.accumulate(src, out=src)
+    fill = np.where(src >= 0, attrs[np.clip(src, 0, None)], last_attr)
+    facts = ~is_change
+    if facts.any():
+        fact_rows = batch[facts]
+        yield pd.DataFrame(
+            {
+                # change rows may carry a null fact_id, which floats the
+                # whole pandas column — re-anchor the fact slice to int64
+                "fact_id": fact_rows["fact_id"].astype("int64").to_numpy(),
+                "k": k,
+                "ts": fact_rows["ts"].to_numpy(),
+                "attr": fill[facts],
+            }
+        )
+    if is_change.any():
+        m = batch["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+        idx = int(np.flatnonzero(is_change)[-1])
+        last_ts, last_attr = int(m[idx]), attrs[idx]
+    state.update((last_ts, last_attr))
+
+
+def streaming_pit_enrich(tagged: DataFrame) -> DataFrame:
+    """Streaming twin of operators/scd.py::pit_join for a merged
+    CDC+facts stream: rows carry (k, ts, is_change, attr, fact_id); the
+    per-key state is ONE (last_ts, last_attr) pair, change rows update
+    it in event order, and every fact row emits enriched with the
+    attribute in effect at its timestamp — changes at the same instant
+    win (inclusive valid_from), matching the batch carry's tie rule.
+    Adapt other schemas by select()ing into this shape (the same
+    single-attribute simplification as the stateful funnel's portable
+    steps). Append-mode contract: per-key arrival order must match event
+    time — the upstream merge of the CDC and fact topics must be
+    time-ordered per key."""
+    return tagged.groupBy("k").applyInPandasWithState(
+        _pit_enrich_group,
+        outputStructType=PIT_ENRICH_OUTPUT_SCHEMA,
+        stateStructType=PIT_ENRICH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
 
 _rbv(__name__)

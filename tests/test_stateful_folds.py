@@ -240,3 +240,46 @@ def test_transitions_fold_emits_boundary_bigrams():
     # empty batch: no output, state untouched
     assert list(_transitions_group((7,), iter([]), state)) == []
     assert state.get == (3_000_000, "purchase")
+
+
+def _tagged_pdf(rows):
+    """rows: [(fact_id_or_None, micros, is_change, attr_or_None)]"""
+    return pd.DataFrame(
+        {
+            "k": 1,
+            "ts": [pd.Timestamp(r[1], unit="us") for r in rows],
+            "is_change": [r[2] for r in rows],
+            "attr": [r[3] for r in rows],
+            "fact_id": [r[0] for r in rows],
+        }
+    )
+
+
+def test_pit_enrich_fold_carries_state_and_ties():
+    """Facts pick the attribute in effect at their timestamp: same-batch
+    forward fill, cross-batch state carry, changes-win-at-same-instant,
+    and NULL before any change exists."""
+    from etl_poc_spark.streaming.stateful import _pit_enrich_group
+
+    state = FakeState()
+    b1 = [
+        (100, 1_000, 0, None),            # fact before any change -> NULL
+        (None, 2_000, 1, "bronze"),
+        (101, 3_000, 0, None),            # bronze
+        (None, 4_000, 1, "silver"),
+        (102, 4_000, 0, None),            # same instant: change wins -> silver
+    ]
+    out1 = list(_pit_enrich_group((1,), iter([_tagged_pdf(b1)]), state))
+    got1 = {int(r.fact_id): r.attr for r in out1[0].itertuples()}
+    assert got1 == {100: None, 101: "bronze", 102: "silver"}
+
+    b2 = [(103, 9_000, 0, None)]          # next batch: state carries silver
+    out2 = list(_pit_enrich_group((1,), iter([_tagged_pdf(b2)]), state))
+    got2 = {int(r.fact_id): r.attr for r in out2[0].itertuples()}
+    assert got2 == {103: "silver"}
+
+    # change-only batch: no output rows, state advances
+    b3 = [(None, 10_000, 1, "gold")]
+    assert list(_pit_enrich_group((1,), iter([_tagged_pdf(b3)]), state)) == []
+    out4 = list(_pit_enrich_group((1,), iter([_tagged_pdf([(104, 11_000, 0, None)])]), state))
+    assert {int(r.fact_id): r.attr for r in out4[0].itertuples()} == {104: "gold"}

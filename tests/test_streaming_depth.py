@@ -824,3 +824,77 @@ def test_stateful_transitions_match_batch_bigrams(spark, tmp_path):
         batch[(r["f"], r["t"])] = r["count"]
     assert got == batch
     assert ("click", "purchase") in got and ("view", "error") in got  # boundary bigrams
+
+
+def test_streaming_pit_enrich_matches_batch_pit_join(spark, tmp_path):
+    """Streaming PIT enrichment over a merged CDC+facts stream == batch
+    pit_join of the same facts against the SCD2 history of the same
+    changes, including a lookup that crosses the micro-batch boundary."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_poc_spark.operators.scd import pit_join, scd2_from_changes
+    from etl_poc_spark.streaming.stateful import streaming_pit_enrich
+
+    in_dir = tmp_path / "pe_in"
+    in_dir.mkdir()
+    schema = pa.schema([
+        ("k", pa.int64()), ("ts", pa.timestamp("us")), ("is_change", pa.int32()),
+        ("attr", pa.string()), ("fact_id", pa.int64()),
+    ])
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "is_change", "attr", "fact_id"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), str(in_dir / name))
+
+    b1 = [
+        (1, "2024-01-01 00:00:00", 1, "bronze", None),
+        (1, "2024-01-01 00:01:00", 0, None, 100),
+        (2, "2024-01-01 00:00:30", 0, None, 101),   # no change yet -> NULL
+    ]
+    b2 = [
+        (1, "2024-01-01 00:02:00", 1, "silver", None),
+        (1, "2024-01-01 00:03:00", 0, None, 102),   # silver
+        (2, "2024-01-01 00:04:00", 0, None, 103),   # still NULL (cross-batch)
+        (1, "2024-01-01 00:05:00", 0, None, 104),   # state carried silver
+    ]
+    write_file("b1.parquet", b1)
+    stream = (
+        spark.readStream.schema("k long, ts timestamp, is_change int, attr string, fact_id long")
+        .format("parquet").option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    q = (
+        streaming_pit_enrich(stream)
+        .writeStream.format("memory").queryName("pe_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pe_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_file("b2.parquet", b2)
+        q.processAllAvailable()
+        got = {r["fact_id"]: r["attr"] for r in spark.sql("SELECT * FROM pe_out").collect()}
+    finally:
+        q.stop()
+
+    all_rows = b1 + b2
+    changes = spark.createDataFrame(
+        [(k, ts, a) for k, ts, c, a, _ in all_rows if c == 1],
+        "k long, ts string, attr string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    facts = spark.createDataFrame(
+        [(fid, k, ts) for k, ts, c, _, fid in all_rows if c == 0],
+        "fact_id long, k long, fts string",
+    ).withColumn("fts", F.to_timestamp("fts"))
+    hist = scd2_from_changes(changes, ["k"], ["attr"], "ts")
+    want = {
+        r["fact_id"]: r["attr"]
+        for r in pit_join(facts, hist, ["k"], "fts", ["attr"]).collect()
+    }
+    assert got == want
+    assert want[100] == "bronze" and want[101] is None
+    assert want[102] == "silver" and want[103] is None and want[104] == "silver"
