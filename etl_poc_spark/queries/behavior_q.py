@@ -485,3 +485,96 @@ def segment_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target_encode_cells(
         j, "seg", "o_totalprice", F.col("o_orderkey"), n_folds=4
     ).orderBy("category", "fold")
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id,
+             CAST(CAST('0x' || substr(md5('ab1' || CAST(user_id AS VARCHAR)), 1, 6)
+                       AS INTEGER) % 2 AS INTEGER) AS arm,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND value >= 90
+                           THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ), per_arm AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM arms GROUP BY arm
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+        MAX(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+        MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+        MAX(CASE WHEN arm = 1 THEN n_converted END) AS c1
+      FROM per_arm
+    )
+    , sd AS (
+      SELECT *, sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                     * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                     * (1.0 / n0 + 1.0 / n1)) AS s
+      FROM wide
+    )
+    SELECT n0, c0, n1, c1,
+           round(CAST(c0 AS DOUBLE) / n0, 9) AS rate0,
+           round(CAST(c1 AS DOUBLE) / n1, 9) AS rate1,
+           CASE WHEN s > 0 THEN
+             round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) / s, 9)
+           END AS z_score
+    FROM sd
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B analysis: users assigned to arms by the salted
+    md5 bucket (the same deterministic assignment a real experiment
+    platform persists), conversion = ever purchased, pooled two-sample
+    z-score for the rate difference (conversion = any purchase over
+    $90, so rates stay off the saturated boundary at small SFs; a
+    degenerate pooled deviation yields NULL, never a divide error). Per-user conversion collapses on
+    the user shuffle first, so the arm aggregate is user-grained; the
+    z-score is integer ratios + ONE IEEE sqrt, rounded at the boundary —
+    the same portability policy as the 3-sigma screen. The readout every
+    experimentation pipeline computes."""
+    from etl_poc_spark.operators.curation import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    arms = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 90),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            hash_bucket(F.col("user_id"), 2, salt="ab1").alias("arm"),
+            "converted",
+        )
+    )
+    per_arm = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    p = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    sd = F.sqrt(
+        p * (1 - p) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    # a saturated or empty arm makes the pooled deviation 0: NULL z, not
+    # a divide-by-zero (ANSI) or an engine-dependent infinity
+    z = F.when(sd > 0, F.round((r1 - r0) / sd, 9))
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        F.round(r0, 9).alias("rate0"),
+        F.round(r1, 9).alias("rate1"),
+        z.alias("z_score"),
+    )
