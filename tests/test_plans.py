@@ -543,3 +543,28 @@ def test_yaml_join_scd2_pit_ops(spark):
 
     with pytest.raises(PipelineConfigError, match="unknown frame"):
         run_pipeline(spark, bad, datasets={"facts": facts})
+
+
+def test_pit_priority_is_union_window_not_range_join(spark, sf_dir):
+    """The PIT lookup plans as union + ONE user-key window — never the
+    per-key interval theta-join that degenerates on hot keys."""
+    p = formatted_plan(spark, "lineitem_pit_priority", sf_dir)
+    assert "Union" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_column_profile_is_one_scan_one_expand(spark, sf_dir):
+    """The multi-metric profile reads the table ONCE: the N distinct
+    aggregates plan as a single Expand + aggregate, not N scans."""
+    p = formatted_plan(spark, "orders_column_profile", sf_dir)
+    assert p.count("Scan parquet") == 2  # formatted prints tree + detail
+    assert "Expand" in p
+
+
+def test_transition_matrix_single_user_shuffle(spark, sf_dir):
+    """Lag window and the from-type normalization reuse partitionings:
+    no more than 3 real exchanges (user window, bigram agg, from-type
+    window) plus the output sort."""
+    p = formatted_plan(spark, "event_transition_matrix", sf_dir)
+    assert p.count("Exchange") <= 10  # formatted prints nodes twice -> <=5 real
+    assert "CartesianProduct" not in p
