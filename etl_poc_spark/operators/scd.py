@@ -76,13 +76,21 @@ def scd2_merge(
     attr_cols: Sequence[str],
     ts_col: str,
     tiebreak_cols: Sequence[str] = (),
+    strict: bool = True,
 ) -> DataFrame:
     """Fold a change batch into an existing SCD2 dimension: keys absent
     from the batch pass through untouched; affected keys' OPEN episode
     joins the batch rows and the episode set for those keys is
     recomputed (closed history rows never change). Equal to rebuilding
     from the full concatenated change log (pytest-pinned) while only
-    shuffling affected-key state + the batch."""
+    shuffling affected-key state + the batch.
+
+    In-order contract: an update older than its key's open episode would
+    overlap CLOSED history (which this merge never rewrites) — with
+    `strict` (default) such late changes raise loudly (one bounded
+    1-row aggregate); strict=False documents that the caller accepts
+    the overlap and resolves it downstream (e.g. by a periodic full
+    rebuild from the retained change log)."""
     keys = list(key_cols)
     affected = updates.select(*keys).distinct()
     untouched = current.join(affected, keys, "left_anti")
@@ -92,6 +100,22 @@ def scd2_merge(
         *keys, *attr_cols, F.col("valid_from").alias(ts_col)
     )
     upd = updates.select(*keys, *attr_cols, F.col(ts_col))
+    if strict:
+        open_starts = open_rows.select(
+            *keys, F.col(ts_col).alias("__open_from")
+        )
+        [(n_late,)] = (
+            upd.join(open_starts, keys)
+            .where(F.col(ts_col) < F.col("__open_from"))
+            .agg(F.count(F.lit(1)))
+            .collect()
+        )
+        if n_late:
+            raise ValueError(
+                f"{n_late} update(s) are older than their key's open episode "
+                "— merging them would overlap closed history; replay in order "
+                "or rebuild from the full change log (strict=False to accept)"
+            )
     merged_log = open_rows.unionByName(upd)
     recomputed = scd2_from_changes(
         merged_log, keys, attr_cols, ts_col, tiebreak_cols

@@ -211,3 +211,27 @@ def test_incremental_and_streaming_scd2_ingest_match_batch(spark, tmp_path):
     ).trigger(availableNow=True).start()
     q.awaitTermination(180)
     assert _hist_dict(spark.read.parquet(s_store)) == want
+
+
+def test_scd2_merge_rejects_late_changes(spark):
+    """An update older than its key's open episode would overlap closed
+    history — strict mode (default) raises; strict=False lets the caller
+    accept the documented overlap."""
+    import pytest
+
+    from etl_poc_spark.operators.scd import scd2_merge
+
+    dim = scd2_from_changes(
+        _log(spark, [(1, "bronze", _t(1)), (1, "silver", _t(5))]),
+        ["k"], ["attr"], "ts",
+    )
+    late = _log(spark, [(1, "ghost", _t(3))])  # before the open t5 episode
+    with pytest.raises(ValueError, match="older than their key's open episode"):
+        scd2_merge(dim, late, ["k"], ["attr"], "ts")
+    # explicit opt-out still computes (caller-owned semantics)
+    assert scd2_merge(dim, late, ["k"], ["attr"], "ts", strict=False).count() >= 2
+    # in-order updates are unaffected by the guard
+    ok = scd2_merge(
+        dim, _log(spark, [(1, "gold", _t(9))]), ["k"], ["attr"], "ts"
+    )
+    assert _hist_dict(ok)[(1, _t(9))] == ("gold", None)
