@@ -171,6 +171,52 @@ def write_zorder(
     write_zorder_n(df, path, [x_col, y_col], n_ranges=n_ranges, bits=bits)
 
 
+def fragmentation_report(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """The detector that decides WHEN compact_files / compact_versioned
+    should run: per partition (or one row for the whole table), file
+    count, row count, rows in undersized files, and the file count a
+    compaction would leave — all from ONE metadata-weight aggregate over
+    (input_file_name, partition). A maintenance scheduler filters this
+    frame (e.g. n_files > 4 * ideal_files) instead of re-listing
+    directories imperatively."""
+    df = spark.read.parquet(path)
+    part = (
+        F.col(partition_col)
+        if partition_col is not None
+        else F.lit("__table__")
+    )
+    per_file = (
+        df.select(part.alias("partition"), F.input_file_name().alias("__f"))
+        .groupBy("partition", "__f")
+        .agg(F.count(F.lit(1)).alias("__rows"))
+    )
+    return (
+        per_file.groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("__rows").alias("n_rows"),
+            F.sum(
+                F.when(F.col("__rows") < target_rows_per_file, F.col("__rows"))
+                .otherwise(0)
+            ).alias("rows_in_small_files"),
+            F.ceil(
+                F.sum("__rows") / F.lit(target_rows_per_file)
+            ).cast("long").alias("ideal_files"),
+        )
+        .withColumn(
+            "needs_compaction",
+            (F.col("n_files") > F.col("ideal_files"))
+            & (F.col("rows_in_small_files") > 0),
+        )
+        .orderBy("partition")
+    )
+
+
 def compact_files(
     spark: SparkSession,
     path: str,

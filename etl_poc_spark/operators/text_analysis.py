@@ -72,3 +72,63 @@ def predict_lang_expr(text_col: str) -> Column:
         .otherwise(F.lit("unknown"))
     )
     return best
+
+
+def compression_ratio_features(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+):
+    """(id, n_bytes, n_compressed, compression_ratio) per document via
+    DEFLATE (zlib, fixed level) — the low-entropy screen production LLM
+    corpora run beside the Gopher rules: highly repetitive or templated
+    text compresses far below natural prose (ratios under ~0.3 are the
+    usual red flag), and machine-generated spam is exactly the text the
+    word-level heuristics miss.
+
+    Arrow-batched pandas UDF (zlib is C-speed and DETERMINISTIC for a
+    fixed level — same bytes in, same bytes out, every zlib build), so
+    the feature is reproducible but not SQL-expressible: register the
+    query rows-only with pinned-value pytests, the same class as the
+    image hashes. Ratio = one int/int double division, rounded 9."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+        ]
+    )
+
+    def feats(batches):
+        import zlib
+
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            raw = [t.encode("utf-8") for t in texts]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(b) for b in raw],
+                    "n_compressed": [
+                        len(zlib.compress(b, level)) for b in raw
+                    ],
+                }
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(feats, schema)
+    return out.select(
+        id_col,
+        "n_bytes",
+        "n_compressed",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(
+                F.col("n_compressed").cast("double") / F.col("n_bytes"), 9
+            ),
+        ).alias("compression_ratio"),
+    )

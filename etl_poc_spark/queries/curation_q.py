@@ -540,3 +540,33 @@ def hashed_quality_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("doc_compression_quality")
+def doc_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language compression-ratio quality screen
+    (operators/text_analysis.py::compression_ratio_features): DEFLATE
+    ratio per document (deterministic for a fixed level — reproducible,
+    not SQL-expressible: rows-only with pinned-behavior pytests, same
+    class as the image hashes), rolled up per language with the count of
+    low-entropy documents (ratio < 0.3 — the templated/repetitive red
+    flag word-level heuristics miss). Scale: the zlib pass is one
+    Arrow-batched map over (id, text); everything after is
+    integer-exact aggregation."""
+    from etl_poc_spark.operators.text_analysis import compression_ratio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = compression_ratio_features(docs)
+    j = docs.select("doc_id", "lang").join(feats, "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_compressed").alias("total_compressed"),
+            F.sum(
+                F.when(F.col("compression_ratio") < 0.3, 1).otherwise(0)
+            ).alias("n_low_entropy"),
+        )
+        .orderBy("lang")
+    )

@@ -197,3 +197,26 @@ def test_gopher_quality_flags_constructed(spark, tmp_path):
     assert out[3]["keep"] is False and out[3]["mean_word_len"] > 10
     assert out[4]["keep"] is False and out[4]["dup_word_frac"] >= 0.5
     assert out[5]["keep"] is False and out[5]["n_stop"] == 0
+
+
+def test_compression_ratio_features_pins(spark):
+    """Deterministic DEFLATE features: repetitive text compresses far
+    below varied text, empty text yields NULL ratio not a divide error,
+    and two runs are bit-identical (fixed level -> reproducible)."""
+    from etl_poc_spark.operators.text_analysis import compression_ratio_features
+
+    rep = "spam " * 400
+    varied = " ".join(f"w{i}x{i * 7 % 13}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, rep), (2, varied), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio_features(df).collect()}
+    assert rows[1]["n_bytes"] == len(rep.encode())
+    assert rows[1]["compression_ratio"] < 0.05      # boilerplate: tiny
+    assert rows[2]["compression_ratio"] > 3 * rows[1]["compression_ratio"]
+    assert rows[3]["n_bytes"] == 0 and rows[3]["compression_ratio"] is None
+    assert rows[4]["n_bytes"] == 0                   # NULL text == empty
+
+    again = {r["doc_id"]: r["n_compressed"]
+             for r in compression_ratio_features(df).collect()}
+    assert again == {k: v["n_compressed"] for k, v in rows.items()}
