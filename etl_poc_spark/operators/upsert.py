@@ -374,6 +374,36 @@ def upsert_versioned(
     return commit_id
 
 
+def streaming_versioned_ingest(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    seq_col: str,
+    partition_col: str,
+):
+    """Structured Streaming front-end for the versioned MERGE: each
+    micro-batch folds via upsert_versioned, so readers only ever see
+    finalized commits — the exactly-once-visible streaming sink plain
+    parquet appends cannot give. Replay safety: the checkpoint pins
+    batch boundaries, and re-merging an identical batch is a semantic
+    no-op (latest_by_key keeps the same rows; the extra commit is
+    vacuumable). Returns a configured DataStreamWriter — call
+    .trigger(...).start() (same convention as streaming/rollup.py)."""
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_versioned(
+            batch_df.sparkSession, batch_df, target_dir,
+            key_cols, seq_col, partition_col,
+        )
+
+    return stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
 def compact_versioned(
     spark: SparkSession, target_dir: str, partition_col: str
 ) -> str:

@@ -421,3 +421,51 @@ def test_versioned_time_travel_reads_exact_historical_state(spark, tmp_path):
     # superseded dirs now fail at scan time (retention contract)
     U.vacuum_versioned(spark, target)
     assert at(3) == {1: "v2", 2: "w1", 3: "x1"}  # live state still fine
+
+
+def test_streaming_versioned_ingest_matches_sequential(spark, tmp_path):
+    """foreachBatch over the commit protocol == sequential
+    upsert_versioned folds: same visible rows, one finalized commit per
+    non-empty batch, and a replayed-equivalent merge is a semantic
+    no-op."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import etl_poc_spark.operators.upsert as U
+
+    in_dir = tmp_path / "vin"
+    in_dir.mkdir()
+    schema = pa.schema([
+        ("k", pa.int64()), ("day", pa.string()),
+        ("v", pa.string()), ("seq", pa.int64()),
+    ])
+    b1 = [(1, "d1", "a", 1), (2, "d2", "b", 1)]
+    b2 = [(1, "d1", "A", 2), (3, "d1", "c", 1)]
+    for i, b in enumerate([b1, b2]):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(b, columns=["k", "day", "v", "seq"]), schema=schema
+            ),
+            str(in_dir / f"b{i}.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema("k long, day string, v string, seq long")
+        .format("parquet").option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    s_target = str(tmp_path / "s_vt")
+    q = U.streaming_versioned_ingest(
+        stream, s_target, str(tmp_path / "ck"), ["k"], "seq", "day"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    q_target = str(tmp_path / "q_vt")
+    for b in [b1, b2]:
+        U.upsert_versioned(spark, _rows(spark, b), q_target, ["k"], "seq", "day")
+
+    assert _vread(spark, s_target) == _vread(spark, q_target) == {
+        1: ("d1", "A", 2), 2: ("d2", "b", 1), 3: ("d1", "c", 1),
+    }
+    assert len(U._list_commits(spark, s_target)) == 2  # one commit per batch
