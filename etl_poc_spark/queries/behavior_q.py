@@ -578,3 +578,118 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r1, 9).alias("rate1"),
         z.alias("z_score"),
     )
+
+
+@query(
+    "part_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(r) OVER () AS total
+      FROM rev
+    ), classed AS (
+      SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                  WHEN cum * 20 <= total * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             r
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: A = parts whose
+    cumulative revenue share stays within 80%, B to 95%, C the tail. The
+    share thresholds compare as INTEGER-DECIMAL cross-products
+    (cum*5 <= total*4), so class boundaries are division-free and
+    engine-exact — no float share ever decides a class. The running sum
+    is one window over the part-grained aggregate (part-cardinality,
+    not lineitem-cardinality), under a non-foldable single-group key;
+    ties break on partkey for a deterministic cut."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    zero = F.col("l_partkey") * F.lit(0)
+    wcum = (
+        Window.partitionBy(zero)
+        .orderBy(F.desc("r"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(zero)
+    ranked = rev.select(
+        "r",
+        F.sum("r").over(wcum).alias("cum"),
+        F.sum("r").over(wall).alias("total"),
+    )
+    abc = F.when(F.col("cum") * 5 <= F.col("total") * 4, "A").when(
+        F.col("cum") * 20 <= F.col("total") * 19, "B"
+    ).otherwise("C")
+    return (
+        ranked.select(abc.alias("abc_class"), "r")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@query(
+    "calendar_dim_2024",
+    oracle="""
+    WITH days AS (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                                    INTERVAL 1 DAY))::DATE AS day
+    )
+    SELECT day,
+           CAST(EXTRACT(year FROM day) AS INTEGER) AS year,
+           CAST(EXTRACT(quarter FROM day) AS INTEGER) AS quarter,
+           CAST(EXTRACT(month FROM day) AS INTEGER) AS month,
+           CAST(EXTRACT(day FROM day) AS INTEGER) AS day_of_month,
+           CAST(isodow(day) AS INTEGER) AS iso_dow,
+           CAST(CASE WHEN isodow(day) >= 6 THEN 1 ELSE 0 END AS INTEGER)
+             AS is_weekend,
+           CAST(EXTRACT(week FROM day) AS INTEGER) AS iso_week,
+           strftime(day, '%Y-%m') AS year_month
+    FROM days ORDER BY day
+    """,
+)
+def calendar_dim_2024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension (the spine every time-series join
+    wants): one sequence+explode builds the year, calendar attributes
+    are pure codegen date functions — ISO weekday/week so the semantics
+    are engine-portable (dayofweek is Sunday-based in Spark, isodow in
+    DuckDB; ISO on both sides sidesteps the off-by-one). Zero input
+    tables, zero shuffles beyond the output sort."""
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-12-31").cast("date"),
+            )
+        ).alias("day")
+    )
+    return days.select(
+        "day",
+        F.year("day").cast("int").alias("year"),
+        F.quarter("day").cast("int").alias("quarter"),
+        F.month("day").cast("int").alias("month"),
+        F.dayofmonth("day").cast("int").alias("day_of_month"),
+        F.expr("extract(dayofweek_iso FROM day)").cast("int").alias("iso_dow"),
+        F.when(
+            F.expr("extract(dayofweek_iso FROM day)") >= 6, 1
+        ).otherwise(0).cast("int").alias("is_weekend"),
+        F.weekofyear("day").cast("int").alias("iso_week"),
+        F.date_format("day", "yyyy-MM").alias("year_month"),
+    ).orderBy("day")
