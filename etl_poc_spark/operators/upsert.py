@@ -428,6 +428,82 @@ def compact_versioned(
     return commit_id
 
 
+def table_changes(
+    spark: SparkSession,
+    target_dir: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+    from_seq: int,
+    to_seq: int | None = None,
+) -> DataFrame:
+    """Change data feed between two commits of a versioned table: every
+    key inserted / deleted / changed / unchanged from the state after
+    commit `from_seq` to the state after `to_seq` (default: latest).
+    Composes time travel (read_versioned as_of) with the snapshot diff
+    (operators/diff.py::table_diff) — ONE full-outer join on the key, so
+    consumers get Delta-CDF-shaped output from plain storage. Valid
+    while the `from_seq` resolution survives vacuum."""
+    from etl_poc_spark.operators.diff import table_diff
+
+    old = read_versioned(spark, target_dir, as_of=from_seq)
+    new = read_versioned(spark, target_dir, as_of=to_seq)
+    return table_diff(old, new, key_cols=key_cols, compare_cols=compare_cols)
+
+
+def guarded_upsert_versioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    target_dir: str,
+    key_cols: list[str],
+    seq_col: str,
+    partition_col: str,
+    rules: list,
+) -> str:
+    """Publish gate composed with the commit protocol: evaluate the
+    expectation rules (operators/expectations.py) against the POST-MERGE
+    state of the affected partitions FIRST, and only then write + publish
+    the commit. A failing batch never creates a commit, an orphan data
+    dir, or a visible row — readers stay on the pre-merge state, which
+    is the contract a quality gate actually needs (expectations alone
+    validate; this makes validation atomic with publication).
+
+    Cost: the merge plan runs twice (once for the gate aggregate, once
+    for the write) — the price of gating on the MERGED state rather than
+    the raw batch. Raises ExpectationsFailed with the failing rules.
+    Returns the commit id."""
+    from etl_poc_spark.operators.expectations import (
+        ExpectationsFailed,
+        expectation_report,
+    )
+
+    upd = updates.withColumn("__is_update", F.lit(1))
+    parts = _checked_partition_values(updates, partition_col)
+    base = _list_commits(spark, target_dir)
+    current = _resolution(base, target_dir)
+    have = [p for p in parts if p in current]
+    if have:
+        existing = spark.read.parquet(*[current[p] for p in have]).withColumn(
+            "__is_update", F.lit(0)
+        )
+        merged = latest_by_key(existing.unionByName(upd), key_cols, seq_col)
+    else:
+        merged = latest_by_key(upd, key_cols, seq_col)
+
+    report = expectation_report(merged, rules)
+    failed = [r for r in report.collect() if not r["passed"]]
+    if failed:
+        raise ExpectationsFailed(
+            "publish blocked: "
+            + "; ".join(
+                f"{r['rule']} ({r['n_violations']} violations)" for r in failed
+            )
+        )
+    commit_id = uuid.uuid4().hex[:12]
+    _write_commit_data(merged, target_dir, partition_col, commit_id)
+    _finalize_commit(spark, target_dir, commit_id, parts, base_count=len(base))
+    return commit_id
+
+
 def vacuum_versioned(spark: SparkSession, target_dir: str) -> int:
     """Delete data directories no finalized manifest's LATEST resolution
     references (superseded versions and crash orphans). Returns how many

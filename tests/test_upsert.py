@@ -469,3 +469,73 @@ def test_streaming_versioned_ingest_matches_sequential(spark, tmp_path):
         1: ("d1", "A", 2), 2: ("d2", "b", 1), 3: ("d1", "c", 1),
     }
     assert len(U._list_commits(spark, s_target)) == 2  # one commit per batch
+
+
+def test_table_changes_between_commits(spark, tmp_path):
+    """Change data feed: diff between any two finalized commits via time
+    travel + snapshot diff — Delta-CDF-shaped output from plain storage."""
+    import etl_poc_spark.operators.upsert as U
+
+    target = str(tmp_path / "vt")
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "a", 1), (2, "d2", "b", 1)]),
+        target, ["k"], "seq", "day",
+    )
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "A", 2), (3, "d1", "c", 1)]),
+        target, ["k"], "seq", "day",
+    )
+    ch = {
+        r["k"]: r["status"]
+        for r in U.table_changes(
+            spark, target, ["k"], ["v"], from_seq=1
+        ).collect()
+    }
+    assert ch == {1: "changed", 2: "unchanged", 3: "inserted"}
+    # self-diff: everything unchanged
+    same = {
+        r["status"]
+        for r in U.table_changes(spark, target, ["k"], ["v"], 2, 2).collect()
+    }
+    assert same == {"unchanged"}
+
+
+def test_guarded_upsert_blocks_bad_batches_atomically(spark, tmp_path):
+    """The publish gate is atomic with publication: a batch whose MERGED
+    state violates a rule creates no commit and no visible change; a
+    clean batch publishes normally."""
+    import os
+
+    import pytest
+
+    import etl_poc_spark.operators.upsert as U
+    from etl_poc_spark.operators.expectations import ExpectationsFailed
+
+    target = str(tmp_path / "vt")
+    rules = [
+        {"type": "not_null", "column": "v"},
+        {"type": "range", "column": "seq", "min": 0},
+    ]
+    U.guarded_upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "a", 1)]), target,
+        ["k"], "seq", "day", rules,
+    )
+    pre = _vread(spark, target)
+
+    bad = spark.createDataFrame(
+        [(2, "d1", None, 2)], "k long, day string, v string, seq long"
+    )
+    with pytest.raises(ExpectationsFailed, match="not_null:v"):
+        U.guarded_upsert_versioned(
+            spark, bad, target, ["k"], "seq", "day", rules
+        )
+    assert _vread(spark, target) == pre               # nothing visible
+    assert len(U._list_commits(spark, target)) == 1   # no commit minted
+    # no orphan data dir either — the gate ran before any write
+    assert len(os.listdir(os.path.join(target, "_data"))) == 1
+
+    U.guarded_upsert_versioned(
+        spark, _rows(spark, [(2, "d1", "ok", 2)]), target,
+        ["k"], "seq", "day", rules,
+    )
+    assert _vread(spark, target)[2] == ("d1", "ok", 2)
