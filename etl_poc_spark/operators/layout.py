@@ -65,6 +65,33 @@ def range_manifest(spark: SparkSession, path: str, key_col: str) -> DataFrame:
     )
 
 
+def read_range_pruned(
+    spark: SparkSession, path: str, key_col: str, lo, hi
+) -> DataFrame:
+    """Reader-side index for a range-sorted dataset: consult the min/max
+    manifest (one metadata-weight job) and open ONLY the files whose key
+    interval overlaps [lo, hi] — on a 1000-file dataset a point/range
+    lookup reads O(matching files), not the directory. The returned
+    frame still carries the residual filter (file ranges are coarser
+    than rows). This makes write_range_sorted's contract actionable:
+    writer sorts once, every subsequent reader skips forever.
+
+    The manifest collect is bounded by the file count (one row per
+    file); for repeated lookups persist range_manifest to a table
+    instead of re-deriving it."""
+    man = range_manifest(spark, path, key_col).collect()
+    keep = [
+        r["file"]
+        for r in man
+        if not (r["max_key"] < lo or r["min_key"] > hi)
+    ]
+    if not keep:
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*keep).where(
+        (F.col(key_col) >= lo) & (F.col(key_col) <= hi)
+    )
+
+
 def z_value_n(cols: list[str], bits: int | None = None) -> F.Column:
     """Morton/Z-order curve value of n non-negative integer keys: bit i
     of column j lands at position i*n + j, so the n dimensions interleave

@@ -315,7 +315,11 @@ def read_versioned(
     paths = sorted(_resolution(commits, target_dir).values())
     if not paths:
         raise ValueError(f"no finalized commits under {target_dir}")
-    return spark.read.parquet(*paths)
+    # mergeSchema: commits may carry evolved schemas (see
+    # upsert_versioned allow_schema_evolution); columns absent from a
+    # leaf read as NULL, and time travel before the evolution naturally
+    # serves the old schema
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def _checked_partition_values(updates: DataFrame, partition_col: str) -> list[str]:
@@ -348,6 +352,7 @@ def upsert_versioned(
     key_cols: list[str],
     seq_col: str,
     partition_col: str,
+    allow_schema_evolution: bool = False,
 ) -> str:
     """MERGE `updates` into the versioned table at `target_dir` with the
     commit-manifest protocol (see module comment): merge the affected
@@ -355,7 +360,14 @@ def upsert_versioned(
     an immutable commit directory, then atomically publish the manifest.
     Returns the commit id. Readers (read_versioned) never observe a
     partial merge; a concurrent overlapping commit raises
-    ConcurrentWriteError (the orphaned data dir is removed by vacuum)."""
+    ConcurrentWriteError (the orphaned data dir is removed by vacuum).
+
+    `allow_schema_evolution` lets an update batch ADD columns: carried
+    rows from the current state read the new columns as NULL, readers
+    see the union schema via mergeSchema, and time travel before the
+    evolving commit serves the old schema. Column REMOVAL stays an
+    error either way (a dropped column would silently null out history
+    — recreate the table instead)."""
     commit_id = uuid.uuid4().hex[:12]
     upd = updates.withColumn("__is_update", F.lit(1))
     parts = _checked_partition_values(updates, partition_col)
@@ -363,10 +375,20 @@ def upsert_versioned(
     current = _resolution(base, target_dir)
     have = [p for p in parts if p in current]
     if have:
-        existing = spark.read.parquet(*[current[p] for p in have]).withColumn(
-            "__is_update", F.lit(0)
-        )
-        merged = latest_by_key(existing.unionByName(upd), key_cols, seq_col)
+        existing = spark.read.option("mergeSchema", "true").parquet(
+            *[current[p] for p in have]
+        ).withColumn("__is_update", F.lit(0))
+        if allow_schema_evolution:
+            missing_in_updates = set(existing.columns) - set(upd.columns)
+            if missing_in_updates:
+                raise ValueError(
+                    f"update batch drops columns {sorted(missing_in_updates)}; "
+                    "schema evolution is additive-only"
+                )
+            unioned = existing.unionByName(upd, allowMissingColumns=True)
+        else:
+            unioned = existing.unionByName(upd)
+        merged = latest_by_key(unioned, key_cols, seq_col)
     else:
         merged = latest_by_key(upd, key_cols, seq_col)
     _write_commit_data(merged, target_dir, partition_col, commit_id)

@@ -317,3 +317,35 @@ def test_fragmentation_report_drives_compaction(spark, sf_dir, tmp_path):
             fragmentation_report(spark, pout, n, partition_col="status").collect()}
     assert len(prep) >= 2
     assert all(r["needs_compaction"] for r in prep.values())
+
+
+def test_read_range_pruned_opens_matching_files_only(spark, sf_dir, tmp_path):
+    """The manifest-driven reader opens only files whose range overlaps
+    the probe: correct rows AND provably fewer files scanned."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.layout import (
+        range_manifest,
+        read_range_pruned,
+        write_range_sorted,
+    )
+
+    out = str(tmp_path / "sorted")
+    orders = load_table(spark, sf_dir, "orders")
+    write_range_sorted(orders, out, "o_orderkey", n_ranges=8)
+    man = range_manifest(spark, out, "o_orderkey").collect()
+    assert len(man) >= 4
+    # probe the middle file's exact range
+    mid = man[len(man) // 2]
+    lo, hi = mid["min_key"], mid["max_key"]
+
+    pruned = read_range_pruned(spark, out, "o_orderkey", lo, hi)
+    want = orders.where(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+    )
+    assert pruned.count() == want.count() == mid["n_rows"]
+    files_read = pruned.select(F.input_file_name()).distinct().count()
+    assert files_read == 1  # exactly the matching file, not the directory
+
+    # an empty probe range below the table's min reads nothing
+    assert read_range_pruned(spark, out, "o_orderkey", -10, -5).count() == 0

@@ -539,3 +539,41 @@ def test_guarded_upsert_blocks_bad_batches_atomically(spark, tmp_path):
         ["k"], "seq", "day", rules,
     )
     assert _vread(spark, target)[2] == ("d1", "ok", 2)
+
+
+def test_versioned_schema_evolution_additive_only(spark, tmp_path):
+    """allow_schema_evolution: an update batch may ADD columns (carried
+    history reads NULL, readers see the union schema, time travel before
+    the evolution serves the old schema); dropping columns raises; the
+    default strict mode rejects any mismatch."""
+    import pytest
+
+    import etl_poc_spark.operators.upsert as U
+
+    target = str(tmp_path / "vt")
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "a", 1)]), target, ["k"], "seq", "day"
+    )
+
+    widened = spark.createDataFrame(
+        [(2, "d1", "b", 1, "extra")],
+        "k long, day string, v string, seq long, note string",
+    )
+    with pytest.raises(Exception):  # strict default: schema mismatch surfaces
+        U.upsert_versioned(spark, widened, target, ["k"], "seq", "day")
+    U.upsert_versioned(
+        spark, widened, target, ["k"], "seq", "day", allow_schema_evolution=True
+    )
+    now = {r["k"]: (r["v"], r["note"])
+           for r in U.read_versioned(spark, target).collect()}
+    assert now == {1: ("a", None), 2: ("b", "extra")}
+    # time travel before the evolution: old schema, no `note` column
+    old = U.read_versioned(spark, target, as_of=1)
+    assert "note" not in old.columns
+
+    narrower = _rows(spark, [(3, "d1", "c", 1)])  # lacks `note`
+    with pytest.raises(ValueError, match="additive-only"):
+        U.upsert_versioned(
+            spark, narrower, target, ["k"], "seq", "day",
+            allow_schema_evolution=True,
+        )
