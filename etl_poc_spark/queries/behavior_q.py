@@ -693,3 +693,50 @@ def calendar_dim_2024(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("day").cast("int").alias("iso_week"),
         F.date_format("day", "yyyy-MM").alias("year_month"),
     ).orderBy("day")
+
+
+@query(
+    "segment_year_grouping_sets",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS year,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment, year,
+           CAST(GROUPING(segment) * 2 + GROUPING(year) AS INTEGER)
+             AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p) AS DOUBLE) AS revenue
+    FROM j
+    GROUP BY GROUPING SETS ((segment, year), (segment), (year), ())
+    ORDER BY grouping_id, segment, year
+    """,
+)
+def segment_year_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general GROUPING SETS form (beyond the cube/rollup queries):
+    revenue at (segment, year), per-segment, per-year, and grand-total
+    grains in ONE Expand + aggregate pass, with the standard grouping_id
+    disambiguating real NULLs from rolled-up cells. Decimal revenue,
+    cast at the boundary."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    j.createOrReplaceTempView("__gs_j")
+    return j.sparkSession.sql(
+        """
+        SELECT segment, year,
+               CAST(GROUPING(segment) * 2 + GROUPING(year) AS INT)
+                 AS grouping_id,
+               COUNT(*) AS n_orders,
+               CAST(SUM(p) AS DOUBLE) AS revenue
+        FROM __gs_j
+        GROUP BY GROUPING SETS ((segment, year), (segment), (year), ())
+        ORDER BY grouping_id, segment, year
+        """
+    )
