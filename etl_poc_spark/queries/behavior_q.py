@@ -740,3 +740,206 @@ def segment_year_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY grouping_id, segment, year
         """
     )
+
+
+@query(
+    "top_orders_per_segment_with_ties",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), r AS (
+      SELECT segment, o_orderkey, p,
+             rank() OVER (PARTITION BY segment ORDER BY p DESC) AS rnk
+      FROM j
+    )
+    SELECT segment, o_orderkey, CAST(p AS DOUBLE) AS totalprice,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 3 ORDER BY segment, rnk, o_orderkey
+    """,
+)
+def top_orders_per_segment_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per segment WITH ties — rank(), not row_number(), so
+    equal prices at the cut all survive (the per_group_quota sibling
+    with the other tie semantics; both belong in a window surface).
+    Same single entity shuffle; the exact DECIMAL ordering key makes tie
+    groups engine-identical, which is what lets a ties-inclusive cut
+    hash-match at all."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("p"))
+    return (
+        j.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "segment",
+            "o_orderkey",
+            F.col("p").cast("double").alias("totalprice"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("segment", "rnk", "o_orderkey")
+    )
+
+
+@query(
+    "price_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS s
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM v),
+    med AS (
+      SELECT s AS m FROM (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM v), n
+      WHERE rn = (50 * c + 99) // 100
+    ), dev AS (
+      SELECT abs(v.s - med.m) AS d, v.s, med.m FROM v, med
+    ), mad AS (
+      SELECT d AS md FROM (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM dev), n
+      WHERE rn = (50 * c + 99) // 100
+    )
+    SELECT (SELECT c FROM n) AS n_orders,
+           CAST(ANY_VALUE(dev.m) AS DOUBLE) / 100 AS median_price,
+           CAST(ANY_VALUE(mad.md) AS DOUBLE) / 100 AS mad,
+           CAST(SUM(CASE WHEN abs(dev.s - dev.m) * 10 > mad.md * 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev, mad
+    """,
+)
+def price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen — the robust sibling of
+    the 3-sigma z-score (which a heavy tail corrupts, since mean AND
+    std absorb the outliers they should flag): median via the exact
+    2-pass selector, MAD as the median of |x - median| (second 2-pass
+    over integer cents), and the outlier cut |x - med| > 5*MAD decided
+    by an INTEGER cross-product (d*10 > mad*50) — no float boundary.
+    Three bounded passes total, each the histogram-then-select shape."""
+    from etl_poc_spark.operators.pins import pin
+    from etl_poc_spark.operators.quantiles import exact_quantiles_2pass
+
+    o = load_table(spark, sf_dir, "orders")
+    s = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    v = pin(o.where(F.col("o_totalprice").isNotNull()).select(s.alias("s")))
+    [(mval,)] = (
+        exact_quantiles_2pass(v, "s", [50], scale=1, bin_width=5_000_000)
+        .select("value").collect()
+    )
+    m = int(round(mval))
+    dev = pin(v.select((F.abs(F.col("s") - m)).alias("d"), "s"))
+    [(madval,)] = (
+        exact_quantiles_2pass(dev, "d", [50], scale=1, bin_width=5_000_000)
+        .select("value").collect()
+    )
+    mad = int(round(madval))
+    return dev.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.lit(m).cast("double") / 100).alias("median_price"),
+        (F.lit(mad).cast("double") / 100).alias("mad"),
+        F.sum(
+            F.when(F.abs(F.col("s") - m) * 10 > F.lit(mad) * 50, 1).otherwise(0)
+        ).alias("n_outliers"),
+    )
+
+
+@query(
+    "events_ab_cuped",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(CAST('0x' || substr(md5('ab1' || CAST(user_id AS VARCHAR)), 1, 6)
+                       AS INTEGER) % 2 AS INTEGER) AS arm,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+                      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+                       AND event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+      FROM u
+    ), t AS (
+      SELECT n, sx,
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) AS theta
+      FROM g
+    )
+    SELECT u.arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(SUM(u.y) AS DOUBLE) / COUNT(*), 9) AS mean_y,
+           round(CAST(SUM(u.y) AS DOUBLE) / COUNT(*)
+                 - t.theta * (CAST(SUM(u.x) AS DOUBLE) / COUNT(*)
+                              - t.sx / t.n), 9) AS adjusted_mean_y,
+           round(t.theta, 9) AS theta
+    FROM u, t GROUP BY u.arm, t.theta, t.sx, t.n ORDER BY u.arm
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: per-arm purchase
+    value in the post-period, adjusted by the pre-period covariate
+    (theta = cov(x,y)/var(x) from the same exact decimal moment sums as
+    the regression tier, one fixed-order double formula rounded at the
+    boundary). The adjusted means move identically under the null but
+    with the pre-period variance removed — the standard way experiment
+    platforms cut required sample sizes. One user shuffle builds the
+    covariate/metric frame; the 1-row global stats broadcast back onto
+    the 2-row arm aggregate."""
+    from etl_poc_spark.operators.curation import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,2)")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < cutoff, F.col("value").cast("decimal(18,2)"))
+                .otherwise(zero)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("ts") >= cutoff) & (F.col("event_type") == "purchase"),
+                    F.col("value").cast("decimal(18,2)"),
+                ).otherwise(zero)
+            ).alias("y"),
+        )
+        .select(hash_bucket(F.col("user_id"), 2, salt="ab1").alias("arm"), "x", "y")
+    )
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    theta = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    t = g.select("n", "sx", theta.alias("theta"))
+    per_arm = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").cast("double").alias("ax"),
+        F.sum("y").cast("double").alias("ay"),
+    )
+    out = per_arm.crossJoin(F.broadcast(t))
+    mean_y = F.col("ay") / F.col("n_users")
+    mean_x = F.col("ax") / F.col("n_users")
+    gmean_x = F.col("sx") / F.col("n").cast("double")
+    return out.select(
+        "arm",
+        "n_users",
+        F.round(mean_y, 9).alias("mean_y"),
+        F.round(mean_y - F.col("theta") * (mean_x - gmean_x), 9).alias(
+            "adjusted_mean_y"
+        ),
+        F.round("theta", 9).alias("theta"),
+    ).orderBy("arm")
