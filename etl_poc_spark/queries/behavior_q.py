@@ -890,8 +890,13 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary). The adjusted means move identically under the null but
     with the pre-period variance removed — the standard way experiment
     platforms cut required sample sizes. One user shuffle builds the
-    covariate/metric frame; the 1-row global stats broadcast back onto
-    the 2-row arm aggregate."""
+    covariate/metric frame; per-arm DECIMAL partial moment sums are
+    combined into the global theta via an unpartitioned window over the
+    2-row arm aggregate (the `nation_revenue_share` idiom) — no join,
+    no BroadcastNestedLoopJoin, and decimal addition being exact makes
+    the windowed global sums bit-identical to a whole-frame aggregate."""
+    from pyspark.sql import Window
+
     from etl_poc_spark.operators.curation import hash_bucket
 
     e = load_table(spark, sf_dir, "events")
@@ -913,24 +918,35 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(hash_bucket(F.col("user_id"), 2, salt="ab1").alias("arm"), "x", "y")
     )
-    g = u.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).cast("double").alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).cast("double").alias("sxx"),
+    # Per-arm partial sums stay decimal so the windowed global sums are
+    # exact (decimal addition is associative); cast to double at the
+    # same boundary the single-aggregate formulation used.
+    per_arm = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("ax_dec"),
+        F.sum("y").alias("ay_dec"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias("axy_dec"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias("axx_dec"),
+    )
+    # non-foldable single-group key (nation_revenue_share idiom): one
+    # group over the 2-row arm frame, no no-partition WindowExec warning
+    w = Window.partitionBy(F.col("arm").isNull())
+    out = per_arm.select(
+        "arm",
+        "n_users",
+        F.col("ax_dec").cast("double").alias("ax"),
+        F.col("ay_dec").cast("double").alias("ay"),
+        F.sum("n_users").over(w).alias("n"),
+        F.sum("ax_dec").over(w).cast("double").alias("sx"),
+        F.sum("ay_dec").over(w).cast("double").alias("sy"),
+        F.sum("axy_dec").over(w).cast("double").alias("sxy"),
+        F.sum("axx_dec").over(w).cast("double").alias("sxx"),
     )
     nd = F.col("n").cast("double")
     theta = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         nd * F.col("sxx") - F.col("sx") * F.col("sx")
     )
-    t = g.select("n", "sx", theta.alias("theta"))
-    per_arm = u.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("x").cast("double").alias("ax"),
-        F.sum("y").cast("double").alias("ay"),
-    )
-    out = per_arm.crossJoin(F.broadcast(t))
+    out = out.withColumn("theta", theta)
     mean_y = F.col("ay") / F.col("n_users")
     mean_x = F.col("ax") / F.col("n_users")
     gmean_x = F.col("sx") / F.col("n").cast("double")
