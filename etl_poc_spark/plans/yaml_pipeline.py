@@ -22,6 +22,12 @@ docetl/config/article_pipeline.yaml.j2):
       # line_dedup {id, text_key, words_per_segment, min_docs},
       # semdedup {id, embedding_key, n_centroids, threshold,
       #           max_cluster_size, keep: min_id|centroid}
+      # analytics vocabulary (engine extension, round 9):
+      # profile {columns}, attribution {entity_key, state_key, ts_key,
+      #   conversion_type, within_seconds}, rfm {entity_key, ts_key,
+      #   value_key, n_tiles, rollup}, twap {entity_key, group_key,
+      #   ts_key, value_key}, abc {key, value_key, a_pct, b_pct, rollup},
+      # grouping_sets {sets: [[col,...],...], aggs: {alias: SQL-agg}}
     pipeline:
       steps: [{name: s1, input: papers, operations: [chunk, extract]}]
       output: {type: file, path: /out, intermediate_dir: /tmp/int}
@@ -462,6 +468,224 @@ def _apply_op(
         )
         drop = cov.filter(F.col("dup_coverage") > max_cov).select(id_col)
         return df.join(drop, id_col, "left_anti")
+    # --- analytics vocabulary (round-9: the behavioral/profiling tier of
+    # queries/behavior_q.py and profile_q.py as declarative ops) ---
+    if t == "profile":
+        # long-format column profile: per column null count, exact distinct
+        # count, min/max as strings — ONE aggregate pass (Catalyst plans the
+        # multi-countDistinct as a single Expand), then a driver-free
+        # stack() unpivot; same shape as queries/profile_q.py
+        from pyspark.sql import functions as F
+
+        cols = op.get("columns") or df.columns
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+                F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            ]
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', `{c}__nulls`, `{c}__nd`, `{c}__min`, `{c}__max`" for c in cols
+        )
+        return wide.selectExpr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_str, max_str)"
+        ).orderBy("column_name")
+    if t == "attribution":
+        # last-touch attribution: each conversion credits the entity's most
+        # recent non-conversion event within `within_seconds`, else 'direct'
+        # (queries/behavior_q.py::purchase_attribution_last_touch semantics)
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        entity = op.get("entity_key", "user_id")
+        state_col = op.get("state_key", "event_type")
+        ts_col = op.get("ts_key", "ts")
+        tiebreak = op.get("tiebreak", "event_id")
+        conv = str(op.get("conversion_type", "purchase"))
+        within_us = int(op.get("within_seconds", 3600)) * 1_000_000
+        w = (
+            Window.partitionBy(entity)
+            .orderBy(ts_col, tiebreak)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        non_conv = F.when(F.col(state_col) != conv, F.col(state_col))
+        nc_ts = F.when(F.col(state_col) != conv, F.col(ts_col))
+        seq = df.select(
+            F.col(state_col),
+            F.col(ts_col),
+            F.last(non_conv, ignorenulls=True).over(w).alias("__prev_type"),
+            F.last(nc_ts, ignorenulls=True).over(w).alias("__prev_ts"),
+        ).where(F.col(state_col) == conv)
+        channel = F.when(
+            F.col("__prev_ts").isNotNull()
+            & (
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__prev_ts"))
+                <= within_us
+            ),
+            F.col("__prev_type"),
+        ).otherwise(F.lit("direct"))
+        return (
+            seq.select(channel.alias("channel"))
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("n_conversions"))
+            .orderBy("channel")
+        )
+    if t == "rfm":
+        # recency/frequency/monetary quantile scores per entity; the
+        # n-tile windows run on the ENTITY-grained aggregate under a
+        # non-foldable single-group key (bounded frame at any input scale);
+        # rollup: true collapses to (r,f,m) cell counts
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        entity = op.get("entity_key", "user_id")
+        ts_col = op.get("ts_key", "ts")
+        value_col = op.get("value_key", "value")
+        n = int(op.get("n_tiles", 5))
+        m = df.groupBy(entity).agg(
+            F.max(ts_col).alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("monetary"),
+        )
+        zero = F.col(entity).isNull()
+        scored = m.select(
+            entity,
+            F.ntile(n)
+            .over(Window.partitionBy(zero).orderBy(F.desc("recency"), entity))
+            .alias("r_score"),
+            F.ntile(n)
+            .over(Window.partitionBy(zero).orderBy(F.desc("frequency"), entity))
+            .alias("f_score"),
+            F.ntile(n)
+            .over(Window.partitionBy(zero).orderBy(F.desc("monetary"), entity))
+            .alias("m_score"),
+        )
+        if op.get("rollup"):
+            return (
+                scored.groupBy("r_score", "f_score", "m_score")
+                .agg(F.count(F.lit(1)).alias("n_entities"))
+                .orderBy("r_score", "f_score", "m_score")
+            )
+        return scored
+    if t == "twap":
+        # time-weighted average value per group: each event's value is held
+        # until the entity's next event; exact microsecond weights, decimal
+        # product accumulation, one double division at the boundary
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        entity = op.get("entity_key", "user_id")
+        group_col = op.get("group_key", "event_type")
+        ts_col = op.get("ts_key", "ts")
+        value_col = op.get("value_key", "value")
+        tiebreak = op.get("tiebreak", "event_id")
+        w = Window.partitionBy(entity).orderBy(ts_col, tiebreak)
+        seq = df.select(
+            group_col,
+            F.col(value_col).cast("decimal(18,2)").alias("__v"),
+            (
+                F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+            ).alias("__dur_us"),
+        ).where(F.col("__dur_us").isNotNull())
+        return (
+            seq.groupBy(group_col)
+            .agg(
+                F.count("__dur_us").alias("n_weighted"),
+                F.round(
+                    F.sum((F.col("__v") * F.col("__dur_us")).cast("decimal(38,2)"))
+                    .cast("double")
+                    / F.sum("__dur_us").cast("double"),
+                    9,
+                ).alias("twap"),
+                F.round(
+                    F.sum(F.col("__v").cast("decimal(38,2)")).cast("double")
+                    / F.count("__v"),
+                    9,
+                ).alias("plain_mean"),
+            )
+            .orderBy(group_col)
+        )
+    if t == "abc":
+        # ABC / Pareto classification: per-key value sums, running share
+        # compared by INTEGER-DECIMAL cross-products (division-free, exact);
+        # a_pct/b_pct are integer cumulative-percent cuts (default 80/95)
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        key = op.get("key", "doc_id")
+        value_col = op.get("value_key", "value")
+        a_pct = int(op.get("a_pct", 80))
+        b_pct = int(op.get("b_pct", 95))
+        if not 0 < a_pct < b_pct <= 100:
+            raise PipelineConfigError("abc op requires 0 < a_pct < b_pct <= 100")
+        rev = df.groupBy(key).agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__r")
+        )
+        zero = F.col(key).isNull()
+        wcum = (
+            Window.partitionBy(zero)
+            .orderBy(F.desc("__r"), F.asc(key))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wall = Window.partitionBy(zero)
+        ranked = rev.select(
+            key,
+            F.col("__r").cast("double").alias("total_value"),
+            F.sum("__r").over(wcum).alias("__cum"),
+            F.sum("__r").over(wall).alias("__total"),
+        )
+        abc = (
+            F.when(F.col("__cum") * 100 <= F.col("__total") * a_pct, "A")
+            .when(F.col("__cum") * 100 <= F.col("__total") * b_pct, "B")
+            .otherwise("C")
+        )
+        classified = ranked.select(key, "total_value", abc.alias("abc_class"))
+        if op.get("rollup"):
+            return (
+                classified.groupBy("abc_class")
+                .agg(
+                    F.count(F.lit(1)).alias("n_keys"),
+                    F.sum(F.col("total_value")).alias("class_value"),
+                )
+                .orderBy("abc_class")
+            )
+        return classified.orderBy(F.desc("total_value"), F.asc(key))
+    if t == "grouping_sets":
+        # general GROUPING SETS: multiple grains in ONE Expand + aggregate
+        # pass with the standard grouping_id; `sets` is a list of column
+        # lists ([] = grand total), aggs a {alias: SQL-aggregate} mapping
+        from pyspark.sql import functions as F
+
+        sets = op.get("sets")
+        if not isinstance(sets, list) or not sets:
+            raise PipelineConfigError("grouping_sets op requires a non-empty `sets` list")
+        group_cols: list[str] = []
+        for s in sets:
+            for c in s:
+                if c not in group_cols:
+                    group_cols.append(c)
+        for c in group_cols:
+            if not str(c).replace("_", "").isalnum():
+                raise PipelineConfigError(f"grouping_sets: invalid column name {c!r}")
+        aggs = op.get("aggs") or {"n_rows": "COUNT(*)"}
+        gid_terms = [
+            f"GROUPING(`{c}`) * {2 ** (len(group_cols) - 1 - i)}"
+            for i, c in enumerate(group_cols)
+        ]
+        sets_sql = ", ".join("(" + ", ".join(f"`{c}`" for c in s) + ")" for s in sets)
+        agg_sql = ", ".join(f"{expr} AS `{alias}`" for alias, expr in aggs.items())
+        view = f"__yaml_gs_{abs(hash(tuple(group_cols))) % 10**8}"
+        df.createOrReplaceTempView(view)
+        return df.sparkSession.sql(
+            f"SELECT {', '.join(f'`{c}`' for c in group_cols)}, "
+            f"CAST({' + '.join(gid_terms)} AS INT) AS grouping_id, {agg_sql} "
+            f"FROM {view} GROUP BY GROUPING SETS ({sets_sql}) "
+            f"ORDER BY grouping_id, {', '.join(f'`{c}`' for c in group_cols)}"
+        )
     raise PipelineConfigError(f"unknown operation type {t!r}")
 
 

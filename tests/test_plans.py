@@ -483,6 +483,97 @@ def test_yaml_transition_streaks_fuzzylink_ops(spark):
     assert [(r["id_a"], r["id_b"], r["distance"]) for r in pairs] == [(1, 2, 1)]
 
 
+def test_yaml_analytics_tier_ops(spark):
+    """The round-9 declarative analytics vocabulary: profile, attribution,
+    rfm, twap, abc, and grouping_sets drive from config with the same
+    semantics as their query forms (queries/behavior_q.py, profile_q.py)."""
+    from datetime import datetime
+
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    t = lambda d, h=0, mi=0: datetime(2024, 1, d, h, mi)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            (1, 1, "view", t(1, 10, 0), 10.0),
+            (2, 1, "purchase", t(1, 10, 30), 50.0),   # within 1h of the view
+            (3, 1, "purchase", t(1, 13, 0), 20.0),    # >1h after anything -> direct
+            (4, 2, "click", t(2, 9, 0), 5.0),
+            (5, 2, "purchase", t(2, 9, 10), 30.0),    # credited to click
+            (6, 2, "view", t(3, 9, 0), None),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+
+    def run(op, data=events, name="events"):
+        cfg = {
+            "default_model": "stub",
+            "datasets": {name: {"path": "injected.json"}},
+            "operations": [op],
+            "pipeline": {"steps": [
+                {"name": "s", "input": name, "operations": [op["name"]]}
+            ]},
+        }
+        return run_pipeline(spark, cfg, datasets={name: data})["__final__"]
+
+    # profile: one row per column, exact nulls/distinct/min/max
+    prof = {r["column_name"]: r for r in run(
+        {"name": "p", "type": "profile", "columns": ["event_type", "value"]}
+    ).collect()}
+    assert prof["value"]["n_nulls"] == 1 and prof["value"]["n_distinct"] == 5
+    assert prof["event_type"]["min_str"] == "click"
+    assert prof["event_type"]["max_str"] == "view"
+
+    # attribution: last non-conversion touch within the hour, else direct
+    att = {r["channel"]: r["n_conversions"] for r in run(
+        {"name": "a", "type": "attribution", "within_seconds": 3600}
+    ).collect()}
+    assert att == {"view": 1, "click": 1, "direct": 1}
+
+    # rfm: 2-tile scores over the 2-entity frame -> each entity its own tile
+    rfm = {r["user_id"]: (r["r_score"], r["f_score"], r["m_score"]) for r in run(
+        {"name": "r", "type": "rfm", "n_tiles": 2, "value_key": "value"}
+    ).collect()}
+    # user 2 has the latest event (recency tile 1); user 1 has more events
+    assert rfm[2][0] == 1 and rfm[1][0] == 2 and rfm[1][1] == 1
+
+    # twap: view 10 held 30min (user 1); purchases 50 held 2.5h (user 1)
+    # and 30 held 23h50m (user 2) -> (50*9000 + 30*85800) / 94800
+    tw = {r["event_type"]: (r["n_weighted"], r["twap"]) for r in run(
+        {"name": "t", "type": "twap", "value_key": "value"}
+    ).collect()}
+    assert tw["view"] == (1, 10.0)
+    assert tw["purchase"] == (2, round(3024000 / 94800, 9))
+
+    # abc: 80/95 cuts on a 3-key value distribution
+    sales = spark.createDataFrame(
+        [(1, 80.0), (2, 15.0), (3, 5.0)], "k long, v double"
+    )
+    abc = {r["k"]: r["abc_class"] for r in run(
+        {"name": "c", "type": "abc", "key": "k", "value_key": "v"},
+        data=sales, name="sales",
+    ).collect()}
+    assert abc == {1: "A", 2: "B", 3: "C"}
+    roll = {r["abc_class"]: (r["n_keys"], r["class_value"]) for r in run(
+        {"name": "c", "type": "abc", "key": "k", "value_key": "v", "rollup": True},
+        data=sales, name="sales",
+    ).collect()}
+    assert roll["A"] == (1, 80.0) and roll["C"] == (1, 5.0)
+
+    # grouping_sets: 3 grains in one pass with the standard grouping_id
+    gs = run(
+        {"name": "g", "type": "grouping_sets",
+         "sets": [["event_type"], []],
+         "aggs": {"n": "COUNT(*)", "total_v": "CAST(SUM(value) AS DOUBLE)"}},
+    ).collect()
+    by_gid = {}
+    for r in gs:
+        by_gid.setdefault(r["grouping_id"], []).append(r)
+    assert {r["event_type"]: r["n"] for r in by_gid[0]} == {
+        "view": 2, "purchase": 3, "click": 1
+    }
+    assert by_gid[1][0]["n"] == 6 and by_gid[1][0]["total_v"] == 115.0
+
+
 def test_yaml_join_scd2_pit_ops(spark):
     """Multi-input ops: a feature pipeline built ENTIRELY from config —
     step 1 derives an SCD2 history from a change log, step 2 point-in-
