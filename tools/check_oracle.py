@@ -93,6 +93,39 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def _pin_rows(pdf: pd.DataFrame) -> list[list[str | None]]:
+    """Render a frame to the pin file's canonical form: columns sorted,
+    rows sorted by every column, floats as repr (bit-exact), everything
+    else str. Must match tools/gen_pins in generate order."""
+    pdf = canon(pdf)
+    return [
+        [
+            (repr(float(v)) if hasattr(v, "dtype") and v.dtype.kind == "f"
+             else (None if v is None else str(v)))
+            for v in row
+        ]
+        for row in pdf.itertuples(index=False)
+    ]
+
+
+def load_pins() -> dict:
+    """Pinned exact outputs for the rows-only (no-SQL-oracle) queries.
+
+    Each entry is {query: {sfN: {columns, rows}}} generated once and
+    verified bit-stable under the adversarial session (local[3],
+    shuffle.partitions=7, AQE off) — so a value drift is a real
+    regression, not partitioning noise. Upgrades the rows-only gate
+    class to pinned-exact."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pinned_expected.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except OSError:
+        return {}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -105,6 +138,8 @@ def main() -> int:
     registry.load_all()
     spark = get_spark("oracle_check")
     con = duckdb_conn(args.sf_dir)
+    pins = load_pins()
+    sf_tag = os.path.basename(args.sf_dir.rstrip("/"))
 
     from etl_poc_spark.operators.pins import release_pins
 
@@ -126,6 +161,30 @@ def main() -> int:
             spark.catalog.clearCache()
         t_spark = time.perf_counter() - t0
         if name not in registry.ORACLES:
+            pin = pins.get(name, {}).get(sf_tag)
+            if pin is not None:
+                got_rows = _pin_rows(spark_pdf)
+                if sorted(spark_pdf.columns) != pin["columns"]:
+                    n_fail += 1
+                    print(
+                        f"FAIL  {name}: pinned columns mismatch "
+                        f"(got {sorted(spark_pdf.columns)}, pinned {pin['columns']})"
+                    )
+                elif got_rows != pin["rows"]:
+                    n_fail += 1
+                    n_bad = sum(1 for a, b in zip(got_rows, pin["rows"]) if a != b)
+                    n_bad += abs(len(got_rows) - len(pin["rows"]))
+                    print(
+                        f"FAIL  {name}: pinned values mismatch "
+                        f"({n_bad} rows differ; got {len(got_rows)} rows, "
+                        f"pinned {len(pin['rows'])})"
+                    )
+                else:
+                    print(
+                        f"pin   {name}: no SQL oracle; matches pinned exact output "
+                        f"— {len(spark_pdf)} rows, {t_spark:.1f}s"
+                    )
+                continue
             print(f"skip  {name}: no oracle (rows-only) — {len(spark_pdf)} rows, {t_spark:.1f}s")
             continue
         try:

@@ -1,0 +1,111 @@
+"""Regenerate tools/pinned_expected.json — the exact pinned outputs for the
+rows-only (no-SQL-oracle) queries that are nonetheless deterministic.
+
+Every candidate is run at sf0.001 AND sf0.01 under the normal session, then
+RE-RUN under the adversarial session (local[3], shuffle.partitions=7, AQE
+off, fresh JVM); a query whose rendered output differs between the two runs
+is NOT pinned (printed as unstable). This keeps the pin file honest: a later
+mismatch in the gate is a real regression, never partitioning noise.
+
+Usage:
+    python tools/gen_pins.py            # verify-and-write
+    python tools/gen_pins.py --verify   # re-check current pins only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Deterministic rows-only queries. Excluded on purpose:
+#   price_quantiles_approx     approx_percentile merge order sensitivity
+#   supplier_pagerank          float iteration partial-sum order
+#   part_copurchase_kcore      (same class; keep the closed-form pytest pins)
+CANDIDATES = [
+    "approx_distinct_parts",
+    "audio_feature_stats",
+    "bpe_segmentation_stats",
+    "bpe_trained_merges",
+    "doc_compression_quality",
+    "hll_sketch_union_users",
+    "image_near_dup_pairs",
+    "image_phash_stats",
+    "media_feature_neardup_sim",
+    "simhash64_near_dup_pairs",
+]
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+PIN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pinned_expected.json")
+
+_CHILD = r"""
+import json, sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+builder = SparkSession.builder.master(%(master)r)
+for k, v in %(conf)r:
+    builder = builder.config(k, v)
+spark = builder.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+from etl_poc_spark import registry
+from etl_poc_spark.operators.pins import release_pins
+sys.path.insert(0, %(tools)r)
+from check_oracle import _pin_rows
+registry.load_all()
+out = {}
+for name in %(names)r:
+    for sf in %(sf_dirs)r:
+        pdf = registry.QUERIES[name](spark, sf).toPandas()
+        release_pins(); spark.catalog.clearCache()
+        tag = sf.rsplit("/", 1)[1]
+        out.setdefault(name, {})[tag] = {
+            "columns": sorted(pdf.columns), "rows": _pin_rows(pdf)}
+print("PINJSON:" + json.dumps(out, sort_keys=True))
+"""
+
+
+def _run(master: str, conf: list[tuple[str, str]]) -> dict:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _CHILD % {
+        "repo": repo,
+        "tools": os.path.join(repo, "tools"),
+        "master": master,
+        "conf": conf,
+        "names": CANDIDATES,
+        "sf_dirs": SF_DIRS,
+    }
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    for line in res.stdout.splitlines():
+        if line.startswith("PINJSON:"):
+            return json.loads(line[len("PINJSON:"):])
+    raise RuntimeError(f"child produced no pin JSON: {res.stdout[-500:]}")
+
+
+def main() -> int:
+    normal = _run("local[32]", [("spark.sql.shuffle.partitions", "32")])
+    advers = _run(
+        "local[3]",
+        [("spark.sql.shuffle.partitions", "7"), ("spark.sql.adaptive.enabled", "false")],
+    )
+    stable = {n: v for n, v in normal.items() if advers.get(n) == v}
+    unstable = sorted(set(normal) - set(stable))
+    for n in unstable:
+        print(f"UNSTABLE (not pinned): {n}")
+    if "--verify" in sys.argv:
+        current = json.load(open(PIN_PATH))
+        ok = current == stable
+        print("pins", "match" if ok else "DIFFER from", "a fresh stable run")
+        return 0 if ok else 1
+    with open(PIN_PATH, "w") as fh:
+        json.dump(stable, fh, indent=0, sort_keys=True)
+        fh.write("\n")
+    print(f"pinned {len(stable)} queries x {len(SF_DIRS)} sfs -> {PIN_PATH}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
