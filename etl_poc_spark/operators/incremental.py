@@ -142,6 +142,140 @@ def streaming_near_dup_ingest(
     )
 
 
+# --- EXACT dedup: the incremental + streaming twins (near-dup has all
+# three above; this completes the triple for the exact-fingerprint path) ---
+
+
+def exact_fingerprints(
+    batch: DataFrame,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(fp, id) content fingerprints: one hash over the concatenated key
+    columns (NULL-safe via a reserved separator). md5 mode is the
+    oracle-portable string path; xxhash64 the production 64-bit path."""
+    sep = F.lit("\x1f")
+    parts: list[F.Column] = []
+    for c in key_cols:
+        parts += [F.coalesce(F.col(c).cast("string"), F.lit("\x00")), sep]
+    salted = F.concat(*parts[:-1]) if len(parts) > 1 else parts[0]
+    if hash_mode == "md5":
+        fp = F.md5(salted)
+    elif hash_mode == "xxhash64":
+        fp = F.xxhash64(salted).cast("string")
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    return batch.select(fp.alias("fp"), F.col(id_col).alias("id"))
+
+
+def incremental_exact_dedup_ingest(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+    batch_tag: str | None = None,
+) -> DataFrame:
+    """Dedup `batch` against the exact-fingerprint store, append the
+    batch's per-fingerprint delta, and return the kept rows (one
+    representative per NOVEL fingerprint, min `id_col`).
+
+    Store layout is an append-only log of (fp, min_id, n_copies) deltas —
+    the same log-structured discipline as the line-dedup segment store:
+    no rewrite, reads aggregate (read_exact_dedup_store), so the ingest
+    shuffles only fingerprint-sized rows, never bodies. Duplicate copies
+    of already-stored content still COUNT (n_copies accumulates — the
+    store total equals a from-scratch exact_dedup over everything ever
+    ingested) but are not returned as kept rows.
+
+    Idempotency: pass a stable `batch_tag` to slot the delta under
+    tag=<batch_tag> with overwrite semantics — re-ingesting the same
+    batch replaces its own delta instead of double-counting. The
+    streaming twin gets this for free from foreachBatch checkpointing
+    (exactly-once per batch id) and passes the batch id as the tag."""
+    fps = exact_fingerprints(batch, key_cols, id_col, hash_mode)
+    delta = fps.groupBy("fp").agg(
+        F.min("id").alias("min_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    safe = (
+        "".join(ch if ch.isalnum() or ch in "-_." else "_" for ch in batch_tag)
+        if batch_tag is not None
+        else None
+    )
+    try:
+        store = spark.read.option("recursiveFileLookup", "true").parquet(store_dir)
+        if safe is not None:
+            # a REPLAYED tagged batch must not see its own prior delta —
+            # otherwise every fp reads as a store hit, kept recomputes as
+            # empty, and the replay loses the representatives the crashed
+            # attempt never flushed to the kept sink
+            store = store.where(
+                ~F.input_file_name().contains(f"tag={safe}/")
+            )
+        store = store.select("fp").distinct()
+        have_store = True
+    except Exception:  # first ingest: no store yet (AnalysisException)
+        have_store = False
+    novel = delta.join(store, "fp", "left_anti") if have_store else delta
+    # representatives materialize BEFORE the store append (the plan reads
+    # the store through the anti-join; parquet listing happens at action
+    # time — same seam as incremental_near_dup_ingest)
+    reps = novel.select("fp", F.col("min_id").alias("id"))
+    kept_ids = fps.join(reps, ["fp", "id"], "left_semi").select(
+        F.col("id").alias(id_col)
+    )
+    kept = batch.join(kept_ids, id_col, "left_semi").localCheckpoint(eager=True)
+    if safe is not None:
+        delta.write.mode("overwrite").parquet(f"{store_dir}/tag={safe}")
+    else:
+        delta.write.mode("append").parquet(store_dir)
+    return kept
+
+
+def read_exact_dedup_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Fold the delta log to the current (fp, min_id, n_copies) state —
+    equal to operators.dedup.exact_dedup over the union of every batch
+    ever ingested (mergeable: MIN and SUM are associative)."""
+    log = spark.read.option("recursiveFileLookup", "true").parquet(store_dir)
+    return log.groupBy("fp").agg(
+        F.min("min_id").alias("min_id"), F.sum("n_copies").alias("n_copies")
+    )
+
+
+def streaming_exact_dedup_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    kept_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+):
+    """Continuous exact dedup: each micro-batch runs
+    incremental_exact_dedup_ingest against the shared fingerprint store
+    and appends its novel representatives to `kept_dir`. Returns a
+    configured DataStreamWriter — call .trigger(...).start().
+
+    The batch id doubles as the store slot tag, so a replayed micro-batch
+    (restart before checkpoint commit) overwrites its own delta instead
+    of double-counting — exactly-once store semantics without a
+    transaction log."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        kept = incremental_exact_dedup_ingest(
+            batch_df.sparkSession, batch_df, store_dir,
+            key_cols=key_cols, id_col=id_col, hash_mode=hash_mode,
+            batch_tag=f"b{batch_id}",
+        )
+        kept.write.mode("append").parquet(kept_dir)
+
+    return stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
 from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
 
 _rbv(__name__)

@@ -898,3 +898,117 @@ def test_streaming_pit_enrich_matches_batch_pit_join(spark, tmp_path):
     assert got == want
     assert want[100] == "bronze" and want[101] is None
     assert want[102] == "silver" and want[103] is None and want[104] == "silver"
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """EXACT dedup's streaming twin (near-dup already has all three forms):
+    documents ingested as micro-batches through the fingerprint store fold
+    to the SAME (fp, min_id, n_copies) state as a from-scratch batch
+    exact_dedup over everything — and the kept stream holds exactly one
+    representative per distinct content, the min-id one."""
+    from etl_poc_spark.io import load_table
+    from etl_poc_spark.operators.dedup import exact_dedup
+    from etl_poc_spark.operators.incremental import (
+        exact_fingerprints,
+        incremental_exact_dedup_ingest,
+        read_exact_dedup_store,
+        streaming_exact_dedup_ingest,
+    )
+
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).limit(300)
+    # inject cross-batch duplicates: same text, higher ids
+    dupes = docs.limit(40).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text"
+    )
+    full = docs.unionByName(dupes)
+    in_dir = str(tmp_path / "docs_in")
+    # 4 single-file micro-batches (maxFilesPerTrigger=1)
+    full.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    store = str(tmp_path / "fp_store")
+    kept_dir = str(tmp_path / "kept")
+    ck = str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(in_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_exact_dedup_ingest(
+            stream, store, kept_dir, ck, key_cols=["text"], id_col="doc_id"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # store state == batch exact_dedup over the full input
+    folded = read_exact_dedup_store(spark, store)
+    fps = exact_fingerprints(full, ["text"], "doc_id")
+    expected = exact_dedup(fps, ["fp"], "id").select(
+        "fp", F.col("min_id"), F.col("n_copies")
+    )
+    assert folded.count() == expected.count()
+    assert (
+        folded.join(
+            expected,
+            (folded.fp == expected.fp)
+            & (folded.min_id == expected.min_id)
+            & (folded.n_copies == expected.n_copies),
+            "inner",
+        ).count()
+        == expected.count()
+    )
+    # kept stream: EXACTLY one representative per distinct content (the
+    # first-seen batch's min id — micro-batch arrival order decides between
+    # equal contents, so membership is asserted per content group rather
+    # than as the global min id)
+    kept = spark.read.parquet(kept_dir)
+    n_distinct = full.select("text").distinct().count()
+    assert kept.count() == n_distinct
+    kept_fps = exact_fingerprints(kept, ["text"], "doc_id")
+    assert kept_fps.select("fp").distinct().count() == n_distinct
+    # every kept id really belongs to the content group of its fingerprint
+    assert kept_fps.join(fps, ["fp", "id"], "left_semi").count() == n_distinct
+
+
+
+def test_exact_dedup_ingest_tagged_replay_is_idempotent(spark, tmp_path):
+    """A replayed tagged batch (crash-before-sink-commit simulation) must
+    neither double-count the store nor lose its kept representatives: the
+    slot overwrite excludes the batch's own delta from the store read."""
+    from etl_poc_spark.operators.incremental import (
+        incremental_exact_dedup_ingest,
+        read_exact_dedup_store,
+    )
+
+    store = str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb")], "doc_id long, text string"
+    )
+    kept1 = incremental_exact_dedup_ingest(
+        spark, b1, store, ["text"], "doc_id", batch_tag="b0"
+    )
+    assert sorted(r.doc_id for r in kept1.collect()) == [1, 3]
+    # replay the SAME tagged batch: kept recomputes identically (the store
+    # read excludes slot b0), store state unchanged
+    kept_replay = incremental_exact_dedup_ingest(
+        spark, b1, store, ["text"], "doc_id", batch_tag="b0"
+    )
+    assert sorted(r.doc_id for r in kept_replay.collect()) == [1, 3]
+    state = {r.min_id: r.n_copies for r in read_exact_dedup_store(spark, store).collect()}
+    assert state == {1: 2, 3: 1}
+    # a NEW batch with one dup of stored content and one novel doc
+    b2 = spark.createDataFrame(
+        [(10, "aa"), (11, "cc")], "doc_id long, text string"
+    )
+    kept2 = incremental_exact_dedup_ingest(
+        spark, b2, store, ["text"], "doc_id", batch_tag="b1"
+    )
+    assert [r.doc_id for r in kept2.collect()] == [11]
+    state = {r.min_id: r.n_copies for r in read_exact_dedup_store(spark, store).collect()}
+    assert state == {1: 3, 3: 1, 11: 1}
