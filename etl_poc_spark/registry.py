@@ -44,6 +44,7 @@ def load_all() -> None:
     the committed `tools/check_oracle.py` gate log, which runs every query."""
     from etl_poc_spark.queries import (  # noqa: F401
         analytics_q,
+        behavior2_q,
         behavior_q,
         bloom_q,
         curation_q,

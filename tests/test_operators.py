@@ -1259,3 +1259,49 @@ def test_asof_join_tolerance(spark):
 
     with pytest.raises(ValueError, match="tolerance_seconds"):
         asof_join(left, right, by=["k"], right_cols=["tag"], tolerance_seconds=-1)
+
+
+def test_asof_join_directions_tolerance_tiebreak(spark):
+    """Generic as-of join: backward picks the latest right row at-or-before
+    each left ts (inclusive), forward the earliest at-or-after; tolerance
+    nulls out matches beyond the bound; same-instant right rows resolve by
+    the tiebreak (last wins backward, first wins forward)."""
+    from datetime import datetime
+
+    from etl_poc_spark.operators.asof import asof_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(5), "a"), (1, t(10), "b"), (2, t(3), "c")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(5), 1, 50.0),   # exactly at left ts -> matches backward
+            (1, t(5), 2, 55.0),   # same instant, higher tiebreak wins
+            (1, t(9), 3, 90.0),
+            (2, t(8), 4, 80.0),   # after left -> no backward match
+        ],
+        "k long, ts timestamp, rid long, px double",
+    )
+    back = asof_join(
+        left, right, ["k"], "ts", "ts", ["px"], tiebreak_cols=["rid"]
+    ).collect()
+    got = {(r["k"], r["tag"]): r["px"] for r in back}
+    assert got == {(1, "a"): 55.0, (1, "b"): 90.0, (2, "c"): None}
+
+    fwd = asof_join(
+        left, right, ["k"], "ts", "ts", ["px"], direction="forward",
+        tiebreak_cols=["rid"],
+    ).collect()
+    got = {(r["k"], r["tag"]): r["px"] for r in fwd}
+    # forward at equal instant: the FIRST by tiebreak (rid=1) wins
+    assert got == {(1, "a"): 50.0, (1, "b"): None, (2, "c"): 80.0}
+
+    tol = asof_join(
+        left, right, ["k"], "ts", "ts", ["px"], tolerance_seconds=30,
+        tiebreak_cols=["rid"],
+    ).collect()
+    got = {(r["k"], r["tag"]): r["px"] for r in tol}
+    # b's match (t9 -> t10) is 60s back: outside the 30s tolerance
+    assert got == {(1, "a"): 55.0, (1, "b"): None, (2, "c"): None}

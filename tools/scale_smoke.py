@@ -1,0 +1,161 @@
+"""sf~1 scale smoke for the iterative / shuffle-heavy tier.
+
+Builds a ~10x copy of the sf0.1 tables (union of salted copies with
+disjoint key ranges — VERDICT r8 ask #5) under a scratch directory, then
+runs the flagged queries once each and records wall time + peak RSS.
+The point is an off-comfort-zone MEASUREMENT that the claimed
+linear/bounded behavior holds, not another correctness gate (SCALING.md
+argues the 100-TB story from plan shape; this pins the 10x step).
+
+Usage:
+    python tools/scale_smoke.py [--scratch /tmp/sf1-smoke] [--copies 10]
+                                [--skip-build] [query ...]
+
+Output: one JSON line per query {name, seconds, peak_rss_mb} plus a
+summary line; paste the table into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMOKE_QUERIES = [
+    "supplier_pagerank",
+    "part_copurchase_kcore",
+    "semdedup_flags",
+    "customer_name_fuzzy_pairs",
+    "line_dedup_stats",
+]
+
+# per-table key columns to offset per copy so the scaled table has
+# disjoint keys (a pure row-duplication would collapse under dedup and
+# explode joins); ID_STRIDE clears every sf0.1 key range
+ID_STRIDE = 10_000_000
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    # region/nation are dims: copied once, never scaled
+}
+SCALED_TABLES = list(KEY_COLS)
+DIM_TABLES = ["region", "nation"]
+
+
+def build(spark, src_sf: str, scratch: str, copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.io import load_table
+
+    os.makedirs(scratch, exist_ok=True)
+    for name in DIM_TABLES:
+        load_table(spark, src_sf, name).write.mode("overwrite").parquet(
+            os.path.join(scratch, f"{name}.parquet")
+        )
+        print(f"built {name} (dim, 1 copy)", flush=True)
+    for name in SCALED_TABLES:
+        base = load_table(spark, src_sf, name)
+        out = None
+        for i in range(copies):
+            c = base
+            for k in KEY_COLS[name]:
+                c = c.withColumn(k, F.col(k) + F.lit(i * ID_STRIDE))
+            # salt text/name columns per copy so content-hash dedup tiers
+            # see genuinely distinct documents, not 10 exact copies
+            if i > 0 and name in ("documents",) and "text" in c.columns:
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" copymark{i}"))
+                )
+            if i > 0 and name == "customer":
+                c = c.withColumn(
+                    "c_name", F.concat(F.col("c_name"), F.lit(f"#{i}"))
+                )
+            out = c if out is None else out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(scratch, f"{name}.parquet"))
+        print(f"built {name} x{copies}", flush=True)
+
+
+def _jvm_peak_rss_mb() -> int | None:
+    """Peak RSS (VmHWM) of the local-mode JVM — the number that actually
+    bounds whether a stage fits, since executors live inside it. Scans
+    /proc for the largest java process (the driver's child gateway)."""
+    best = None
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    if fh.read().strip() != "java":
+                        continue
+                with open(f"/proc/{pid}/status") as fh:
+                    for line in fh:
+                        if line.startswith("VmHWM:"):
+                            kb = int(line.split()[1])
+                            best = max(best or 0, kb // 1024)
+                            break
+            except OSError:
+                continue
+    except OSError:
+        return None
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scratch", default="/tmp/sf1-smoke")
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    from etl_poc_spark import registry
+    from etl_poc_spark.operators.pins import release_pins
+    from etl_poc_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("scale_smoke")
+    if not args.skip_build:
+        build(spark, args.src, args.scratch, args.copies)
+
+    results = {}
+    for name in args.queries or SMOKE_QUERIES:
+        t0 = time.perf_counter()
+        try:
+            registry.QUERIES[name](spark, args.scratch).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sec = round(time.perf_counter() - t0, 1)
+            err = None
+        except Exception as exc:  # noqa: BLE001
+            sec = round(time.perf_counter() - t0, 1)
+            err = f"{type(exc).__name__}: {exc}"[:300]
+        finally:
+            release_pins()
+            spark.catalog.clearCache()
+        peak_mb = _jvm_peak_rss_mb() or (
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        )
+        row = {"query": name, "seconds": sec, "jvm_peak_rss_mb": peak_mb}
+        if err:
+            row["err"] = err
+        results[name] = row
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"scale_smoke": results, "copies": args.copies}))
+    return 1 if any("err" in r for r in results.values()) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
