@@ -253,6 +253,22 @@ def _assign_centroid(
     return df.select(id_col, vec_col).mapInPandas(fn, schema=out_schema)
 
 
+def auto_centroids(n_rows: int, target_cluster_size: int = 200, floor: int = 16) -> int:
+    """Centroid count that keeps expected cluster occupancy constant as
+    the corpus grows: k = n / target_cluster_size (min `floor`).
+
+    A FIXED k is a scale trap the 10x smoke measured directly
+    (tools/scale_smoke.py, SCALING.md): within-cluster candidate pairs
+    grow as sum(c_k^2)/2, so 10x rows with constant k means ~10x cluster
+    occupancy and ~100x pairwise work — 4.0s -> 71.8s for semdedup at
+    sf0.1 -> ~sf1. Scaling k with n holds occupancy (and the per-cluster
+    quadratic term) constant, so total pair work grows linearly. FAISS
+    guidance for IVF is the same rule (k ~ sqrt(n) to n/256 depending on
+    probe budget); SemDeDup's coarse quantizer only needs occupancy
+    control, so the linear rule is the right one here."""
+    return max(floor, n_rows // max(1, target_cluster_size))
+
+
 def train_kmeans_centroids(
     base: DataFrame,
     n_centroids: int = 16,

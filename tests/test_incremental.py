@@ -179,3 +179,38 @@ def test_streaming_kmv_matches_sequential_batches(spark, tmp_path):
     got = sorted(r["h"] for r in spark.read.parquet(str(tmp_path / "store")).collect())
     ref = sorted(r["h"] for r in spark.read.parquet(ref_store).collect())
     assert got == ref and len(got) == 32
+
+
+def test_incremental_join_view_equals_full_rebuild(spark, tmp_path):
+    """Delta-rule join-view maintenance: after interleaved left/right
+    insert batches, the maintained view equals a from-scratch join of the
+    accumulated bases — every dL x R_old, L_old x dR, and dL x dR term
+    counted exactly once."""
+    from etl_poc_spark.operators.ivm import (
+        incremental_join_view_ingest,
+        read_join_view,
+    )
+
+    store = str(tmp_path / "jv")
+    mk_l = lambda rows: spark.createDataFrame(rows, "k long, l string")  # noqa: E731
+    mk_r = lambda rows: spark.createDataFrame(rows, "k long, r string")  # noqa: E731
+
+    # batch 1: left only (view stays empty — no right side yet)
+    incremental_join_view_ingest(spark, store, ["k"], left_delta=mk_l([(1, "l1"), (2, "l2")]))
+    # batch 2: right only -> L_old x dR
+    incremental_join_view_ingest(spark, store, ["k"], right_delta=mk_r([(1, "r1"), (3, "r3")]))
+    # batch 3: both sides at once -> all three delta terms live
+    incremental_join_view_ingest(
+        spark, store, ["k"],
+        left_delta=mk_l([(3, "l3"), (1, "l1b")]),
+        right_delta=mk_r([(2, "r2"), (1, "r1b")]),
+    )
+    got = sorted(
+        (r["k"], r["l"], r["r"]) for r in read_join_view(spark, store).collect()
+    )
+    left_all = mk_l([(1, "l1"), (2, "l2"), (3, "l3"), (1, "l1b")])
+    right_all = mk_r([(1, "r1"), (3, "r3"), (2, "r2"), (1, "r1b")])
+    want = sorted(
+        (r["k"], r["l"], r["r"]) for r in left_all.join(right_all, ["k"]).collect()
+    )
+    assert got == want and len(got) == 6

@@ -130,8 +130,25 @@ def main() -> int:
     if not args.skip_build:
         build(spark, args.src, args.scratch, args.copies)
 
+    def semdedup_adaptive(spark, sf_dir):
+        # the gate query is oracle-locked to 64 centroids; this variant
+        # proves the auto_centroids scale fix (constant cluster occupancy
+        # -> linear pair work) on the same corpus
+        from etl_poc_spark.operators.similarity import (
+            auto_centroids,
+            semdedup,
+            train_kmeans_centroids,
+        )
+        from etl_poc_spark.queries.similarity_q import _semdedup_corpus
+
+        corpus = _semdedup_corpus(spark, sf_dir)
+        k = auto_centroids(corpus.count(), target_cluster_size=200)
+        cents = train_kmeans_centroids(corpus, n_centroids=k, n_iters=1)
+        return semdedup(corpus, cents, threshold=0.99, max_cluster_size=2000)
+
+    registry.QUERIES.setdefault("semdedup_flags_adaptive", semdedup_adaptive)
     results = {}
-    for name in args.queries or SMOKE_QUERIES:
+    for name in args.queries or SMOKE_QUERIES + ["semdedup_flags_adaptive"]:
         t0 = time.perf_counter()
         try:
             registry.QUERIES[name](spark, args.scratch).write.format("noop").mode(
