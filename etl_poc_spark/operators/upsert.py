@@ -315,6 +315,16 @@ def read_versioned(
     paths = sorted(_resolution(commits, target_dir).values())
     if not paths:
         raise ValueError(f"no finalized commits under {target_dir}")
+    # a partition deleted down to ZERO rows (delete_versioned) has a
+    # manifest entry — it must supersede the old data or the rows would
+    # resurrect — but no leaf directory, since partitionBy writes nothing
+    # for an absent value; skip missing leaves (they read as zero rows)
+    fs, P = _hfs(spark, target_dir)
+    paths = [p for p in paths if fs.exists(P(p))]
+    if not paths:
+        raise ValueError(
+            f"table under {target_dir} is fully deleted at this version"
+        )
     # mergeSchema: commits may carry evolved schemas (see
     # upsert_versioned allow_schema_evolution); columns absent from a
     # leaf read as NULL, and time travel before the evolution naturally
@@ -392,6 +402,58 @@ def upsert_versioned(
     else:
         merged = latest_by_key(upd, key_cols, seq_col)
     _write_commit_data(merged, target_dir, partition_col, commit_id)
+    _finalize_commit(spark, target_dir, commit_id, parts, base_count=len(base))
+    return commit_id
+
+
+def delete_versioned(
+    spark: SparkSession,
+    keys: DataFrame,
+    target_dir: str,
+    key_cols: list[str],
+    partition_col: str,
+) -> str:
+    """Key deletion (right-to-be-forgotten) through the commit protocol:
+    rewrite every affected partition minus the matching keys as a fresh
+    commit, atomically published. Returns the commit id.
+
+    Partition pruning: when `keys` carries `partition_col`, only those
+    partitions rewrite (the fast path — ship the partition with the
+    delete request); otherwise ONE bounded scan semi-joins the live
+    table to find the partitions that actually contain matching keys,
+    so untouched partitions never rewrite either way.
+
+    Logical deletion is immediate for readers (read_versioned serves the
+    new commit); PHYSICAL erasure of superseded data dirs — the GDPR
+    requirement — happens at vacuum_versioned, which also ends time
+    travel to the pre-delete versions. Run vacuum inside the compliance
+    window."""
+    commit_id = uuid.uuid4().hex[:12]
+    base = _list_commits(spark, target_dir)
+    current = _resolution(base, target_dir)
+    if not current:
+        raise ValueError(f"no finalized commits under {target_dir}")
+    # already-emptied partitions resolve to a manifest entry with no leaf
+    # dir (see read_versioned) — nothing to rewrite there
+    fs, P = _hfs(spark, target_dir)
+    current = {p: path for p, path in current.items() if fs.exists(P(path))}
+    if partition_col in keys.columns:
+        parts = [p for p in _checked_partition_values(keys, partition_col) if p in current]
+        probe = keys.select(*key_cols).distinct()
+    else:
+        live = spark.read.option("mergeSchema", "true").parquet(
+            *sorted(current.values())
+        )
+        probe = keys.select(*key_cols).distinct()
+        hit = live.join(probe, key_cols, "left_semi").select(partition_col)
+        parts = _checked_partition_values(hit, partition_col)
+    if not parts:
+        raise ValueError("delete batch matches no live partition — nothing to do")
+    existing = spark.read.option("mergeSchema", "true").parquet(
+        *[current[p] for p in parts]
+    )
+    remaining = existing.join(probe, key_cols, "left_anti")
+    _write_commit_data(remaining, target_dir, partition_col, commit_id)
     _finalize_commit(spark, target_dir, commit_id, parts, base_count=len(base))
     return commit_id
 

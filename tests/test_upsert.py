@@ -617,3 +617,60 @@ def test_versioned_real_threaded_disjoint_writers(spark, tmp_path):
     assert got[0] == ("seed", "s", 1)
     for i in range(n):
         assert got[100 + i] == (f"p{i}", f"v{i}", 1)
+
+
+def test_delete_versioned_keys_and_empty_partition(spark, tmp_path):
+    """Right-to-be-forgotten through the commit protocol: deleted keys
+    vanish from the live view (untouched partitions never rewrite), a
+    partition deleted to ZERO rows stays deleted (its manifest entry
+    supersedes the old data even with no leaf dir), time travel still
+    serves the pre-delete state until vacuum, and vacuum physically
+    removes the superseded data."""
+    import pytest
+
+    from etl_poc_spark.operators import upsert as U
+
+    target = str(tmp_path / "vt")
+    U.upsert_versioned(
+        spark,
+        _rows(spark, [(1, "d1", "x", 1), (2, "d1", "y", 1), (3, "d2", "z", 1)]),
+        target, ["k"], "seq", "day",
+    )
+    before = U._resolve_partitions(spark, target)
+
+    # partition-pruned delete: keys frame carries the partition column
+    U.delete_versioned(
+        spark,
+        spark.createDataFrame([(1, "d1")], "k long, day string"),
+        target, ["k"], "day",
+    )
+    got = _vread(spark, target)
+    assert 1 not in got and got[2] == ("d1", "y", 1) and got[3] == ("d2", "z", 1)
+    after = U._resolve_partitions(spark, target)
+    assert after["d2"] == before["d2"]  # untouched partition not rewritten
+
+    # probe-mode delete (no partition col): finds d2 via the live semi-join
+    # and empties it entirely
+    U.delete_versioned(
+        spark, spark.createDataFrame([(3,)], "k long"), target, ["k"], "day"
+    )
+    got = _vread(spark, target)
+    assert set(got) == {2}
+
+    # deleting a key that no longer exists anywhere is a no-op error
+    with pytest.raises(ValueError, match="matches no live partition"):
+        U.delete_versioned(
+            spark, spark.createDataFrame([(99,)], "k long"), target, ["k"], "day"
+        )
+
+    # time travel: version 1 still shows every pre-delete row
+    v1 = {
+        r["k"] for r in U.read_versioned(spark, target, as_of=1).collect()
+    }
+    assert v1 == {1, 2, 3}
+
+    # physical erasure: vacuum removes superseded dirs; the live view is
+    # unchanged and pre-delete versions are no longer resolvable
+    n = U.vacuum_versioned(spark, target)
+    assert n >= 1
+    assert set(_vread(spark, target)) == {2}
