@@ -463,3 +463,154 @@ def weekday_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_dow")
     )
+
+
+@query(
+    "pps_token_sample",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n_tokens) OVER (PARTITION BY source) AS total
+      FROM t
+    ), sel AS (
+      SELECT source, n_tokens,
+             ((cum * 10) // total) > (((cum - n_tokens) * 10) // total)
+               AS picked
+      FROM c WHERE total > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) FILTER (picked) AS BIGINT) AS n_selected,
+           CAST(COALESCE(SUM(n_tokens) FILTER (picked), 0) AS BIGINT)
+             AS tokens_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+    FROM sel GROUP BY source ORDER BY source
+    """,
+)
+def pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: per source,
+    walk documents in deterministic md5 order and pick every document
+    whose token mass crosses a k-th (k=10) of the source's total — docs
+    are selected with probability proportional to length WITHOUT
+    replacement, the standard way to sample pretraining shards so token
+    mass (not doc count) is preserved. All integer arithmetic: the
+    boundary test is (cum*k)//total stepping, no float stride, so both
+    engines pick identical docs. One window shuffle partitioned by
+    source (the token_budget_sample prefix-sum idiom); zero-token docs
+    can never cross a boundary and drop out by construction."""
+    from etl_poc_spark.functions.text import word_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        word_count(F.col("text")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("source")
+    c = t.select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(wcum).alias("cum"),
+        F.sum("n_tokens").over(wall).alias("total"),
+    ).where(F.col("total") > 0)
+    picked = F.floor(F.col("cum") * 10 / F.col("total")) > F.floor(
+        (F.col("cum") - F.col("n_tokens")) * 10 / F.col("total")
+    )
+    return (
+        c.withColumn("picked", picked)
+        .groupBy("source")
+        .agg(
+            F.count(F.when(F.col("picked"), 1)).alias("n_selected"),
+            F.coalesce(
+                F.sum(F.when(F.col("picked"), F.col("n_tokens"))), F.lit(0)
+            ).alias("tokens_selected"),
+            F.sum("n_tokens").alias("tokens_total"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "price_ks_two_segments",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN c.c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS g2
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), pv AS (
+      SELECT v, CAST(SUM(g1) AS BIGINT) AS a, CAST(SUM(g2) AS BIGINT) AS b
+      FROM j GROUP BY v
+    ), cdf AS (
+      SELECT SUM(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+             SUM(a) OVER () AS n1, SUM(b) OVER () AS n2
+      FROM pv
+    )
+    SELECT CAST(ANY_VALUE(n1) AS BIGINT) AS n1,
+           CAST(ANY_VALUE(n2) AS BIGINT) AS n2,
+           CAST(MAX(abs(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
+           round(CAST(MAX(abs(ca * n2 - cb * n1)) AS DOUBLE)
+                 / (CAST(ANY_VALUE(n1) AS DOUBLE) * ANY_VALUE(n2)), 9) AS ks
+    FROM cdf
+    """,
+)
+def price_ks_two_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between BUILDING and
+    MACHINERY order prices — the nonparametric distribution-drift test
+    beside the binned PSI readout. EXACT: D's numerator is the max of
+    integer cross-products |CDF1*n2 - CDF2*n1| (no per-step float CDFs),
+    with ONE double division at the end. The running CDFs are windows
+    over the DISTINCT-price-grained frame under a non-foldable
+    single-group key: 2-decimal prices in a fixed range are a bounded
+    domain (~1e6 cells at any corpus size), the same bounded-frame
+    justification as the exact-quantile tier."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("g1"),
+            F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0).alias("g2"),
+        )
+    )
+    pv = j.groupBy("v").agg(F.sum("g1").alias("a"), F.sum("g2").alias("b"))
+    single = F.col("v").isNull()
+    wcum = (
+        Window.partitionBy(single)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(single)
+    cdf = pv.select(
+        F.sum("a").over(wcum).alias("ca"),
+        F.sum("b").over(wcum).alias("cb"),
+        F.sum("a").over(wall).alias("n1"),
+        F.sum("b").over(wall).alias("n2"),
+    )
+    d_num = F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))
+    return cdf.select(d_num.alias("d"), "n1", "n2").agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.max("d").alias("d_num"),
+        F.round(
+            F.max("d").cast("double")
+            / (F.first("n1").cast("double") * F.first("n2")),
+            9,
+        ).alias("ks"),
+    )
