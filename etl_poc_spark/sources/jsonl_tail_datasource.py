@@ -1,0 +1,95 @@
+"""Spark 4 Python STREAMING DataSource: tail a landing directory of
+immutable JSONL files (SURVEY.md §2.1 S4/S5's scan surface, streaming
+form — the batch arXiv DataSource's sibling in sources/arxiv_datasource.py).
+
+After `register_jsonl_tail_datasource(spark)`:
+
+    spark.readStream.format("jsonl_tail")
+         .option("path", "/landing/dir")
+         .option("ddl", "doc_id long, text string")
+         .load()
+
+Offsets are the count of COMPLETE files consumed in sorted-filename
+order — the per-file-atomic landing-zone contract (writers stage a file
+and rename it in; the tail never sees partial files). That makes
+`readBetweenOffsets` exactly reproducible for failure recovery: a batch
+is a half-open file range [start, end), so a restarted query re-reads
+bit-identical batches from the checkpoint.
+
+Built on SimpleDataSourceStreamReader (driver-side reads, no partition
+planning) — the right tier for control-plane-sized feeds per its own
+contract; a high-throughput landing zone should use the built-in file
+source instead. The value here is the OFFSET MODEL demo: deterministic
+replay from a plain directory with no _spark_metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+DEFAULT_DDL = "value string"
+
+
+def _list_files(path: str) -> list[str]:
+    try:
+        names = sorted(
+            n for n in os.listdir(path)
+            if n.endswith(".jsonl") and not n.startswith(".")
+        )
+    except FileNotFoundError:
+        return []
+    return [os.path.join(path, n) for n in names]
+
+
+class JsonlTailStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_tail requires .option('path', <dir>)")
+        self.fields = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def _rows(self, files: list[str]) -> list[tuple]:
+        # materialized list, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator, which generators can't do
+        out: list[tuple] = []
+        for fp in files:
+            with open(fp, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    out.append(tuple(rec.get(f) for f in self.fields))
+        return out
+
+    def read(self, start: dict):
+        files = _list_files(self.path)
+        end = {"idx": len(files)}
+        return iter(self._rows(files[start["idx"]:])), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _list_files(self.path)
+        return iter(self._rows(files[start["idx"]:end["idx"]]))
+
+
+class JsonlTailDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_tail"
+
+    def schema(self) -> str:
+        return self.options.get("ddl", DEFAULT_DDL)
+
+    def simpleStreamReader(self, schema: StructType) -> JsonlTailStreamReader:
+        return JsonlTailStreamReader(schema, self.options)
+
+
+def register_jsonl_tail_datasource(spark) -> None:
+    spark.dataSource.register(JsonlTailDataSource)

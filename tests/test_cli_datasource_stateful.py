@@ -93,3 +93,55 @@ def test_stateful_sessionize_stream(spark, stream_events_dir):
         assert len(sessions) == 2  # 40-min gap split
         assert sessions[0]["n_events"] == 3
         assert sessions[1]["n_events"] == 2
+
+
+def test_jsonl_tail_streaming_datasource_incremental_offsets(spark, tmp_path):
+    """The Python STREAMING DataSource (Spark 4 SimpleDataSourceStreamReader):
+    a landing dir of immutable jsonl files tails with complete-file offsets —
+    run 1 consumes the existing files, a later run FROM THE SAME CHECKPOINT
+    consumes only files landed since (deterministic replayable offsets)."""
+    import json as _json
+
+    from etl_poc_spark.sources.jsonl_tail_datasource import (
+        register_jsonl_tail_datasource,
+    )
+
+    register_jsonl_tail_datasource(spark)
+    land = tmp_path / "landing"
+    land.mkdir()
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+
+    def write_file(name, rows):
+        p = land / name
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    write_file("a.jsonl", [{"doc_id": 1, "text": "one"}, {"doc_id": 2, "text": "two"}])
+    write_file("b.jsonl", [{"doc_id": 3, "text": "three"}])
+
+    def run_once():
+        stream = (
+            spark.readStream.format("jsonl_tail")
+            .option("path", str(land))
+            .option("ddl", "doc_id long, text string")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1: "one", 2: "two", 3: "three"}
+
+    # two more files land; the SAME checkpoint resumes past the old offset
+    write_file("c.jsonl", [{"doc_id": 4, "text": "four"}])
+    write_file("d.jsonl", [{"doc_id": 5, "text": "five"}])
+    run_once()
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1: "one", 2: "two", 3: "three", 4: "four", 5: "five"}
