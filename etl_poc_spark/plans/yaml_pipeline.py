@@ -654,6 +654,61 @@ def _apply_op(
                 .orderBy("abc_class")
             )
         return classified.orderBy(F.desc("total_value"), F.asc(key))
+    if t == "asof_join":
+        # backward/forward as-of enrichment against another dataset/step
+        # (operators/asof.py — union-window carry, one key shuffle)
+        from etl_poc_spark.operators.asof import asof_join
+
+        return asof_join(
+            df,
+            _frame("right"),
+            key_cols=op.get("keys") or ["user_id"],
+            left_ts=op.get("ts_key", "ts"),
+            right_ts=op.get("right_ts_key", op.get("ts_key", "ts")),
+            attr_cols=op["attrs"],
+            direction=op.get("direction", "backward"),
+            tolerance_seconds=(
+                int(op["tolerance_seconds"]) if op.get("tolerance_seconds") else None
+            ),
+            tiebreak_cols=tuple(op.get("tiebreak") or ()),
+        )
+    if t == "pps_sample":
+        # systematic probability-proportional-to-size sampling: keep docs
+        # whose token mass crosses a k-th of the stratum total in md5
+        # order — integer boundary stepping, no float strides
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        id_col = op.get("id", "doc_id")
+        strat = op.get("stratify_key")
+        weight = op.get("weight_key")
+        k = int(op.get("k", 10))
+        if weight:
+            w_col = F.col(weight).cast("long")
+        else:
+            text_col = op.get("text_key", "text")
+            w_col = F.size(
+                F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+            ).cast("long")
+        part = [strat] if strat else [F.lit(1).isNull()]
+        base = df.select(
+            "*", w_col.alias("__w"), F.md5(F.col(id_col).cast("string")).alias("__h")
+        )
+        wcum = (
+            Window.partitionBy(*part)
+            .orderBy("__h")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wall = Window.partitionBy(*part)
+        c = base.select(
+            "*",
+            F.sum("__w").over(wcum).alias("__cum"),
+            F.sum("__w").over(wall).alias("__total"),
+        ).where(F.col("__total") > 0)
+        picked = F.floor(F.col("__cum") * k / F.col("__total")) > F.floor(
+            (F.col("__cum") - F.col("__w")) * k / F.col("__total")
+        )
+        return c.where(picked).drop("__w", "__h", "__cum", "__total")
     if t == "grouping_sets":
         # general GROUPING SETS: multiple grains in ONE Expand + aggregate
         # pass with the standard grouping_id; `sets` is a list of column

@@ -614,3 +614,65 @@ def price_ks_two_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("ks"),
     )
+
+
+@query(
+    "order_priority_mode_by_segment",
+    oracle="""
+    WITH cnt AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_orderpriority
+    ), r AS (
+      SELECT segment, priority, n,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY n DESC, priority) AS rn,
+             CAST(SUM(n) OVER (PARTITION BY segment) AS BIGINT) AS n_total
+      FROM cnt
+    )
+    SELECT segment, priority AS mode_priority, n AS n_mode, n_total,
+           round(CAST(n AS DOUBLE) / n_total, 9) AS mode_share
+    FROM r WHERE rn = 1 ORDER BY segment
+    """,
+)
+def order_priority_mode_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode per group (most frequent order priority per segment,
+    ties broken lexicographically so both engines pick the same value) —
+    the categorical companion to the quantile tier. Shape: count-then-
+    argmax, i.e. one groupBy to the (segment, priority) grain and a
+    window over THAT aggregate — never a shuffle of raw orders past the
+    first count. Spark's mode() aggregate is tie-nondeterministic, so
+    the explicit row_number formulation is the portable one."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cnt = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("n"), "priority")
+    wt = Window.partitionBy("segment")
+    return (
+        cnt.select(
+            "segment",
+            "priority",
+            "n",
+            F.row_number().over(w).alias("rn"),
+            F.sum("n").over(wt).alias("n_total"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "segment",
+            F.col("priority").alias("mode_priority"),
+            F.col("n").alias("n_mode"),
+            "n_total",
+            F.round(F.col("n").cast("double") / F.col("n_total"), 9).alias(
+                "mode_share"
+            ),
+        )
+        .orderBy("segment")
+    )

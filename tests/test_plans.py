@@ -659,3 +659,50 @@ def test_transition_matrix_single_user_shuffle(spark, sf_dir):
     p = formatted_plan(spark, "event_transition_matrix", sf_dir)
     assert p.count("Exchange") <= 10  # formatted prints nodes twice -> <=5 real
     assert "CartesianProduct" not in p
+
+
+def test_yaml_asof_and_pps_ops(spark):
+    """Round-9 vocabulary: as-of enrichment against another dataset and
+    PPS sampling both drive from config."""
+    from datetime import datetime
+
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    facts = spark.createDataFrame(
+        [(1, t(5)), (1, t(10)), (2, t(3))], "k long, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [(1, t(4), 40.0), (1, t(9), 90.0), (2, t(7), 70.0)],
+        "k long, ts timestamp, px double",
+    )
+    cfg = {
+        "default_model": "stub",
+        "datasets": {"facts": {"path": "i.json"}, "quotes": {"path": "i.json"}},
+        "operations": [{
+            "name": "aj", "type": "asof_join", "right": "quotes",
+            "keys": ["k"], "attrs": ["px"],
+        }],
+        "pipeline": {"steps": [
+            {"name": "s", "input": "facts", "operations": ["aj"]}
+        ]},
+    }
+    out = run_pipeline(spark, cfg, datasets={"facts": facts, "quotes": quotes})
+    got = {(r["k"], str(r["ts"])[14:16]): r["px"] for r in out["__final__"].collect()}
+    assert got == {(1, "05"): 40.0, (1, "10"): 90.0, (2, "03"): None}
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i + 1)) for i in range(20)], "doc_id long, text string"
+    )
+    cfg = {
+        "default_model": "stub",
+        "datasets": {"docs": {"path": "i.json"}},
+        "operations": [{"name": "pp", "type": "pps_sample", "k": 4}],
+        "pipeline": {"steps": [
+            {"name": "s", "input": "docs", "operations": ["pp"]}
+        ]},
+    }
+    kept = run_pipeline(spark, cfg, datasets={"docs": docs})["__final__"].collect()
+    # systematic PPS with k=4 picks between 1 and 4 docs, schema preserved
+    assert 1 <= len(kept) <= 4
+    assert sorted(kept[0].asDict().keys()) == ["doc_id", "text"]
