@@ -243,16 +243,11 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast-joins a 20-row frame on a literal key (BroadcastHashJoin,
     # not a nested-loop cross shape) rather than the full pair space
     top = pairs.orderBy(F.desc("n_both"), "part_a", "part_b").limit(20)
-    n_row = (
-        ol.groupBy()
-        .agg(F.countDistinct("l_orderkey").alias("n"))
-        .select(F.lit(1).alias("__one"), "n")
-    )
-    top = (
-        top.withColumn("__one", F.lit(1))
-        .join(F.broadcast(n_row), "__one")
-        .drop("__one")
-    )
+    # 1-row basket-count scalar x the 20-row top frame: the scalar comes
+    # from a DIFFERENT table, so this is the whitelisted 1-row-broadcast
+    # scalar join (bm25_search / vocab_stats class), not a window attach
+    n_row = ol.groupBy().agg(F.countDistinct("l_orderkey").alias("n"))
+    top = top.crossJoin(F.broadcast(n_row))
     return (
         top.select(
             "part_a",

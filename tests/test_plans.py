@@ -201,6 +201,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "price_distribution_drift",  # 1-row bin-total scalar join over the 10-bin frame
         "segment_price_outliers",    # 5-row segment-stats broadcast onto the fact scan
         "partkey_skew_report",       # 1-row stats x 1-row p99 scalar join
+        "part_association_rules",    # 1-row basket-count scalar x 20-row top-k frame
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():
