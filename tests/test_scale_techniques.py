@@ -203,3 +203,44 @@ def test_histogram_quantile_within_one_bin_of_exact(spark, sf_dir):
             .agg({"o_totalprice": "max"}).collect()[0][0]
         )
         assert est[q100] <= v_r < est[q100] + 500.0
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """Persisted bucketing beyond the existing zero-exchange join pin:
+    bucketed AGGREGATION on the bucket key also skips its exchange, and a
+    plain-parquet round-trip of the SAME data does shuffle — proving the
+    layout (not data size) removes the exchanges."""
+    from etl_poc_spark.io import load_table
+    from etl_poc_spark.operators.skew import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_customer")
+    write_bucketed(o, "bt_orders", "o_custkey", n_buckets=8)
+    write_bucketed(c, "bt_customer", "o_custkey", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bt_orders").join(spark.table("bt_customer"), ["o_custkey"])
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # bucket layout = join distribution
+        # bucketed aggregation on the key skips its exchange too
+        agg = spark.table("bt_orders").groupBy("o_custkey").count()
+        pa_ = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in pa_
+        # control: identical data as plain parquet DOES shuffle
+        o.write.mode("overwrite").parquet(str(tmp_path / "po"))
+        c.write.mode("overwrite").parquet(str(tmp_path / "pc"))
+        pj = spark.read.parquet(str(tmp_path / "po")).join(
+            spark.read.parquet(str(tmp_path / "pc")), ["o_custkey"]
+        )
+        pp = pj._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in pp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_customer")
