@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -33,6 +34,8 @@ def asof_join(
     right_cols: list[str] | None = None,
     direction: str = "backward",
     tolerance_seconds: int | None = None,
+    tiebreak_cols: list[str] | tuple[str, ...] = (),
+    include_matched_ts: bool = False,
 ) -> DataFrame:
     """Inclusive as-of join: append, to every left row, the payload of the
     latest right row with right_ts <= left_ts (direction='backward') or the
@@ -45,21 +48,28 @@ def asof_join(
     `tolerance_seconds` bounds the lookback/lookahead (pandas merge_asof
     parity): a matched right row farther than the tolerance nulls out —
     the matched ts rides along in the same window pick, so the bound
-    costs one integer comparison, not a second join."""
+    costs one integer comparison, not a second join.
+
+    `tiebreak_cols` makes same-instant right duplicates deterministic
+    (backward: the LAST by tiebreak wins; forward: the first) — without
+    it, pre-aggregate duplicates per (by, ts) exactly as DuckDB's ASOF
+    JOIN expects. The whole right payload (matched ts + every right col)
+    is ONE struct through ONE window pick, so the matched columns always
+    come from the SAME right row even under duplicates.
+
+    `include_matched_ts` appends `asof_matched_ts` (the matched right
+    row's timestamp) for gap/age computations downstream."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if tolerance_seconds is not None and tolerance_seconds < 0:
         raise ValueError("tolerance_seconds must be >= 0")
     right_cols = right_cols or [c for c in right.columns if c not in (*by, right_ts)]
     l_payload = [c for c in left.columns if c not in (*by,)]
+    tiebreaks = list(tiebreak_cols)
 
-    l_tag = left.select(
-        *by,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        *[F.col(c) for c in l_payload if c != left_ts],
-        F.col(left_ts),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in right_cols],
     )
     r_tag = right.select(
         *by,
@@ -67,58 +77,64 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload if c != left_ts],
         F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"__tb_{i}") for i, c in enumerate(tiebreaks)],
+        payload.alias("__p"),
+    )
+    l_tag = left.select(
+        *by,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in l_payload if c != left_ts],
+        F.col(left_ts),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{i}")
+            for i, c in enumerate(tiebreaks)
+        ],
+        F.lit(None).cast(r_tag.schema["__p"].dataType).alias("__p"),
     )
     if direction == "backward":
-        # right rows (side 0) sort before left at equal ts -> inclusive
+        # right rows (side 0) sort before left at equal ts -> inclusive;
+        # ascending tiebreaks so `last` picks the greatest duplicate
+        order = [F.col("__ts"), F.col("__side")]
+        order += [F.asc(f"__tb_{i}") for i in range(len(tiebreaks))]
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__ts"), F.col("__side"))
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = lambda c: F.last(F.col(c), ignorenulls=True)  # noqa: E731
     else:
-        # forward: left rows sort before right at equal ts, frame looks ahead
+        # forward: left rows sort before right at equal ts, frame looks
+        # ahead; ascending tiebreaks so `first` picks the least duplicate
+        order = [F.col("__ts"), (1 - F.col("__side"))]
+        order += [F.asc(f"__tb_{i}") for i in range(len(tiebreaks))]
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col("__ts"), (1 - F.col("__side")))
+            .orderBy(*order)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = lambda c: F.first(F.col(c), ignorenulls=True)  # noqa: E731
-    if tolerance_seconds is not None:
-        # the matched right row's own timestamp rides along in the same
-        # window pick so the tolerance check is one integer compare
-        l_tag = l_tag.withColumn("__r___ts", F.lit(None).cast(r_tag.schema["__ts"].dataType))
-        r_tag = r_tag.withColumn("__r___ts", F.col("__ts"))
-    matched = l_tag.unionByName(r_tag)
-    for c in right_cols:
-        matched = matched.withColumn(f"__m_{c}", pick(f"__r_{c}").over(w))
+    matched = l_tag.unionByName(r_tag).withColumn("__m", pick("__p").over(w))
     out = matched.filter(F.col("__side") == 1)
+    m_ts = F.col("__m").getField("__rts")
     if tolerance_seconds is not None:
-        m_ts = pick("__r___ts").over(w)
-        matched = matched.withColumn("__m___ts", m_ts)
-        out = matched.filter(F.col("__side") == 1)
         # timestamp keys compare in integer microseconds; plain numeric
         # keys compare raw (tolerance then reads in the key's own units)
         if dict(matched.dtypes)["__ts"].startswith("timestamp"):
-            gap = F.abs(
-                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m___ts"))
-            )
-            tol = F.lit(tolerance_seconds) * 1_000_000
+            gap = F.abs(F.unix_micros(F.col("__ts")) - F.unix_micros(m_ts))
+            # precompute in Python: an INT literal times 1e6 overflows
+            # int32 under ANSI for tolerances over ~35 minutes
+            tol = F.lit(int(tolerance_seconds) * 1_000_000).cast("long")
         else:
-            gap = F.abs(F.col("__ts") - F.col("__m___ts"))
+            gap = F.abs(F.col("__ts") - m_ts)
             tol = F.lit(tolerance_seconds)
-        within = F.col("__m___ts").isNotNull() & (gap <= tol)
-        return out.select(
-            *by,
-            *[F.col(c) for c in l_payload],
-            *[
-                F.when(within, F.col(f"__m_{c}")).alias(f"asof_{c}")
-                for c in right_cols
-            ],
+        out = out.withColumn(
+            "__m", F.when(m_ts.isNotNull() & (gap <= tol), F.col("__m"))
         )
+    extra = [m_ts.alias("asof_matched_ts")] if include_matched_ts else []
     return out.select(
         *by,
         *[F.col(c) for c in l_payload],
-        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in right_cols],
+        *extra,
+        *[F.col("__m").getField(c).alias(f"asof_{c}") for c in right_cols],
     )

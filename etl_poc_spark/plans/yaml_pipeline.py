@@ -656,16 +656,16 @@ def _apply_op(
         return classified.orderBy(F.desc("total_value"), F.asc(key))
     if t == "asof_join":
         # backward/forward as-of enrichment against another dataset/step
-        # (operators/asof.py — union-window carry, one key shuffle)
-        from etl_poc_spark.operators.asof import asof_join
+        # (operators/temporal.py — union-window carry, one key shuffle)
+        from etl_poc_spark.operators.temporal import asof_join
 
         return asof_join(
             df,
             _frame("right"),
-            key_cols=op.get("keys") or ["user_id"],
+            by=op.get("keys") or ["user_id"],
             left_ts=op.get("ts_key", "ts"),
             right_ts=op.get("right_ts_key", op.get("ts_key", "ts")),
-            attr_cols=op["attrs"],
+            right_cols=op["attrs"],
             direction=op.get("direction", "backward"),
             tolerance_seconds=(
                 int(op["tolerance_seconds"]) if op.get("tolerance_seconds") else None

@@ -55,14 +55,14 @@ from etl_poc_spark.registry import query
     """,
 )
 def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward as-of join (operators/asof.py): every non-purchase event
+    """Backward as-of join (operators/temporal.py): every non-purchase event
     gets the value of the user's most recent purchase at-or-before it,
     within a 7-day tolerance — the feature-engineering join every
     behavioral model wants ("context at event time"). The plan is ONE
     user shuffle (union-window carry, no interval theta-join); tolerance
     is a free post-filter in integer microseconds. The oracle mirrors the
     exact union-window ordering (ts, is_left, event_id tiebreak)."""
-    from etl_poc_spark.operators.asof import asof_join
+    from etl_poc_spark.operators.temporal import asof_join
 
     e = load_table(spark, sf_dir, "events")
     purchases = e.where(F.col("event_type") == "purchase").select(
@@ -77,18 +77,19 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join(
         touches,
         purchases,
-        key_cols=["user_id"],
+        by=["user_id"],
         left_ts="ts",
         right_ts="ts",
-        attr_cols=["purchase_value"],
+        right_cols=["purchase_value"],
         tolerance_seconds=7 * 86400,
         tiebreak_cols=["event_id"],
+        include_matched_ts=True,
     )
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("__matched_ts"))
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_matched_ts"))
     m = joined.select(
         "event_type",
-        F.col("purchase_value").alias("v"),
-        F.when(F.col("purchase_value").isNotNull(), gap_us).alias("gap_us"),
+        F.col("asof_purchase_value").alias("v"),
+        F.when(F.col("asof_purchase_value").isNotNull(), gap_us).alias("gap_us"),
     )
     return (
         m.groupBy("event_type")
@@ -245,8 +246,10 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pairs.orderBy(F.desc("n_both"), "part_a", "part_b").limit(20)
     # 1-row basket-count scalar x the 20-row top frame: the scalar comes
     # from a DIFFERENT table, so this is the whitelisted 1-row-broadcast
-    # scalar join (bm25_search / vocab_stats class), not a window attach
-    n_row = ol.groupBy().agg(F.countDistinct("l_orderkey").alias("n"))
+    # scalar join (bm25_search / vocab_stats class), not a window attach.
+    # Count orderkeys off the RAW lineitem scan (same value — every order
+    # in ol has >= 1 part) so the distinct-pair frame isn't computed twice.
+    n_row = li.groupBy().agg(F.countDistinct("l_orderkey").alias("n"))
     top = top.crossJoin(F.broadcast(n_row))
     return (
         top.select(

@@ -1268,7 +1268,7 @@ def test_asof_join_directions_tolerance_tiebreak(spark):
     the tiebreak (last wins backward, first wins forward)."""
     from datetime import datetime
 
-    from etl_poc_spark.operators.asof import asof_join
+    from etl_poc_spark.operators.temporal import asof_join
 
     t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
     left = spark.createDataFrame(
@@ -1285,23 +1285,23 @@ def test_asof_join_directions_tolerance_tiebreak(spark):
         "k long, ts timestamp, rid long, px double",
     )
     back = asof_join(
-        left, right, ["k"], "ts", "ts", ["px"], tiebreak_cols=["rid"]
+        left, right, ["k"], right_cols=["px"], tiebreak_cols=["rid"]
     ).collect()
-    got = {(r["k"], r["tag"]): r["px"] for r in back}
+    got = {(r["k"], r["tag"]): r["asof_px"] for r in back}
     assert got == {(1, "a"): 55.0, (1, "b"): 90.0, (2, "c"): None}
 
     fwd = asof_join(
-        left, right, ["k"], "ts", "ts", ["px"], direction="forward",
+        left, right, ["k"], right_cols=["px"], direction="forward",
         tiebreak_cols=["rid"],
     ).collect()
-    got = {(r["k"], r["tag"]): r["px"] for r in fwd}
+    got = {(r["k"], r["tag"]): r["asof_px"] for r in fwd}
     # forward at equal instant: the FIRST by tiebreak (rid=1) wins
     assert got == {(1, "a"): 50.0, (1, "b"): None, (2, "c"): 80.0}
 
     tol = asof_join(
-        left, right, ["k"], "ts", "ts", ["px"], tolerance_seconds=30,
-        tiebreak_cols=["rid"],
+        left, right, ["k"], right_cols=["px"], tolerance_seconds=30,
+        tiebreak_cols=["rid"], include_matched_ts=True,
     ).collect()
-    got = {(r["k"], r["tag"]): r["px"] for r in tol}
+    got = {(r["k"], r["tag"]): r["asof_px"] for r in tol}
     # b's match (t9 -> t10) is 60s back: outside the 30s tolerance
     assert got == {(1, "a"): 55.0, (1, "b"): None, (2, "c"): None}

@@ -689,7 +689,7 @@ def test_yaml_asof_and_pps_ops(spark):
         ]},
     }
     out = run_pipeline(spark, cfg, datasets={"facts": facts, "quotes": quotes})
-    got = {(r["k"], str(r["ts"])[14:16]): r["px"] for r in out["__final__"].collect()}
+    got = {(r["k"], str(r["ts"])[14:16]): r["asof_px"] for r in out["__final__"].collect()}
     assert got == {(1, "05"): 40.0, (1, "10"): 90.0, (2, "03"): None}
 
     docs = spark.createDataFrame(
