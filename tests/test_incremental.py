@@ -214,3 +214,48 @@ def test_incremental_join_view_equals_full_rebuild(spark, tmp_path):
         (r["k"], r["l"], r["r"]) for r in left_all.join(right_all, ["k"]).collect()
     )
     assert got == want and len(got) == 6
+
+
+def test_incremental_join_view_random_interleavings(spark, tmp_path):
+    """Seeded-random ingest schedules (left-only, right-only, both, empty
+    sides) fold to exactly the full-rebuild join — the delta rule holds
+    under any interleaving, not just the scripted three-batch case."""
+    import random
+
+    from etl_poc_spark.operators.ivm import (
+        incremental_join_view_ingest,
+        read_join_view,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        store = str(tmp_path / f"jv{trial}")
+        all_l, all_r = [], []
+        next_id = 0
+        for _ in range(rng.randint(2, 5)):
+            nl, nr = rng.randint(0, 3), rng.randint(0, 3)
+            lb = [(rng.randint(1, 4), f"l{next_id + i}") for i in range(nl)]
+            rb = [(rng.randint(1, 4), f"r{next_id + i}") for i in range(nr)]
+            next_id += nl + nr
+            all_l += lb
+            all_r += rb
+            incremental_join_view_ingest(
+                spark, store, ["k"],
+                left_delta=(
+                    spark.createDataFrame(lb, "k long, l string") if lb else None
+                ),
+                right_delta=(
+                    spark.createDataFrame(rb, "k long, r string") if rb else None
+                ),
+            )
+        if not all_l or not all_r:
+            continue  # no view rows possible; nothing to compare
+        got = sorted(
+            (r["k"], r["l"], r["r"]) for r in read_join_view(spark, store).collect()
+        )
+        la = spark.createDataFrame(all_l, "k long, l string")
+        ra = spark.createDataFrame(all_r, "k long, r string")
+        want = sorted(
+            (r["k"], r["l"], r["r"]) for r in la.join(ra, ["k"]).collect()
+        )
+        assert got == want, f"trial {trial}: {len(got)} vs {len(want)} rows"
