@@ -1012,3 +1012,64 @@ def test_exact_dedup_ingest_tagged_replay_is_idempotent(spark, tmp_path):
     assert [r.doc_id for r in kept2.collect()] == [11]
     state = {r.min_id: r.n_copies for r in read_exact_dedup_store(spark, store).collect()}
     assert state == {1: 3, 3: 1, 11: 1}
+
+
+def test_stream_stream_left_outer_interval_join_emits_nulls_after_watermark(
+    spark, tmp_path
+):
+    """LEFT OUTER stream-stream interval join: matched pairs emit as they
+    join; an UNMATCHED left event emits with null right columns only
+    after the watermark passes its interval bound (Spark can't know
+    "no match will come" earlier). A far-future sentinel row on both
+    streams advances the watermark so the tail unmatched rows flush —
+    the operational detail every streaming-outer-join deployment hits."""
+    import time as _time
+    from datetime import datetime
+
+    from etl_poc_spark.streaming.joins import interval_join
+
+    t = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)  # noqa: E731
+    views_dir = tmp_path / "v"
+    clicks_dir = tmp_path / "c"
+    views_dir.mkdir()
+    clicks_dir.mkdir()
+
+    def write(dirp, name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(dirp / name))
+        _time.sleep(1.1)
+
+    vschema = "user_id long, view_ts timestamp, view_id long"
+    cschema = "user_id long, click_ts timestamp, click_id long"
+    # batch 1: two views; only user 1's gets a click within 10 minutes
+    write(views_dir, "f1", [(1, t(0), 100), (2, t(1), 200)], vschema)
+    write(clicks_dir, "f1", [(1, t(5), 900)], cschema)
+    # batch 2: far-future sentinels push both watermarks past t(1)+10min
+    write(views_dir, "f2", [(9, t(59), 999)], vschema)
+    write(clicks_dir, "f2", [(9, t(59, 1), 998)], cschema)
+
+    views_s = spark.readStream.schema(vschema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(views_dir) + "/*")
+    clicks_s = spark.readStream.schema(cschema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(clicks_dir) + "/*")
+    joined = interval_join(
+        views_s, clicks_s, "user_id", "view_ts", "click_ts",
+        max_delay="10 minutes", watermark="1 minute", how="leftOuter",
+    ).select("user_id", "view_id", "click_id")
+    q = (
+        joined.writeStream.format("memory").queryName("ssoj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["view_id"]): r["click_id"]
+        for r in spark.sql("SELECT * FROM ssoj").collect()
+    }
+    # user 1 matched; user 2's view flushed as unmatched (null click)
+    assert got[(1, 100)] == 900
+    assert (2, 200) in got and got[(2, 200)] is None
