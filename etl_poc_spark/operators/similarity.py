@@ -204,6 +204,52 @@ def ivf_cosine_topk(
 # --- KMeans-trained IVF ------------------------------------------------------
 
 
+def _pair_cosine_float(
+    queries: DataFrame,
+    base: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow-batched FLOAT cosine for candidate pairs — the production
+    fast path beside `_pair_cosine`'s decimal-exact scorer. Same joins
+    attach both whole vectors to each pair; the per-pair dot/norm then
+    runs as one numpy kernel per batch instead of a 64-dim explode
+    through decimal aggregation (~10-40x less work per pair). Results
+    match the exact scorer to float64 rounding — use for dedup/ANN
+    screening at scale; keep the decimal scorer where bit-stable,
+    oracle-checkable cosines are required."""
+    import numpy as np
+    import pandas as pd
+
+    va = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__va"))
+    vb = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb"))
+    j = pairs.join(va, "query_id").join(vb, "neighbor_id")
+    qt = dict(pairs.dtypes)["query_id"]
+    nt = dict(pairs.dtypes)["neighbor_id"]
+    out_schema = f"query_id {qt}, neighbor_id {nt}, cos_sim double"
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["__va"].apply(lambda a: np.asarray(a, dtype=np.float64)))
+            n = np.stack(pdf["__vb"].apply(lambda a: np.asarray(a, dtype=np.float64)))
+            qn = np.linalg.norm(q, axis=1)
+            nn = np.linalg.norm(n, axis=1)
+            dot = np.einsum("ij,ij->i", q, n)
+            cos = dot / (qn * nn)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cos_sim": np.round(cos, 7),
+                }
+            )
+
+    return j.mapInPandas(fn, out_schema)
+
+
 def _assign_centroid(
     df: DataFrame,
     centroids,
@@ -526,6 +572,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep: str = "min_id",
+    verify: str = "exact",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): assign each vector to its nearest
     trained centroid, compute exact cosine ONLY within clusters, and for
@@ -552,6 +599,8 @@ def semdedup(
 
     if keep not in ("min_id", "centroid"):
         raise ValueError(f"keep must be 'min_id' or 'centroid', got {keep!r}")
+    if verify not in ("exact", "float"):
+        raise ValueError(f"verify must be 'exact' or 'float', got {verify!r}")
     with_sim = keep == "centroid"
     assigned = _assign_centroid(
         corpus, centroids, id_col, vec_col, nprobe=1, with_sim=with_sim
@@ -568,7 +617,12 @@ def semdedup(
         .filter(F.col("query_id") < F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    scored = _pair_cosine(corpus, corpus, pairs, id_col, vec_col)
+    # verify="float": the Arrow-batched numpy scorer — the pair stage is
+    # the dominant cost at scale (measured in tools/scale_smoke.py), and
+    # the decimal explode exists for oracle bit-stability, which a
+    # production dedup screen doesn't need
+    scorer = _pair_cosine if verify == "exact" else _pair_cosine_float
+    scored = scorer(corpus, corpus, pairs, id_col, vec_col)
     dup = scored.filter(F.col("cos_sim") >= threshold)
     if with_sim:
         # attach each member's cosine-to-centroid onto the (small,

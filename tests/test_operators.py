@@ -1305,3 +1305,28 @@ def test_asof_join_directions_tolerance_tiebreak(spark):
     got = {(r["k"], r["tag"]): r["asof_px"] for r in tol}
     # b's match (t9 -> t10) is 60s back: outside the 30s tolerance
     assert got == {(1, "a"): 55.0, (1, "b"): None, (2, "c"): None}
+
+
+def test_semdedup_float_verify_matches_exact(spark, sf_dir):
+    """The Arrow-batched float pair scorer (verify='float') flags the same
+    drops as the decimal-exact scorer on the planted-duplicate corpus —
+    the production screen and the oracle path agree wherever cosines are
+    not within float rounding of the threshold."""
+    from etl_poc_spark.operators.similarity import (
+        semdedup,
+        train_kmeans_centroids,
+    )
+    from etl_poc_spark.queries.similarity_q import _semdedup_corpus
+
+    corpus = _semdedup_corpus(spark, sf_dir)
+    cents = train_kmeans_centroids(corpus, n_centroids=16, n_iters=1)
+    exact = {
+        r["vec_id"]: r["is_dropped"]
+        for r in semdedup(corpus, cents, threshold=0.99).collect()
+    }
+    fast = {
+        r["vec_id"]: r["is_dropped"]
+        for r in semdedup(corpus, cents, threshold=0.99, verify="float").collect()
+    }
+    assert exact == fast
+    assert any(exact.values())  # planted duplicates actually flagged

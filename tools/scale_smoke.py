@@ -133,7 +133,12 @@ def main() -> int:
     def semdedup_adaptive(spark, sf_dir):
         # the gate query is oracle-locked to 64 centroids; this variant
         # proves the auto_centroids scale fix (constant cluster occupancy
-        # -> linear pair work) on the same corpus
+        # -> linear pair work) on the same corpus. The corpus is PINNED
+        # exactly as the production query pins it — training, assignment,
+        # both pair sides, and both norm frames re-read it, and without
+        # the pin the cast+union re-derives per action (that artifact
+        # dominated the first adaptive measurement: 46.5s vs ~7s pinned)
+        from etl_poc_spark.operators.pins import pin
         from etl_poc_spark.operators.similarity import (
             auto_centroids,
             semdedup,
@@ -141,14 +146,36 @@ def main() -> int:
         )
         from etl_poc_spark.queries.similarity_q import _semdedup_corpus
 
-        corpus = _semdedup_corpus(spark, sf_dir)
+        corpus = pin(_semdedup_corpus(spark, sf_dir))
         k = auto_centroids(corpus.count(), target_cluster_size=200)
         cents = train_kmeans_centroids(corpus, n_centroids=k, n_iters=1)
         return semdedup(corpus, cents, threshold=0.99, max_cluster_size=2000)
 
+    def semdedup_adaptive_float(spark, sf_dir):
+        # adaptive k AND the Arrow-batched float pair scorer — the full
+        # production configuration (the decimal explode exists only for
+        # oracle bit-stability)
+        from etl_poc_spark.operators.pins import pin
+        from etl_poc_spark.operators.similarity import (
+            auto_centroids,
+            semdedup,
+            train_kmeans_centroids,
+        )
+        from etl_poc_spark.queries.similarity_q import _semdedup_corpus
+
+        corpus = pin(_semdedup_corpus(spark, sf_dir))
+        k = auto_centroids(corpus.count(), target_cluster_size=200)
+        cents = train_kmeans_centroids(corpus, n_centroids=k, n_iters=1)
+        return semdedup(
+            corpus, cents, threshold=0.99, max_cluster_size=2000, verify="float"
+        )
+
     registry.QUERIES.setdefault("semdedup_flags_adaptive", semdedup_adaptive)
+    registry.QUERIES.setdefault("semdedup_flags_adaptive_float", semdedup_adaptive_float)
     results = {}
-    for name in args.queries or SMOKE_QUERIES + ["semdedup_flags_adaptive"]:
+    for name in args.queries or SMOKE_QUERIES + [
+        "semdedup_flags_adaptive", "semdedup_flags_adaptive_float"
+    ]:
         t0 = time.perf_counter()
         try:
             registry.QUERIES[name](spark, args.scratch).write.format("noop").mode(
