@@ -321,6 +321,7 @@ def train_kmeans_centroids(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train_rows: int | None = None,
 ) -> list[list[float]]:
     """Lloyd iterations, Spark-first and deterministic:
 
@@ -330,7 +331,23 @@ def train_kmeans_centroids(
       means, so centroids are bit-identical across partitionings
 
     The centroid matrix (n_centroids x dim) is the only thing that touches
-    the driver — it is the model artifact, a few KB."""
+    the driver — it is the model artifact, a few KB.
+
+    `max_train_rows` bounds the training set to a DETERMINISTIC md5-hash
+    sample of the corpus (seed-free, partitioning-independent) — a coarse
+    quantizer only needs a representative sample, and at 100 TB training
+    on the full corpus would dominate the whole dedup run. Assignment of
+    the full corpus is unaffected (it happens in semdedup, not here)."""
+    if max_train_rows is not None:
+        # smallest md5(id) prefix = a uniform deterministic sample; the
+        # sort is over the hash STRING on the id-grained frame, bounded
+        # by the take
+        base = (
+            base.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+            .orderBy("__h")
+            .limit(int(max_train_rows))
+            .drop("__h")
+        )
     init_rows = base.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
     centroids = [list(map(float, r[0])) for r in init_rows]
     dim = len(centroids[0])

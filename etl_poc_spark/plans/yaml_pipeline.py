@@ -331,6 +331,7 @@ def _apply_op(
             id_col=id_col,
             vec_col=vec_col,
             keep=op.get("keep", "min_id"),
+            verify=op.get("verify", "exact"),
         )
         from pyspark.sql import functions as F
 

@@ -1330,3 +1330,29 @@ def test_semdedup_float_verify_matches_exact(spark, sf_dir):
     }
     assert exact == fast
     assert any(exact.values())  # planted duplicates actually flagged
+
+
+def test_train_kmeans_bounded_sample_is_deterministic(spark, sf_dir):
+    """max_train_rows trains the quantizer on a deterministic md5 sample:
+    two runs produce bit-identical centroids, and a quantizer trained on
+    the sample still separates the corpus (planted duplicates land in
+    the same cluster as their originals)."""
+    from etl_poc_spark.operators.similarity import (
+        _assign_centroid,
+        train_kmeans_centroids,
+    )
+    from etl_poc_spark.queries.similarity_q import _semdedup_corpus
+
+    corpus = _semdedup_corpus(spark, sf_dir)
+    c1 = train_kmeans_centroids(corpus, n_centroids=8, n_iters=1, max_train_rows=64)
+    c2 = train_kmeans_centroids(corpus, n_centroids=8, n_iters=1, max_train_rows=64)
+    assert c1 == c2
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_centroid(corpus, c1, "vec_id", "embedding").collect()
+    }
+    # every planted duplicate (vec_id + 100000, scaled copy) shares its
+    # original's cluster — scaling preserves direction, and assignment is
+    # cosine-based
+    planted = [v for v in assigned if v >= 100000]
+    assert planted and all(assigned[v] == assigned[v - 100000] for v in planted)
