@@ -135,13 +135,21 @@ def cosine_for_pairs(
     pairs: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "exact",
 ) -> DataFrame:
-    """Exact decimal cosine for an EXPLICIT (query_id, neighbor_id)
-    candidate-pair frame over one vector table — the composition seam for
-    callers that already bounded their pairs (near-dup verdicts, LSH
-    buckets): cost is O(|pairs|), never all-pairs. Returns
-    (query_id, neighbor_id, dot, qn, bn, cos_sim)."""
-    return _pair_cosine(vectors, vectors, pairs, id_col, vec_col)
+    """Cosine for an EXPLICIT (query_id, neighbor_id) candidate-pair
+    frame over one vector table — the composition seam for callers that
+    already bounded their pairs (near-dup verdicts, LSH buckets): cost is
+    O(|pairs|), never all-pairs. mode='exact' (default) is the decimal
+    bit-stable scorer returning (query_id, neighbor_id, dot, qn, bn,
+    cos_sim); mode='float' is the Arrow-batched numpy production scorer
+    returning (query_id, neighbor_id, cos_sim) only — ~10-40x less work
+    per pair (see semdedup verify and SCALING.md's measured smoke)."""
+    if mode == "exact":
+        return _pair_cosine(vectors, vectors, pairs, id_col, vec_col)
+    if mode == "float":
+        return _pair_cosine_float(vectors, vectors, pairs, id_col, vec_col)
+    raise ValueError(f"mode must be 'exact' or 'float', got {mode!r}")
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
