@@ -674,3 +674,78 @@ def order_priority_mode_by_segment(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "events_time_to_next_purchase",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, 0 AS is_right, event_id AS tb,
+             CAST(NULL AS VARCHAR) AS etype, ts AS rts
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, event_type, NULL
+      FROM events WHERE event_type <> 'purchase'
+    ), c AS (
+      SELECT etype, ts, is_right,
+             first_value(rts IGNORE NULLS) OVER w AS mts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, (1 - is_right), tb
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ), m AS (
+      SELECT etype, epoch_us(mts) - epoch_us(ts) AS gap_us
+      FROM c WHERE is_right = 1
+    )
+    SELECT etype AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_converted,
+           round(CAST(SUM(gap_us) AS DOUBLE)
+                 / (CAST(COUNT(gap_us) AS DOUBLE) * 1000000.0), 9)
+             AS avg_seconds_to_purchase
+    FROM m GROUP BY etype ORDER BY etype
+    """,
+)
+def events_time_to_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (the direction the backward query doesn't
+    cover): each non-purchase event gets the user's NEXT purchase at-or-
+    after it — time-to-conversion, the latency readout behind every
+    conversion-window choice. Same single union-window plan, frame
+    flipped to look ahead; the oracle mirrors it with first_value IGNORE
+    NULLS over the following frame. Unconverted touches (no later
+    purchase) count in n_events but not n_converted."""
+    from etl_poc_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    touches = e.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_type"
+    )
+    joined = asof_join(
+        touches,
+        purchases,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=[],
+        direction="forward",
+        tiebreak_cols=["event_id"],
+        include_matched_ts=True,
+    )
+    gap_us = F.unix_micros(F.col("asof_matched_ts")) - F.unix_micros(F.col("ts"))
+    return (
+        joined.select("event_type", gap_us.alias("gap_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("gap_us").alias("n_converted"),
+            F.round(
+                F.sum("gap_us").cast("double")
+                / (F.count("gap_us").cast("double") * F.lit(1000000.0)),
+                9,
+            ).alias("avg_seconds_to_purchase"),
+        )
+        .orderBy("event_type")
+    )
