@@ -588,13 +588,28 @@ def guarded_upsert_versioned(
     return commit_id
 
 
-def vacuum_versioned(spark: SparkSession, target_dir: str) -> int:
-    """Delete data directories no finalized manifest's LATEST resolution
-    references (superseded versions and crash orphans). Returns how many
-    leaf directories were removed. Safe to run concurrently with readers
-    that resolved before the vacuum only if superseded versions outlive
-    reader runtime — same caveat as any table format's vacuum."""
-    live = set(_resolve_partitions(spark, target_dir).values())
+def vacuum_versioned(
+    spark: SparkSession, target_dir: str, keep_last_versions: int = 1
+) -> int:
+    """Delete data directories not referenced by the resolutions of the
+    last `keep_last_versions` table states (superseded versions and
+    crash orphans). Returns how many leaf directories were removed.
+
+    keep_last_versions=1 (default) keeps only the live state — time
+    travel ends, which is exactly the GDPR physical-erasure semantics
+    delete_versioned documents. A larger window is the standard
+    retention contract: `read_versioned(as_of=k)` keeps working for the
+    last N states while older history is reclaimed. Safe to run
+    concurrently with readers that resolved before the vacuum only if
+    retained versions outlive reader runtime — same caveat as any table
+    format's vacuum."""
+    if keep_last_versions < 1:
+        raise ValueError("keep_last_versions must be >= 1")
+    commits = _list_commits(spark, target_dir)
+    live: set[str] = set()
+    lo = max(1, len(commits) - keep_last_versions + 1)
+    for k in range(lo, len(commits) + 1):
+        live |= set(_resolution(commits[:k], target_dir).values())
     ddir = _join(target_dir, _DATA)
     fs, P = _hfs(spark, ddir)
     if not fs.exists(P(ddir)):

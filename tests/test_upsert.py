@@ -674,3 +674,29 @@ def test_delete_versioned_keys_and_empty_partition(spark, tmp_path):
     n = U.vacuum_versioned(spark, target)
     assert n >= 1
     assert set(_vread(spark, target)) == {2}
+
+
+def test_vacuum_retention_window_preserves_recent_time_travel(spark, tmp_path):
+    """vacuum(keep_last_versions=2): the previous state stays time-
+    travelable, older history is reclaimed; default (1) then ends time
+    travel entirely while the live view never changes."""
+    import pytest
+
+    from etl_poc_spark.operators import upsert as U
+
+    target = str(tmp_path / "vt")
+    for seq, v in [(1, "a"), (2, "b"), (3, "c")]:
+        U.upsert_versioned(
+            spark, _rows(spark, [(1, "d1", v, seq)]), target, ["k"], "seq", "day"
+        )
+    n = U.vacuum_versioned(spark, target, keep_last_versions=2)
+    assert n == 1  # only the v1 leaf reclaimed
+    # state after commit 2 still resolves; the live view is v3
+    assert {r["v"] for r in U.read_versioned(spark, target, as_of=2).collect()} == {"b"}
+    assert _vread(spark, target)[1] == ("d1", "c", 3)
+    # as_of=1's data is gone — reading it must fail, not resurrect
+    with pytest.raises(Exception):
+        U.read_versioned(spark, target, as_of=1).collect()
+    # default vacuum reclaims the rest of history; live view unchanged
+    assert U.vacuum_versioned(spark, target) == 1
+    assert _vread(spark, target)[1] == ("d1", "c", 3)
