@@ -26,6 +26,7 @@ sets for the whole corpus, which is exactly what the band store avoids.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,19 +65,35 @@ def incremental_near_dup_ingest(
     rows_per_band: int = 2,
     hash_mode: str = "xxhash64",
     max_bucket_size: int | None = 200,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Ingest `batch` against the band store at `store_dir`; returns the
     kept (novel, batch-deduped) rows of `batch` and appends their bands to
-    the store. See module docstring for the decision rule and scale shape."""
+    the store. See module docstring for the decision rule and scale shape.
+
+    `batch_id` (the streaming seam, same protocol as
+    incremental_line_dedup_ingest): when set, the store rows write
+    PARTITIONED by batch_id with dynamic partition overwrite and the
+    history read EXCLUDES the current batch_id — a replayed micro-batch
+    overwrites its own partition instead of double-appending, and never
+    sees its prior attempt's bands as history (which would drop every
+    row as a self-hit and lose the batch's kept output)."""
     bands = batch_band_signatures(
         batch, id_col, text_col, n_hashes, rows_per_band, hash_mode
     )
     try:
         store = spark.read.parquet(store_dir)
         have_store = True
-    except Exception:  # first ingest: no store yet (AnalysisException)
+    except AnalysisException as exc:
+        # first ingest only: the store path does not exist yet. Any OTHER
+        # analysis failure (corrupt footer, schema mismatch) must surface —
+        # treating it as "no history" would silently dedup against nothing.
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
         have_store = False
     if have_store:
+        if batch_id is not None and "batch_id" in store.columns:
+            store = store.filter(F.col("batch_id") != batch_id)
         # ids sharing >= 1 full band with history are near-dups of history
         hit_ids = (
             bands.join(store, ["band", "band_val"], "left_semi")
@@ -106,7 +123,16 @@ def incremental_near_dup_ingest(
     # documents too short to shingle produce no bands: they can never be
     # caught by the store filter, so they pass through (documented; exact
     # dedup upstream is the right guard for tiny docs)
-    kept_bands.write.partitionBy("band").mode("append").parquet(store_dir)
+    if batch_id is None:
+        kept_bands.write.partitionBy("band").mode("append").parquet(store_dir)
+    else:
+        (
+            kept_bands.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "band")
+            .parquet(store_dir)
+        )
     return kept
 
 
@@ -126,16 +152,28 @@ def streaming_near_dup_ingest(
 
     foreachBatch is the right seam: the dedup decision needs the batch as
     a finite frame (self-pairs + store anti-join), which pure streaming
-    operators can't express; the store append stays idempotent per batch
-    at the band level, and checkpointing gives exactly-once batch replay
-    semantics on restart."""
+    operators can't express. foreachBatch delivery is AT-LEAST-ONCE — a
+    batch interrupted mid-write replays on restart — so both side effects
+    are keyed by batch_id with dynamic partition overwrite (the same
+    protocol as streaming_line_dedup_ingest): the replay overwrites its
+    own store and kept partitions rather than double-appending, and the
+    store read excludes the current batch_id so the replayed batch never
+    self-hits. Read kept via spark.read.parquet(kept_dir) — batch_id is
+    an inferred partition column."""
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
         kept = incremental_near_dup_ingest(
             batch_df.sparkSession, batch_df, store_dir,
-            id_col=id_col, text_col=text_col, **ingest_kwargs,
+            id_col=id_col, text_col=text_col, batch_id=batch_id,
+            **ingest_kwargs,
         )
-        kept.write.mode("append").parquet(kept_dir)
+        (
+            kept.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(kept_dir)
+        )
 
     return stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
@@ -216,7 +254,13 @@ def incremental_exact_dedup_ingest(
             )
         store = store.select("fp").distinct()
         have_store = True
-    except Exception:  # first ingest: no store yet (AnalysisException)
+    except AnalysisException as exc:
+        # first ingest only: the store path does not exist yet. Any OTHER
+        # analysis failure must surface — treating a corrupt/unreadable
+        # store as "first ingest" would emit duplicates as kept and
+        # silently fork the store instead of failing loudly.
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
         have_store = False
     novel = delta.join(store, "fp", "left_anti") if have_store else delta
     # representatives materialize BEFORE the store append (the plan reads
@@ -261,18 +305,50 @@ def streaming_exact_dedup_ingest(
     The batch id doubles as the store slot tag, so a replayed micro-batch
     (restart before checkpoint commit) overwrites its own delta instead
     of double-counting — exactly-once store semantics without a
-    transaction log."""
+    transaction log. The kept sink is slotted the same way (batch_id
+    partition, dynamic overwrite): a replay REPLACES its own kept rows
+    rather than re-appending the same representatives — without this the
+    store was exactly-once but the output wasn't. Read kept via
+    spark.read.parquet(kept_dir); batch_id is an inferred partition
+    column."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        kept = incremental_exact_dedup_ingest(
-            batch_df.sparkSession, batch_df, store_dir,
+        exact_dedup_handle_batch(
+            batch_df, batch_id, store_dir=store_dir, kept_dir=kept_dir,
             key_cols=key_cols, id_col=id_col, hash_mode=hash_mode,
-            batch_tag=f"b{batch_id}",
         )
-        kept.write.mode("append").parquet(kept_dir)
 
     return stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
+    )
+
+
+def exact_dedup_handle_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    kept_dir: str,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> None:
+    """One micro-batch of streaming_exact_dedup_ingest, module-level so the
+    replay contract is directly testable: calling this twice with the same
+    batch_id (at-least-once delivery) leaves store AND kept sink in the
+    same state as calling it once — the store via the tag slot, the kept
+    sink via batch_id dynamic partition overwrite."""
+    kept = incremental_exact_dedup_ingest(
+        batch_df.sparkSession, batch_df, store_dir,
+        key_cols=key_cols, id_col=id_col, hash_mode=hash_mode,
+        batch_tag=f"b{batch_id}",
+    )
+    (
+        kept.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(kept_dir)
     )
 
 

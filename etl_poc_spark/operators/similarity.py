@@ -218,6 +218,7 @@ def _pair_cosine_float(
     pairs: DataFrame,
     id_col: str,
     vec_col: str,
+    round_digits: int | None = 7,
 ) -> DataFrame:
     """Arrow-batched FLOAT cosine for candidate pairs — the production
     fast path beside `_pair_cosine`'s decimal-exact scorer. Same joins
@@ -246,12 +247,17 @@ def _pair_cosine_float(
             qn = np.linalg.norm(q, axis=1)
             nn = np.linalg.norm(n, axis=1)
             dot = np.einsum("ij,ij->i", q, n)
-            cos = dot / (qn * nn)
+            # zero-norm guard: a zero vector has no direction — define its
+            # cosine as 0.0 rather than NaN/inf from a 0/0 division
+            denom = qn * nn
+            cos = np.where(denom == 0, 0.0, dot / np.where(denom == 0, 1.0, denom))
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
                     "neighbor_id": pdf["neighbor_id"],
-                    "cos_sim": np.round(cos, 7),
+                    "cos_sim": np.round(cos, round_digits)
+                    if round_digits is not None
+                    else cos,
                 }
             )
 
@@ -645,9 +651,15 @@ def semdedup(
     # verify="float": the Arrow-batched numpy scorer — the pair stage is
     # the dominant cost at scale (measured in tools/scale_smoke.py), and
     # the decimal explode exists for oracle bit-stability, which a
-    # production dedup screen doesn't need
-    scorer = _pair_cosine if verify == "exact" else _pair_cosine_float
-    scored = scorer(corpus, corpus, pairs, id_col, vec_col)
+    # production dedup screen doesn't need. The float path thresholds the
+    # UNROUNDED cosine (round_digits=None): round-to-7-then-compare could
+    # flip a borderline pair the opposite way from the exact scorer.
+    if verify == "exact":
+        scored = _pair_cosine(corpus, corpus, pairs, id_col, vec_col)
+    else:
+        scored = _pair_cosine_float(
+            corpus, corpus, pairs, id_col, vec_col, round_digits=None
+        )
     dup = scored.filter(F.col("cos_sim") >= threshold)
     if with_sim:
         # attach each member's cosine-to-centroid onto the (small,

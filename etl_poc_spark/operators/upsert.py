@@ -220,6 +220,23 @@ def _resolve_partitions(spark: SparkSession, target_dir: str) -> dict[str, str]:
     return _resolution(_list_commits(spark, target_dir), target_dir)
 
 
+def _with_leaves(
+    spark: SparkSession, target_dir: str, resolution: dict[str, str]
+) -> dict[str, str]:
+    """Drop resolution entries whose leaf directory doesn't exist on disk.
+
+    A partition deleted down to ZERO rows (delete_versioned) keeps a
+    manifest entry — it must supersede the old data — but has no leaf
+    directory, because partitionBy writes nothing for an absent value.
+    Every reader of resolved paths must apply this filter (a missing
+    leaf reads as zero rows); read_versioned/delete_versioned always
+    did, and upsert_versioned/guarded_upsert_versioned/compact_versioned
+    route through here so re-upserting into an emptied partition or
+    compacting a table with one is an insert, not a PATH_NOT_FOUND."""
+    fs, P = _hfs(spark, target_dir)
+    return {p: path for p, path in resolution.items() if fs.exists(P(path))}
+
+
 def _write_commit_data(
     merged: DataFrame, target_dir: str, partition_col: str, commit_id: str
 ) -> None:
@@ -382,7 +399,7 @@ def upsert_versioned(
     upd = updates.withColumn("__is_update", F.lit(1))
     parts = _checked_partition_values(updates, partition_col)
     base = _list_commits(spark, target_dir)
-    current = _resolution(base, target_dir)
+    current = _with_leaves(spark, target_dir, _resolution(base, target_dir))
     have = [p for p in parts if p in current]
     if have:
         existing = spark.read.option("mergeSchema", "true").parquet(
@@ -434,9 +451,8 @@ def delete_versioned(
     if not current:
         raise ValueError(f"no finalized commits under {target_dir}")
     # already-emptied partitions resolve to a manifest entry with no leaf
-    # dir (see read_versioned) — nothing to rewrite there
-    fs, P = _hfs(spark, target_dir)
-    current = {p: path for p, path in current.items() if fs.exists(P(path))}
+    # dir (see _with_leaves) — nothing to rewrite there
+    current = _with_leaves(spark, target_dir, current)
     if partition_col in keys.columns:
         parts = [p for p in _checked_partition_values(keys, partition_col) if p in current]
         probe = keys.select(*key_cols).distinct()
@@ -502,7 +518,17 @@ def compact_versioned(
     if not commits:
         raise ValueError(f"no finalized commits under {target_dir}")
     live = _resolution(commits, target_dir)
-    df = spark.read.parquet(*sorted(live.values()))
+    # emptied partitions have manifest entries but no leaf (see
+    # _with_leaves); the compacted commit still CLAIMS them so they stay
+    # superseded-empty, but only existing leaves are read
+    readable = _with_leaves(spark, target_dir, live)
+    if not readable:
+        raise ValueError(
+            f"table under {target_dir} is fully deleted — nothing to compact"
+        )
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *sorted(readable.values())
+    )
     commit_id = uuid.uuid4().hex[:12]
     compacted = df.repartition(F.col(partition_col))
     _write_commit_data(compacted, target_dir, partition_col, commit_id)
@@ -563,7 +589,7 @@ def guarded_upsert_versioned(
     upd = updates.withColumn("__is_update", F.lit(1))
     parts = _checked_partition_values(updates, partition_col)
     base = _list_commits(spark, target_dir)
-    current = _resolution(base, target_dir)
+    current = _with_leaves(spark, target_dir, _resolution(base, target_dir))
     have = [p for p in parts if p in current]
     if have:
         existing = spark.read.parquet(*[current[p] for p in have]).withColumn(

@@ -9,12 +9,18 @@ After `register_jsonl_tail_datasource(spark)`:
          .option("ddl", "doc_id long, text string")
          .load()
 
-Offsets are the count of COMPLETE files consumed in sorted-filename
-order — the per-file-atomic landing-zone contract (writers stage a file
-and rename it in; the tail never sees partial files). That makes
-`readBetweenOffsets` exactly reproducible for failure recovery: a batch
-is a half-open file range [start, end), so a restarted query re-reads
-bit-identical batches from the checkpoint.
+Offsets are the LAST CONSUMED FILENAME, not a positional index — the
+per-file-atomic landing-zone contract (writers stage a file and rename
+it in; the tail never sees partial files). A batch is the name range
+(start.last, end.last]; files are consumed in sorted-name order and only
+names strictly greater than the last consumed one are picked up. A
+positional-index offset would silently shift if a file ever landed with
+a name sorting BEFORE already-consumed files (re-reading consumed files
+and replaying the wrong range); the name-anchored offset makes
+`readBetweenOffsets` bit-identical under recovery regardless, at the
+documented cost that a late-landing out-of-order name is SKIPPED —
+landing zones must hand the tail monotonically increasing names
+(timestamps/sequence prefixes, the standard convention).
 
 Built on SimpleDataSourceStreamReader (driver-side reads, no partition
 planning) — the right tier for control-plane-sized feeds per its own
@@ -53,7 +59,8 @@ class JsonlTailStreamReader(SimpleDataSourceStreamReader):
         self.fields = [f.name for f in schema.fields]
 
     def initialOffset(self) -> dict:
-        return {"idx": 0}
+        # "" sorts before every real filename: consume everything
+        return {"last": ""}
 
     def _rows(self, files: list[str]) -> list[tuple]:
         # materialized list, not a generator: Spark's prefetch cache
@@ -71,12 +78,18 @@ class JsonlTailStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         files = _list_files(self.path)
-        end = {"idx": len(files)}
-        return iter(self._rows(files[start["idx"]:])), end
+        fresh = [f for f in files if os.path.basename(f) > start["last"]]
+        end = {"last": os.path.basename(fresh[-1]) if fresh else start["last"]}
+        return iter(self._rows(fresh)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _list_files(self.path)
-        return iter(self._rows(files[start["idx"]:end["idx"]]))
+        batch = [
+            f
+            for f in files
+            if start["last"] < os.path.basename(f) <= end["last"]
+        ]
+        return iter(self._rows(batch))
 
 
 class JsonlTailDataSource(DataSource):

@@ -259,3 +259,55 @@ def test_incremental_join_view_random_interleavings(spark, tmp_path):
             (r["k"], r["l"], r["r"]) for r in la.join(ra, ["k"]).collect()
         )
         assert got == want, f"trial {trial}: {len(got)} vs {len(want)} rows"
+
+
+def test_near_dup_ingest_batch_id_replay_is_idempotent(spark, tmp_path):
+    """A replayed batch_id-keyed near-dup ingest (the streaming seam) must
+    recompute the SAME kept rows — the store read excludes the batch's own
+    bands, so the replay doesn't self-hit and lose its output — and the
+    store must hold one copy of the batch's bands, not two."""
+    store = str(tmp_path / "band_store")
+    b1 = spark.createDataFrame(
+        [_doc(i, w) for i, w in enumerate(_BASE[:2])], "doc_id long, text string"
+    )
+    kept = incremental_near_dup_ingest(spark, b1, store, batch_id=0)
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    assert ids1 == [0, 1]
+    n_store = spark.read.parquet(store).count()
+
+    # replay of the same micro-batch (at-least-once delivery)
+    kept_replay = incremental_near_dup_ingest(spark, b1, store, batch_id=0)
+    assert sorted(r["doc_id"] for r in kept_replay.collect()) == ids1
+    assert spark.read.parquet(store).count() == n_store  # overwritten, not doubled
+
+    # the NEXT batch still dedups against batch 0's bands
+    near_of_0 = list(_BASE[0])
+    near_of_0[-1] = "changed"
+    b2 = spark.createDataFrame(
+        [_doc(10, near_of_0), _doc(11, _BASE[2])], "doc_id long, text string"
+    )
+    kept2 = incremental_near_dup_ingest(spark, b2, store, batch_id=1)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [11]
+
+
+def test_float_cosine_zero_norm_guard(spark):
+    """cosine_for_pairs(mode='float') on a zero vector: cos_sim is 0.0 by
+    definition (no direction), never NaN/inf from the 0/0 division."""
+    import math
+
+    from etl_poc_spark.operators.similarity import cosine_for_pairs
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 1)], "query_id long, neighbor_id long"
+    )
+    got = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_for_pairs(vecs, pairs, mode="float").collect()
+    }
+    assert got[(1, 2)] == 0.0 and got[(1, 1)] == 0.0
+    assert got[(2, 3)] == 1.0
+    assert all(not math.isnan(v) and not math.isinf(v) for v in got.values())

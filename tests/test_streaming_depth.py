@@ -1073,3 +1073,33 @@ def test_stream_stream_left_outer_interval_join_emits_nulls_after_watermark(
     # user 1 matched; user 2's view flushed as unmatched (null click)
     assert got[(1, 100)] == 900
     assert (2, 200) in got and got[(2, 200)] is None
+
+
+def test_streaming_exact_dedup_replayed_batch_does_not_duplicate_kept(
+    spark, tmp_path
+):
+    """foreachBatch is at-least-once: replaying a micro-batch (same
+    batch_id) must REPLACE its kept slot (batch_id dynamic overwrite) and
+    its store slot — never append the same representatives twice. Tested
+    at the handle level: the engine guarantees a replay re-delivers the
+    same batch_id; the handle must be idempotent under it."""
+    from etl_poc_spark.operators.incremental import exact_dedup_handle_batch
+
+    b0 = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "store")
+    kept_dir = str(tmp_path / "kept")
+    kw = dict(store_dir=store, kept_dir=kept_dir, key_cols=["text"], id_col="doc_id")
+
+    exact_dedup_handle_batch(b0, 0, **kw)
+    assert sorted(r.doc_id for r in spark.read.parquet(kept_dir).collect()) == [1, 3]
+
+    # crash-before-checkpoint-commit: the SAME batch re-delivers
+    exact_dedup_handle_batch(b0, 0, **kw)
+    assert sorted(r.doc_id for r in spark.read.parquet(kept_dir).collect()) == [1, 3]
+
+    # the next batch appends its own slot; prior slots untouched
+    b1 = spark.createDataFrame([(10, "aa"), (11, "cc")], "doc_id long, text string")
+    exact_dedup_handle_batch(b1, 1, **kw)
+    assert sorted(r.doc_id for r in spark.read.parquet(kept_dir).collect()) == [1, 3, 11]

@@ -700,3 +700,64 @@ def test_vacuum_retention_window_preserves_recent_time_travel(spark, tmp_path):
     # default vacuum reclaims the rest of history; live view unchanged
     assert U.vacuum_versioned(spark, target) == 1
     assert _vread(spark, target)[1] == ("d1", "c", 3)
+
+
+def test_upsert_and_compact_into_emptied_partition(spark, tmp_path):
+    """Regression: delete_versioned can empty a partition — a manifest
+    entry whose leaf dir doesn't exist. Re-upserting into that partition,
+    a guarded upsert touching it, and ALL future compactions must treat
+    the missing leaf as zero rows (the _with_leaves filter), not raise
+    PATH_NOT_FOUND forever."""
+    from etl_poc_spark.operators import upsert as U
+
+    target = str(tmp_path / "vt")
+    U.upsert_versioned(
+        spark,
+        _rows(spark, [(1, "d1", "x", 1), (3, "d2", "z", 1)]),
+        target, ["k"], "seq", "day",
+    )
+    # empty d2 entirely
+    U.delete_versioned(
+        spark, spark.createDataFrame([(3,)], "k long"), target, ["k"], "day"
+    )
+    assert set(_vread(spark, target)) == {1}
+
+    # compaction of a table WITH an emptied partition works and keeps it empty
+    U.compact_versioned(spark, target, "day")
+    assert _vread(spark, target) == {1: ("d1", "x", 1)}
+
+    # re-upsert INTO the emptied partition = plain insert
+    U.upsert_versioned(
+        spark, _rows(spark, [(4, "d2", "w", 1)]), target, ["k"], "seq", "day"
+    )
+    assert _vread(spark, target) == {1: ("d1", "x", 1), 4: ("d2", "w", 1)}
+
+    # guarded path takes the same filtered read
+    U.delete_versioned(
+        spark, spark.createDataFrame([(4,)], "k long"), target, ["k"], "day"
+    )
+    U.guarded_upsert_versioned(
+        spark, _rows(spark, [(5, "d2", "q", 1)]), target, ["k"], "seq", "day",
+        rules=[{"type": "not_null", "column": "v"}],
+    )
+    assert _vread(spark, target) == {1: ("d1", "x", 1), 5: ("d2", "q", 1)}
+
+    # compact again now that history holds several emptied generations
+    U.compact_versioned(spark, target, "day")
+    assert _vread(spark, target) == {1: ("d1", "x", 1), 5: ("d2", "q", 1)}
+
+
+def test_compact_fully_deleted_table_raises(spark, tmp_path):
+    import pytest
+
+    from etl_poc_spark.operators import upsert as U
+
+    target = str(tmp_path / "vt")
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "x", 1)]), target, ["k"], "seq", "day"
+    )
+    U.delete_versioned(
+        spark, spark.createDataFrame([(1,)], "k long"), target, ["k"], "day"
+    )
+    with pytest.raises(ValueError, match="fully deleted"):
+        U.compact_versioned(spark, target, "day")
