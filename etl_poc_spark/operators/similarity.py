@@ -389,6 +389,93 @@ def train_kmeans_centroids(
     return centroids
 
 
+def train_kmeans_centroids_minibatch(
+    base: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 4,
+    sample_rows: int = 32768,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Minibatch k-means (Sculley 2010, cumulative-mean update) — the
+    scale form of train_kmeans_centroids. The full trainer's cost is one
+    corpus-wide assign + a corpus*dim decimal explode PER ITERATION;
+    SCALING.md's 10x smoke measured that training as the dominant
+    semdedup phase, and at 100x a full Lloyd pass per iteration dominates
+    everything downstream. This trainer bounds per-iteration work to a
+    constant:
+
+    - ONE narrow pass over the corpus: a deterministic hash-threshold
+      filter (`pmod(xxhash64(id), ceil(n / sample_rows)) == 0`) keeps a
+      ~sample_rows row training sample with no sort, no shuffle, and no
+      partitioning sensitivity — then the sample is materialized
+      (localCheckpoint) so iterations never rescan the corpus;
+    - the sample splits into `n_iters` fixed minibatches by a second id
+      hash; iteration i assigns ONLY batch i's rows and folds their
+      per-cluster decimal sums into running (count, sum) accumulators —
+      centroid = cumulative mean, the count-based learning-rate form of
+      Sculley's update;
+    - per-iteration cost is O(sample_rows / n_iters * dim), independent
+      of corpus size; driver traffic is k*dim floats per iteration.
+
+    Deterministic end to end: the sample and batches are pure id-hash
+    functions, per-(cluster, dim) batch sums are decimal-exact
+    (order-independent), and the driver folds them in fixed iteration
+    order — bit-identical centroids under any partitioning (pinned by
+    the adversarial-session parity test). Empty clusters keep their
+    previous centroid, as in the full trainer.
+
+    A coarse quantizer only needs a representative sample — SemDeDup /
+    IVF recall is insensitive to training exactness (recall pytest), so
+    at 100 TB this is the right trade: the one narrow filter scan is the
+    only corpus-sized cost, and it prunes to the id+vector columns."""
+    n = base.count()
+    if n == 0:
+        raise ValueError("cannot train on an empty corpus")
+    div = max(1, n // max(n_centroids * 4, sample_rows))
+    hid = F.xxhash64(F.col(id_col).cast("string"))
+    sample = (
+        base.select(id_col, vec_col)
+        .where(F.pmod(hid, F.lit(div)) == 0)
+        .withColumn("__mb", F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(1)), F.lit(n_iters)))
+        .localCheckpoint(eager=True)
+    )
+    init_rows = (
+        sample.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    if len(init_rows) < n_centroids:
+        # tiny corpus: the sample IS the corpus; fall back to every row
+        init_rows = base.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    centroids = [list(map(float, r[0])) for r in init_rows]
+    k = len(centroids)
+    dim = len(centroids[0])
+    run_count = [0] * k
+    run_sum = [[0.0] * dim for _ in range(k)]
+    for it in range(n_iters):
+        batch = sample.where(F.col("__mb") == it)
+        assigned = _assign_centroid(batch, centroids, id_col, vec_col, nprobe=1)
+        rows = (
+            batch.join(assigned, id_col)
+            .select("cluster", F.posexplode(F.col(vec_col)).alias("i", "__x"))
+            .groupBy("cluster", "i")
+            .agg(
+                F.sum(F.expr(_DEC_PROD.format(x="__x", y="1.0"))).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()
+        )
+        touched: set[int] = set()
+        for r in rows:
+            cid = r["cluster"]
+            run_sum[cid][r["i"]] += r["s"]
+            if cid not in touched:
+                run_count[cid] += int(r["c"])
+                touched.add(cid)
+        for cid in touched:
+            centroids[cid] = [s / run_count[cid] for s in run_sum[cid]]
+    return centroids
+
+
 def kmeans_ivf_topk(
     queries: DataFrame,
     base: DataFrame,

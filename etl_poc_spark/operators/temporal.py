@@ -138,3 +138,155 @@ def asof_join(
         *extra,
         *[F.col("__m").getField(c).alias(f"asof_{c}") for c in right_cols],
     )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    bucket_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    tiebreak_cols: list[str] | tuple[str, ...] = (),
+    include_matched_ts: bool = False,
+) -> DataFrame:
+    """Backward as-of join with HOT-KEY mitigation: the plain asof_join
+    windows on the entity key alone, so one whale key (a bot user, a
+    default id) serializes its entire history onto one task — and AQE
+    skew splitting cannot help inside a window partition. This variant
+    bounds each task to one (key, time-bucket):
+
+    1. per-(by, bucket) window — the same union + last(ignorenulls)
+       pick, but partitions are key x bucket_seconds slices, so a whale
+       key splits across as many tasks as it spans buckets;
+    2. a per-(by, bucket) summary (latest right payload in the bucket,
+       deterministic lexicographic struct max over (ts, tiebreaks)) —
+       ONE row per key x bucket, so even the whale contributes only
+       #buckets rows to the cross-bucket carry window on the key;
+    3. left rows with no in-bucket match take the carry-in (the latest
+       right payload of any EARLIER bucket) via an equi-join back on
+       (by, bucket).
+
+    Identical results to asof_join(direction='backward') — the
+    equivalence and whale-beats-plain-window tests pin it. Trade-off:
+    two extra narrow stages (summary agg + tiny carry window + carry
+    join) versus one; use the plain form unless a key exceeds roughly a
+    task's worth of rows (key_skew_report is the preflight — SCALING.md
+    notes the threshold). Same-instant right duplicates not separated by
+    `tiebreak_cols` should be pre-aggregated, as in asof_join."""
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be > 0")
+    if tolerance_seconds is not None and tolerance_seconds < 0:
+        raise ValueError("tolerance_seconds must be >= 0")
+    right_cols = right_cols or [c for c in right.columns if c not in (*by, right_ts)]
+    l_payload = [c for c in left.columns if c not in (*by,)]
+    tiebreaks = list(tiebreak_cols)
+
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r_tag = right.select(
+        *by,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload if c != left_ts],
+        F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
+        *[F.col(c).alias(f"__tb_{i}") for i, c in enumerate(tiebreaks)],
+        payload.alias("__p"),
+    )
+    l_tag = left.select(
+        *by,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in l_payload if c != left_ts],
+        F.col(left_ts),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{i}")
+            for i, c in enumerate(tiebreaks)
+        ],
+        F.lit(None).cast(r_tag.schema["__p"].dataType).alias("__p"),
+    )
+    u = l_tag.unionByName(r_tag)
+    if dict(u.dtypes)["__ts"].startswith("timestamp"):
+        bucket = F.floor(F.unix_micros(F.col("__ts")) / F.lit(int(bucket_seconds) * 1_000_000))
+    else:
+        bucket = F.floor(F.col("__ts") / F.lit(bucket_seconds))
+    u = u.withColumn("__b", bucket.cast("long"))
+
+    # phase 1: in-bucket pick — the plain backward window, but partitioned
+    # by (key, bucket) so no task sorts more than one bucket of one key
+    order = [F.col("__ts"), F.col("__side")]
+    order += [F.asc(f"__tb_{i}") for i in range(len(tiebreaks))]
+    w_in = (
+        Window.partitionBy(*by, "__b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last(F.col("__p"), ignorenulls=True).over(w_in))
+
+    # phase 2 (bucket-granular frames only — never the corpus): the
+    # latest right payload per (key, right-bucket) as a deterministic
+    # lexicographic struct max, then for every (key, LEFT-bucket) the
+    # last right summary of any STRICTLY earlier bucket via the same
+    # union + window trick on the bucket axis. Even the whale key
+    # contributes only #buckets rows here, so the key-partitioned carry
+    # window is trivially small.
+    rb = r_tag.withColumn("__b", bucket.cast("long")).groupBy(*by, "__b").agg(
+        F.max(
+            F.struct(
+                F.col("__ts"),
+                *[F.col(f"__tb_{i}") for i in range(len(tiebreaks))],
+                F.col("__p").alias("__p"),
+            )
+        ).alias("__s")
+    )
+    lb = u.filter(F.col("__side") == 1).select(*by, "__b").distinct()
+    lbt = lb.withColumn("__s", F.lit(None).cast(rb.schema["__s"].dataType)).withColumn(
+        "__lb", F.lit(0)
+    )
+    rbt = rb.withColumn("__lb", F.lit(1))
+    # left-bucket rows sort BEFORE right summaries at the same bucket, so
+    # the preceding frame sees strictly-earlier-bucket summaries only
+    # (same-bucket rights are phase 1's job)
+    w_carry = (
+        Window.partitionBy(*by)
+        .orderBy("__b", "__lb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        lbt.unionByName(rbt)
+        .withColumn("__c", F.last(F.col("__s"), ignorenulls=True).over(w_carry))
+        .filter((F.col("__lb") == 0) & F.col("__c").isNotNull())
+        .select(*by, "__b", F.col("__c").getField("__p").alias("__c"))
+    )
+
+    # phase 3: equi-join the carry back on (key, bucket). The big side
+    # already hash-partitions on exactly these keys out of the phase-1
+    # window, and the carry side is bucket-granular — AQE broadcasts it
+    # when small.
+    out = (
+        matched.filter(F.col("__side") == 1)
+        .join(carry, [*by, "__b"], "left")
+        .withColumn("__m", F.coalesce(F.col("__m"), F.col("__c")))
+    )
+    m_ts = F.col("__m").getField("__rts")
+    if tolerance_seconds is not None:
+        if dict(matched.dtypes)["__ts"].startswith("timestamp"):
+            gap = F.abs(F.unix_micros(F.col("__ts")) - F.unix_micros(m_ts))
+            tol = F.lit(int(tolerance_seconds) * 1_000_000).cast("long")
+        else:
+            gap = F.abs(F.col("__ts") - m_ts)
+            tol = F.lit(tolerance_seconds)
+        out = out.withColumn(
+            "__m", F.when(m_ts.isNotNull() & (gap <= tol), F.col("__m"))
+        )
+    extra = [m_ts.alias("asof_matched_ts")] if include_matched_ts else []
+    return out.select(
+        *by,
+        *[F.col(c) for c in l_payload],
+        *extra,
+        *[F.col("__m").getField(c).alias(f"asof_{c}") for c in right_cols],
+    )

@@ -355,15 +355,17 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("supplier_pagerank")  # no oracle: iterative float power-method (rows-only
-# class, like the streaming/decode entries) — behavior pinned by the
-# closed-form pagerank pytest cases instead
+@query("supplier_pagerank")  # no SQL oracle: iterative float power-method.
+# The emitted rank is rounded to 9 decimals (~5 sig figs at these
+# magnitudes) so partial-sum association noise (~1e-15 relative) cancels
+# and the output is pinned-exact in the gate; semantics stay pinned by the
+# closed-form pagerank pytest cases.
 def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite customer->supplier purchase graph
     (edge = customer bought from supplier, via orders x lineitem):
     supplier centrality weighted by how central their customers are —
     the iterative-algorithm tier (power method, operators/pagerank.py)
-    exercised on relational data. Top 20 suppliers by rank."""
+    exercised on relational data. Top 20 suppliers by rounded rank."""
     from etl_poc_spark.operators.pagerank import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -376,7 +378,7 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = pagerank(edges, n_iter=5)
+    ranks = pagerank(edges, n_iter=5).withColumn("rank", F.round("rank", 9))
     return (
         ranks.where(F.col("vertex").startswith("s"))
         .orderBy(F.desc("rank"), F.asc("vertex"))

@@ -686,3 +686,54 @@ def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(
         corpus, centroids, threshold=0.99, max_cluster_size=_SEMDEDUP_CLUSTER_CAP
     )
+
+
+# separate cache: the production path trains with the minibatch trainer at
+# adaptive k, a different model from the oracle-demo 64-centroid quantizer
+_SEMDEDUP_PROD_MODELS: dict[tuple, list[list[float]]] = {}
+
+
+@query("semdedup_flags_adaptive_float")
+def semdedup_flags_adaptive_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in its PRODUCTION configuration — the path a 100-TB run
+    would actually use, distinct from `semdedup_flags` (the oracle demo
+    pinned at k=64 + decimal-exact verify for DuckDB bit-stability):
+
+    - `auto_centroids` (k = n/200): constant expected cluster occupancy,
+      so within-cluster pair work grows LINEARLY with the corpus — the
+      fixed-k superlinearity the 10x smoke measured (SCALING.md);
+    - `train_kmeans_centroids_minibatch`: bounded deterministic
+      hash-sampled minibatches, constant per-iteration cost — the full
+      Lloyd pass per iteration was the next dominant phase after the
+      pair-stage fix;
+    - `verify="float"`: the Arrow-batched numpy pair scorer (~10-40x
+      less work per pair than the decimal explode), thresholding the
+      unrounded cosine.
+
+    No SQL oracle — DuckDB can't replay the float kernels bit-for-bit —
+    but every stage is deterministic (hash-defined sample/batches,
+    decimal-exact batch sums folded in fixed order, stable argmax, fixed
+    per-row float dot), so the output is pinned-exact: gen_pins.py
+    verifies bit-stability under the adversarial session and the gate
+    value-checks it. Flag parity with the exact path is pytest-pinned."""
+    from etl_poc_spark.operators.pins import pin
+    from etl_poc_spark.operators.similarity import (
+        auto_centroids,
+        semdedup,
+        train_kmeans_centroids_minibatch,
+    )
+
+    corpus = pin(_semdedup_corpus(spark, sf_dir))
+    key = _model_key(sf_dir)
+    centroids = _SEMDEDUP_PROD_MODELS.get(key)
+    if centroids is None:
+        k = auto_centroids(corpus.count(), target_cluster_size=200)
+        centroids = train_kmeans_centroids_minibatch(corpus, n_centroids=k, n_iters=4)
+        _SEMDEDUP_PROD_MODELS[key] = centroids
+    return semdedup(
+        corpus,
+        centroids,
+        threshold=0.99,
+        max_cluster_size=_SEMDEDUP_CLUSTER_CAP,
+        verify="float",
+    )

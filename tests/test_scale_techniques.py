@@ -244,3 +244,72 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_customer")
+
+
+def test_minibatch_kmeans_deterministic_and_partitioning_independent(spark, sf_dir):
+    """train_kmeans_centroids_minibatch: bit-identical centroids across
+    runs AND under an adversarially repartitioned input — the sample and
+    minibatches are pure id-hash functions, batch sums are decimal-exact,
+    and the driver folds them in fixed order."""
+    from etl_poc_spark.io import load_table
+    from etl_poc_spark.operators.similarity import train_kmeans_centroids_minibatch
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    c1 = train_kmeans_centroids_minibatch(emb, n_centroids=8, n_iters=3)
+    c2 = train_kmeans_centroids_minibatch(
+        emb.repartition(7, "vec_id"), n_centroids=8, n_iters=3
+    )
+    assert c1 == c2  # bit-exact, not approximately
+
+
+def test_minibatch_kmeans_recall_parity_with_full_lloyd(spark, sf_dir):
+    """A coarse quantizer only needs a representative sample: IVF top-1
+    recall against exact brute force with minibatch-trained centroids is
+    within a few points of the full-Lloyd-trained model, and SemDeDup over
+    the duplicated corpus makes the IDENTICAL drop decisions."""
+    from etl_poc_spark.io import load_table
+    from etl_poc_spark.operators.similarity import (
+        kmeans_ivf_topk,
+        semdedup,
+        train_kmeans_centroids,
+        train_kmeans_centroids_minibatch,
+    )
+    from etl_poc_spark.queries.similarity_q import _semdedup_corpus
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0).limit(20)
+
+    def top1(centroids_trainer):
+        cents = centroids_trainer(emb, 8)
+        got = kmeans_ivf_topk(q, emb, k=1, nprobe=2, centroids=cents)
+        return {r.query_id: r.neighbor_id for r in got.collect()}
+
+    from etl_poc_spark.operators.similarity import cosine_topk
+
+    exact = {
+        r.query_id: r.neighbor_id for r in cosine_topk(q, emb, k=1).collect()
+    }
+    full = top1(lambda b, k: train_kmeans_centroids(b, n_centroids=k, n_iters=2))
+    mini = top1(
+        lambda b, k: train_kmeans_centroids_minibatch(b, n_centroids=k, n_iters=4)
+    )
+    recall_full = sum(full[k] == exact[k] for k in exact) / len(exact)
+    recall_mini = sum(mini[k] == exact[k] for k in exact) / len(exact)
+    assert recall_mini >= recall_full - 0.15
+    assert recall_mini >= 0.5
+
+    # SemDeDup drop decisions: minibatch-trained quantizer, same flags as
+    # the registered exact-demo query (a coarse partition is all it needs)
+    corpus = _semdedup_corpus(spark, sf_dir)
+    cents = train_kmeans_centroids_minibatch(corpus, n_centroids=16, n_iters=4)
+    got = {
+        r.vec_id: r.is_dropped
+        for r in semdedup(corpus, cents, threshold=0.99, verify="float").collect()
+    }
+    copies = {v for v in got if v >= 100000}
+    assert copies and all(got[v] for v in copies)
+    assert all(not got[v] for v in got if v not in copies)

@@ -23,8 +23,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Deterministic rows-only queries. Excluded on purpose:
 #   price_quantiles_approx     approx_percentile merge order sensitivity
-#   supplier_pagerank          float iteration partial-sum order
-#   part_copurchase_kcore      (same class; keep the closed-form pytest pins)
 CANDIDATES = [
     "approx_distinct_parts",
     "audio_feature_stats",
@@ -35,7 +33,11 @@ CANDIDATES = [
     "image_near_dup_pairs",
     "image_phash_stats",
     "media_feature_neardup_sim",
+    "part_copurchase_kcore",       # pure-integer fixpoint output
+    "semdedup_flags_adaptive_float",  # production path: hash-defined sample,
+                                      # decimal batch sums, fixed fold order
     "simhash64_near_dup_pairs",
+    "supplier_pagerank",           # rank rounded to 9 decimals in-query
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 PIN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pinned_expected.json")

@@ -151,30 +151,43 @@ def main() -> int:
         cents = train_kmeans_centroids(corpus, n_centroids=k, n_iters=1)
         return semdedup(corpus, cents, threshold=0.99, max_cluster_size=2000)
 
-    def semdedup_adaptive_float(spark, sf_dir):
-        # adaptive k AND the Arrow-batched float pair scorer — the full
-        # production configuration (the decimal explode exists only for
-        # oracle bit-stability)
-        from etl_poc_spark.operators.pins import pin
-        from etl_poc_spark.operators.similarity import (
-            auto_centroids,
-            semdedup,
-            train_kmeans_centroids,
-        )
-        from etl_poc_spark.queries.similarity_q import _semdedup_corpus
+    # semdedup_flags_adaptive_float is now a REGISTERED query (the
+    # production configuration: auto_centroids + minibatch training +
+    # float verify, pinned-exact in the gate) — setdefault keeps it.
 
-        corpus = pin(_semdedup_corpus(spark, sf_dir))
-        k = auto_centroids(corpus.count(), target_cluster_size=200)
-        cents = train_kmeans_centroids(corpus, n_centroids=k, n_iters=1)
-        return semdedup(
-            corpus, cents, threshold=0.99, max_cluster_size=2000, verify="float"
-        )
+    def _train_probe(trainer_name):
+        # training-phase-only probes: the r9 smoke showed k-means training
+        # as the dominant semdedup phase; these isolate it so the
+        # full-Lloyd vs minibatch scaling is measured, not inferred.
+        # Returns a 1-row frame (k, dim, checksum) so the runner's noop
+        # write has something to execute.
+        def probe(spark, sf_dir):
+            from etl_poc_spark.operators import similarity as S
+            from etl_poc_spark.operators.pins import pin
+            from etl_poc_spark.queries.similarity_q import _semdedup_corpus
+
+            corpus = pin(_semdedup_corpus(spark, sf_dir))
+            k = S.auto_centroids(corpus.count(), target_cluster_size=200)
+            if trainer_name == "full":
+                cents = S.train_kmeans_centroids(corpus, n_centroids=k, n_iters=1)
+            else:
+                cents = S.train_kmeans_centroids_minibatch(
+                    corpus, n_centroids=k, n_iters=4
+                )
+            chk = round(sum(sum(c) for c in cents), 6)
+            return spark.createDataFrame(
+                [(k, len(cents[0]), chk)], "k int, dim int, checksum double"
+            )
+
+        return probe
 
     registry.QUERIES.setdefault("semdedup_flags_adaptive", semdedup_adaptive)
-    registry.QUERIES.setdefault("semdedup_flags_adaptive_float", semdedup_adaptive_float)
+    registry.QUERIES.setdefault("kmeans_train_full", _train_probe("full"))
+    registry.QUERIES.setdefault("kmeans_train_minibatch", _train_probe("minibatch"))
     results = {}
     for name in args.queries or SMOKE_QUERIES + [
-        "semdedup_flags_adaptive", "semdedup_flags_adaptive_float"
+        "semdedup_flags_adaptive", "semdedup_flags_adaptive_float",
+        "kmeans_train_full", "kmeans_train_minibatch",
     ]:
         t0 = time.perf_counter()
         try:
