@@ -83,6 +83,183 @@ def read_join_view(spark: SparkSession, store_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(store_dir, "view"))
 
 
+# --- IVM over VERSIONED bases: deletes/updates via the change feed ---------
+#
+# The append-only delta rule above can't retract view rows; once a base
+# supports updates/deletes (the versioned MERGE tier), the maintained view
+# must too. The composition: both bases are versioned tables
+# (operators/upsert.py), their change feeds come from table_changes (the
+# Delta-CDF shape), and the VIEW ITSELF is a versioned table — deletions
+# propagate with delete_versioned (so right-to-be-forgotten erasure on a
+# base reaches every denormalized copy in the view), additions/updates
+# with upsert_versioned. Each maintenance run shuffles delta-sized frames
+# against the current bases; the full join never recomputes.
+
+
+def _ivm_state_path(view_dir: str) -> str:
+    return os.path.join(view_dir, "_ivm_state.json")
+
+
+def _read_ivm_state(spark: SparkSession, view_dir: str) -> dict | None:
+    import json
+
+    from etl_poc_spark.operators.upsert import _hfs
+
+    path = _ivm_state_path(view_dir)
+    fs, P = _hfs(spark, path)
+    if not fs.exists(P(path)):
+        return None
+    stream = fs.open(P(path))
+    try:
+        body = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(body)
+
+
+def _write_ivm_state(spark: SparkSession, view_dir: str, state: dict) -> None:
+    import json
+
+    from etl_poc_spark.operators.upsert import _hfs
+
+    path = _ivm_state_path(view_dir)
+    fs, P = _hfs(spark, path)
+    out = fs.create(P(path), True)
+    try:
+        out.write(bytearray(json.dumps(state).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def maintain_join_view_versioned(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    view_dir: str,
+    on: Sequence[str],
+    left_key: Sequence[str],
+    right_key: Sequence[str],
+    partition_col: str,
+) -> dict:
+    """Bring the versioned join view at `view_dir` up to date with the
+    CURRENT states of the versioned bases at `left_dir` / `right_dir`,
+    consuming only the change feed since the last maintenance run.
+
+    - view rows: left JOIN right ON `on`; view primary key is
+      left_key + right_key (both sides' keys must be carried into the
+      view — they are, since the join keeps all columns);
+    - deletes/updates on a base RETRACT their view rows via
+      delete_versioned keyed on that side's key alone (every
+      denormalized copy goes — the erasure-propagation contract), then
+      updated/inserted rows re-join against the other base's CURRENT
+      state and upsert back in;
+    - the dL x dR term is exact: changed/inserted left rows join the
+      full new right, and changed/inserted right rows join only the
+      UNTOUCHED left rows, so pairs where both sides changed appear
+      exactly once;
+    - maintenance state (the last-consumed commit sequence per base)
+      lives in `view_dir/_ivm_state.json`; the first call builds the
+      view with one full join.
+
+    Cost per run: two table_changes diffs (full-outer joins on the base
+    keys — the CDF read), delta x base joins, and one delete + one
+    upsert commit on the view. Returns the new state dict. Valid while
+    the bases' `from_seq` resolutions survive vacuum — run maintenance
+    inside the retention window."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.upsert import (
+        _list_commits,
+        delete_versioned,
+        read_versioned,
+        table_changes,
+        upsert_versioned,
+    )
+
+    keys = list(on)
+    lk = list(left_key)
+    rk = list(right_key)
+    view_key = lk + rk
+    ln = len(_list_commits(spark, left_dir))
+    rn = len(_list_commits(spark, right_dir))
+    l_new = read_versioned(spark, left_dir)
+    r_new = read_versioned(spark, right_dir)
+    state = _read_ivm_state(spark, view_dir)
+    epoch = (state or {}).get("epoch", 0) + 1
+
+    if state is None:
+        view = l_new.join(r_new, keys).withColumn("__seq", F.lit(epoch))
+        upsert_versioned(
+            spark, view, view_dir, view_key, "__seq", partition_col
+        )
+        new_state = {"left_seq": ln, "right_seq": rn, "epoch": epoch}
+        _write_ivm_state(spark, view_dir, new_state)
+        return new_state
+
+    def changes(base_dir, key_cols, cols, from_seq, to_seq):
+        if to_seq == from_seq:
+            return None
+        compare = [c for c in cols if c not in key_cols]
+        ch = table_changes(
+            spark, base_dir, key_cols, compare, from_seq=from_seq, to_seq=to_seq
+        ).where(F.col("status") != "unchanged")
+        touched = ch.select(*key_cols).distinct()
+        added = ch.where(F.col("status").isin("inserted", "changed")).select(
+            *key_cols, *[F.col(f"new_{c}").alias(c) for c in compare]
+        )
+        return touched, added
+
+    lch = changes(left_dir, lk, l_new.columns, state["left_seq"], ln)
+    rch = changes(right_dir, rk, r_new.columns, state["right_seq"], rn)
+
+    # retractions first: every view row carrying a touched base key goes
+    # (deleted keys stay gone; changed/inserted keys re-enter below)
+    for key_cols, ch in ((lk, lch), (rk, rch)):
+        if ch is None:
+            continue
+        touched, _ = ch
+        try:
+            delete_versioned(spark, touched, view_dir, key_cols, partition_col)
+        except ValueError as exc:
+            if "matches no live partition" not in str(exc):
+                raise
+            # nothing in the view carried these keys (pure inserts)
+
+    parts: list[DataFrame] = []
+    if lch is not None:
+        parts.append(lch[1].join(r_new, keys))
+    if rch is not None:
+        l_base = l_new
+        if lch is not None:
+            # pairs where BOTH sides changed already joined above
+            l_base = l_new.join(lch[1].select(*lk).distinct(), lk, "left_anti")
+        parts.append(l_base.join(rch[1], keys))
+    if parts:
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        if not delta.isEmpty():
+            upsert_versioned(
+                spark,
+                delta.withColumn("__seq", F.lit(epoch)),
+                view_dir,
+                view_key,
+                "__seq",
+                partition_col,
+            )
+    new_state = {"left_seq": ln, "right_seq": rn, "epoch": epoch}
+    _write_ivm_state(spark, view_dir, new_state)
+    return new_state
+
+
+def read_join_view_versioned(spark: SparkSession, view_dir: str) -> DataFrame:
+    """The maintained versioned view's live state, without the internal
+    sequence column."""
+    from etl_poc_spark.operators.upsert import read_versioned
+
+    return read_versioned(spark, view_dir).drop("__seq")
+
+
 from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
 
 _rbv(__name__)

@@ -27,7 +27,10 @@ docetl/config/article_pipeline.yaml.j2):
       #   conversion_type, within_seconds}, rfm {entity_key, ts_key,
       #   value_key, n_tiles, rollup}, twap {entity_key, group_key,
       #   ts_key, value_key}, abc {key, value_key, a_pct, b_pct, rollup},
-      # grouping_sets {sets: [[col,...],...], aggs: {alias: SQL-agg}}
+      # grouping_sets {sets: [[col,...],...], aggs: {alias: SQL-agg}},
+      # entity_resolution {id, name_key, block_expr, max_distance,
+      #   max_block_size, output: entities|annotated},
+      # association_rules {basket_key, item_key, min_support_count, top_n}
     pipeline:
       steps: [{name: s1, input: papers, operations: [chunk, extract]}]
       output: {type: file, path: /out, intermediate_dir: /tmp/int}
@@ -454,6 +457,100 @@ def _apply_op(
             max_distance=int(op.get("max_distance", 1)),
             max_block_size=int(op.get("max_block_size", 10_000)),
         )
+    if t == "entity_resolution":
+        # end-to-end ER (the customer_entity_groups composition as ONE
+        # declarable op): blocked fuzzy pairs -> connected components ->
+        # canonical entities. output: "entities" (default) returns one row
+        # per resolved entity (component, representative, n_members);
+        # "annotated" returns the input with an `entity_id` column — the
+        # component representative, or the row's own id when nothing
+        # matched it (a singleton entity).
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.dedup import (
+            connected_components,
+            dedup_representatives,
+        )
+        from etl_poc_spark.operators.linkage import blocked_fuzzy_pairs
+
+        id_col = op.get("id", "doc_id")
+        pairs = blocked_fuzzy_pairs(
+            df,
+            id_col=id_col,
+            name_col=op.get("name_key", "text"),
+            block=F.expr(op["block_expr"]),
+            max_distance=int(op.get("max_distance", 1)),
+            max_block_size=int(op.get("max_block_size", 10_000)),
+        ).select("id_a", "id_b")
+        output = op.get("output", "entities")
+        if output == "entities":
+            return dedup_representatives(pairs)
+        if output == "annotated":
+            comps = connected_components(pairs).select(
+                F.col("id").alias(id_col), F.col("component")
+            )
+            return (
+                df.join(comps, id_col, "left")
+                .withColumn(
+                    "entity_id", F.coalesce(F.col("component"), F.col(id_col))
+                )
+                .drop("component")
+            )
+        raise PipelineConfigError(
+            f"entity_resolution output must be 'entities' or 'annotated', got {output!r}"
+        )
+    if t == "association_rules":
+        # market-basket association rules (the part_association_rules
+        # shape as a declarable op): A-priori min-support prefilter BEFORE
+        # the pair self-join (downward closure — the join stays linear-ish
+        # in the frequent subset, never quadratic in baskets), then
+        # support / confidence(A->B) / lift for the top_n pairs by count.
+        from pyspark.sql import functions as F
+
+        basket = op["basket_key"]
+        item = op["item_key"]
+        min_n = int(op.get("min_support_count", 5))
+        top_n = int(op.get("top_n", 20))
+        bi = df.select(basket, item).distinct()
+        freq = (
+            bi.groupBy(item)
+            .agg(F.count(F.lit(1)).alias("__n_item"))
+            .where(F.col("__n_item") >= min_n)
+        )
+        fbi = bi.join(freq, item)
+        a = fbi.select(
+            basket, F.col(item).alias("item_a"), F.col("__n_item").alias("__n_a")
+        )
+        b = fbi.select(
+            basket, F.col(item).alias("item_b"), F.col("__n_item").alias("__n_b")
+        )
+        pairs = (
+            a.join(b, basket)
+            .where(F.col("item_a") < F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_both"),
+                F.first("__n_a").alias("__n_a"),
+                F.first("__n_b").alias("__n_b"),
+            )
+        )
+        top = pairs.orderBy(F.desc("n_both"), "item_a", "item_b").limit(top_n)
+        n_row = df.groupBy().agg(F.countDistinct(basket).alias("__n"))
+        top = top.crossJoin(F.broadcast(n_row))
+        return top.select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("__n"), 9).alias("support"),
+            F.round(F.col("n_both").cast("double") / F.col("__n_a"), 9).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_both") * F.col("__n")).cast("double")
+                / (F.col("__n_a") * F.col("__n_b")).cast("double"),
+                9,
+            ).alias("lift"),
+        ).orderBy(F.desc("n_both"), "item_a", "item_b")
     if t == "span_dedup":
         # ExactSubstr-style doc filter (Lee et al. 2021): drop documents
         # whose cross-doc duplicated-span coverage exceeds max_coverage

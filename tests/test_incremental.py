@@ -311,3 +311,97 @@ def test_float_cosine_zero_norm_guard(spark):
     assert got[(1, 2)] == 0.0 and got[(1, 1)] == 0.0
     assert got[(2, 3)] == 1.0
     assert all(not math.isnan(v) and not math.isinf(v) for v in got.values())
+
+
+def test_versioned_ivm_equals_rebuild_with_deletes_and_updates(spark, tmp_path):
+    """IVM over VERSIONED bases: after every maintenance run — covering
+    inserts, updates, base-key deletion (right-to-be-forgotten), and a
+    run where BOTH sides changed — the maintained view equals a
+    from-scratch join of the bases' current states. Deletes on a base
+    physically retract every denormalized copy from the view."""
+    from etl_poc_spark.operators import upsert as U
+    from etl_poc_spark.operators.ivm import (
+        maintain_join_view_versioned,
+        read_join_view_versioned,
+    )
+
+    ldir = str(tmp_path / "orders")
+    rdir = str(tmp_path / "dim")
+    vdir = str(tmp_path / "view")
+
+    def upsert_l(rows, seq):
+        U.upsert_versioned(
+            spark,
+            spark.createDataFrame(rows, "oid long, k long, day string, lv string")
+            .withColumn("seq", F.lit(seq)),
+            ldir, ["oid"], "seq", "day",
+        )
+
+    def upsert_r(rows, seq):
+        U.upsert_versioned(
+            spark,
+            spark.createDataFrame(rows, "k long, rday string, rv string")
+            .withColumn("rseq", F.lit(seq)),
+            rdir, ["k"], "rseq", "rday",
+        )
+
+    def maintain():
+        return maintain_join_view_versioned(
+            spark, ldir, rdir, vdir,
+            on=["k"], left_key=["oid"], right_key=["k"], partition_col="day",
+        )
+
+    def check():
+        cols = ["oid", "k", "day", "lv", "rday", "rv"]
+        want = sorted(
+            map(
+                tuple,
+                U.read_versioned(spark, ldir)
+                .join(U.read_versioned(spark, rdir), "k")
+                .select(*cols)
+                .collect(),
+            )
+        )
+        got = sorted(
+            map(tuple, read_join_view_versioned(spark, vdir).select(*cols).collect())
+        )
+        assert got == want
+
+    upsert_l([(1, 10, "d1", "a"), (2, 10, "d1", "b"), (3, 20, "d2", "c")], 1)
+    upsert_r([(10, "r1", "x"), (20, "r1", "y")], 1)
+    maintain()
+    check()
+
+    # left-only batch: one update, one insert
+    upsert_l([(1, 10, "d1", "a2"), (4, 20, "d2", "d")], 2)
+    maintain()
+    check()
+
+    # right-to-be-forgotten on the LEFT base: key 2 erased; the view copy
+    # must go too
+    U.delete_versioned(
+        spark, spark.createDataFrame([(2,)], "oid long"), ldir, ["oid"], "day"
+    )
+    maintain()
+    check()
+    assert not [
+        r for r in read_join_view_versioned(spark, vdir).collect() if r["oid"] == 2
+    ]
+
+    # BOTH sides in one run: right value update + right key deletion +
+    # left insert referencing the surviving right key
+    upsert_r([(10, "r1", "x2")], 2)
+    U.delete_versioned(
+        spark, spark.createDataFrame([(20,)], "k long"), rdir, ["k"], "rday"
+    )
+    upsert_l([(5, 10, "d3", "e")], 3)
+    maintain()
+    check()
+    view = read_join_view_versioned(spark, vdir).collect()
+    assert {r["rv"] for r in view} == {"x2"}  # dim update propagated
+    assert not [r for r in view if r["k"] == 20]  # dim deletion propagated
+
+    # idempotent: maintaining with no base changes is a no-op
+    st = maintain()
+    check()
+    assert st["left_seq"] == len(U._list_commits(spark, ldir))

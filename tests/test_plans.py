@@ -738,3 +738,74 @@ def test_round9_query_plan_shapes(spark, sf_dir):
         # between the LAST Window node and the end mentions HashAggregate
         tail = p[p.rindex("Window"):]
         assert "HashAggregate" in tail or "Exchange" in tail
+
+
+def test_yaml_entity_resolution_and_association_rules_ops(spark):
+    """Round-10 vocabulary: the two flagship r9 compositions drive from
+    config — blocked-fuzzy-pairs -> components -> canonical entities
+    (both output modes), and A-priori-prefiltered market-basket rules."""
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    people = spark.createDataFrame(
+        [
+            (1, "smith"), (2, "smyth"), (3, "smythe"),
+            (10, "jones"), (11, "jonez"),
+            (20, "solo"),
+        ],
+        "pid long, name string",
+    )
+
+    def er_cfg(output):
+        return {
+            "default_model": "stub",
+            "datasets": {"people": {"path": "i.json"}},
+            "operations": [{
+                "name": "er", "type": "entity_resolution",
+                "id": "pid", "name_key": "name",
+                "block_expr": "substring(name, 1, 2)",
+                "max_distance": 1, "output": output,
+            }],
+            "pipeline": {"steps": [
+                {"name": "s", "input": "people", "operations": ["er"]}
+            ]},
+        }
+
+    ents = run_pipeline(spark, er_cfg("entities"), datasets={"people": people})
+    got = {
+        r["representative"]: r["n_members"] for r in ents["__final__"].collect()
+    }
+    # smith~smyth~smythe resolve transitively; jones~jonez pair; solo absent
+    # (entities mode reports LINKED clusters; singletons carry no pair)
+    assert got == {1: 3, 10: 2}
+
+    ann = run_pipeline(spark, er_cfg("annotated"), datasets={"people": people})
+    ids = {r["pid"]: r["entity_id"] for r in ann["__final__"].collect()}
+    assert ids == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    baskets = spark.createDataFrame(
+        [(o, i) for o in range(10) for i in ("a", "b")]
+        + [(o, "c") for o in range(5)]
+        + [(99, "rare")],
+        "order long, item string",
+    )
+    cfg = {
+        "default_model": "stub",
+        "datasets": {"b": {"path": "i.json"}},
+        "operations": [{
+            "name": "ar", "type": "association_rules",
+            "basket_key": "order", "item_key": "item",
+            "min_support_count": 3, "top_n": 5,
+        }],
+        "pipeline": {"steps": [{"name": "s", "input": "b", "operations": ["ar"]}]},
+    }
+    rules = run_pipeline(spark, cfg, datasets={"b": baskets})["__final__"].collect()
+    by_pair = {(r["item_a"], r["item_b"]): r for r in rules}
+    assert ("a", "rare") not in by_pair  # pruned by min support
+    ab = by_pair[("a", "b")]
+    n_baskets = 11
+    assert ab["n_both"] == 10
+    assert ab["support"] == round(10 / n_baskets, 9)
+    assert ab["confidence"] == 1.0
+    assert ab["lift"] == round(10 * n_baskets / (10 * 10), 9)
+    ac = by_pair[("a", "c")]
+    assert ac["n_both"] == 5 and ac["confidence"] == 0.5
