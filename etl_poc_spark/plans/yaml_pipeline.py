@@ -754,21 +754,37 @@ def _apply_op(
         return classified.orderBy(F.desc("total_value"), F.asc(key))
     if t == "asof_join":
         # backward/forward as-of enrichment against another dataset/step
-        # (operators/temporal.py — union-window carry, one key shuffle)
-        from etl_poc_spark.operators.temporal import asof_join
-
-        return asof_join(
-            df,
-            _frame("right"),
+        # (operators/temporal.py — union-window carry, one key shuffle).
+        # `bucket_seconds` opts into the hot-key-mitigated two-phase form
+        # (backward only): per-(key, time-bucket) windows + a bucket-
+        # granular carry, for when one key holds a task-breaking share of
+        # rows (key_skew_report is the preflight; SCALING.md thresholds).
+        common = dict(
             by=op.get("keys") or ["user_id"],
             left_ts=op.get("ts_key", "ts"),
             right_ts=op.get("right_ts_key", op.get("ts_key", "ts")),
             right_cols=op["attrs"],
-            direction=op.get("direction", "backward"),
             tolerance_seconds=(
                 int(op["tolerance_seconds"]) if op.get("tolerance_seconds") else None
             ),
             tiebreak_cols=tuple(op.get("tiebreak") or ()),
+        )
+        if op.get("bucket_seconds"):
+            if op.get("direction", "backward") != "backward":
+                raise PipelineConfigError(
+                    "asof_join bucket_seconds supports direction: backward only"
+                )
+            from etl_poc_spark.operators.temporal import asof_join_bucketed
+
+            return asof_join_bucketed(
+                df, _frame("right"),
+                bucket_seconds=int(op["bucket_seconds"]), **common,
+            )
+        from etl_poc_spark.operators.temporal import asof_join
+
+        return asof_join(
+            df, _frame("right"),
+            direction=op.get("direction", "backward"), **common,
         )
     if t == "pps_sample":
         # systematic probability-proportional-to-size sampling: keep docs

@@ -692,6 +692,14 @@ def test_yaml_asof_and_pps_ops(spark):
     got = {(r["k"], str(r["ts"])[14:16]): r["asof_px"] for r in out["__final__"].collect()}
     assert got == {(1, "05"): 40.0, (1, "10"): 90.0, (2, "03"): None}
 
+    # bucket_seconds opts into the hot-key-mitigated two-phase form with
+    # identical semantics
+    cfg["operations"][0]["bucket_seconds"] = 120
+    out = run_pipeline(spark, cfg, datasets={"facts": facts, "quotes": quotes})
+    got = {(r["k"], str(r["ts"])[14:16]): r["asof_px"] for r in out["__final__"].collect()}
+    assert got == {(1, "05"): 40.0, (1, "10"): 90.0, (2, "03"): None}
+    del cfg["operations"][0]["bucket_seconds"]
+
     docs = spark.createDataFrame(
         [(i, "w " * (i + 1)) for i in range(20)], "doc_id long, text string"
     )
