@@ -313,17 +313,33 @@ def _apply_op(
         from etl_poc_spark.operators.similarity import (
             semdedup,
             train_kmeans_centroids,
+            train_kmeans_centroids_minibatch,
         )
 
         id_col = op.get("id", "doc_id")
         vec_col = op.get("embedding_key", "embedding")
-        centroids = train_kmeans_centroids(
-            df,
-            n_centroids=int(op.get("n_centroids", 64)),
-            n_iters=int(op.get("n_iters", 1)),
-            id_col=id_col,
-            vec_col=vec_col,
-        )
+        trainer = op.get("trainer", "full")
+        if trainer == "full":
+            centroids = train_kmeans_centroids(
+                df,
+                n_centroids=int(op.get("n_centroids", 64)),
+                n_iters=int(op.get("n_iters", 1)),
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        elif trainer == "minibatch":
+            # the scale trainer: constant per-iteration cost (SCALING.md)
+            centroids = train_kmeans_centroids_minibatch(
+                df,
+                n_centroids=int(op.get("n_centroids", 64)),
+                n_iters=int(op.get("n_iters", 4)),
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        else:
+            raise PipelineConfigError(
+                f"semdedup trainer must be 'full' or 'minibatch', got {trainer!r}"
+            )
         flags = semdedup(
             df,
             centroids,

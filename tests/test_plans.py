@@ -390,6 +390,12 @@ def test_yaml_semdedup_op(spark):
     # schema is preserved — semdedup filters rows, never alters columns
     assert out["__final__"].columns == ["doc_id", "text", "embedding"]
 
+    # trainer: minibatch (the scale path) makes the same keep decisions
+    config["operations"][0]["trainer"] = "minibatch"
+    config["operations"][0]["verify"] = "float"
+    out = run_pipeline(spark, config, datasets={"docs": docs})
+    assert sorted(r["doc_id"] for r in out["__final__"].collect()) == [1, 3, 4]
+
 
 def test_yaml_span_dedup_op(spark):
     """The span_dedup pipeline op drops docs whose cross-doc duplicated
