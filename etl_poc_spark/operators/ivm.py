@@ -1,4 +1,6 @@
-"""Incremental view maintenance for join views (append-only bases).
+"""Incremental view maintenance: join views (append-only fast lane +
+versioned CDF-driven with delete/update propagation) and aggregate
+views (additively-maintained GROUP BY over a versioned base).
 
 The 100-TB pattern: a denormalized join view (facts x dim, orders x
 customer) that downstream consumers read constantly is too expensive to
@@ -254,6 +256,156 @@ def maintain_join_view_versioned(
 
 def read_join_view_versioned(spark: SparkSession, view_dir: str) -> DataFrame:
     """The maintained versioned view's live state, without the internal
+    sequence column."""
+    from etl_poc_spark.operators.upsert import read_versioned
+
+    return read_versioned(spark, view_dir).drop("__seq")
+
+
+def maintain_agg_view_versioned(
+    spark: SparkSession,
+    base_dir: str,
+    view_dir: str,
+    *,
+    base_key: Sequence[str],
+    group_key: Sequence[str],
+    sums: Sequence[str],
+    partition_col: str,
+) -> dict:
+    """Incrementally maintain a GROUP BY materialized view over the
+    versioned base at `base_dir`, consuming only the change feed since
+    the last run — the aggregate sibling of maintain_join_view_versioned.
+
+    View schema: group_key..., `sum_<c>` for each c in `sums`, and
+    `n_rows` (group row count). SUM/COUNT are the additively-maintainable
+    aggregates: each changed base row contributes (new − old), inserts
+    (+new, +1), deletes (−old, −1) — including rows whose GROUP changes
+    on update (they retract under the old group values and re-enter
+    under the new ones). Groups whose n_rows reaches 0 are deleted from
+    the view. AVG derives as sum/n_rows at read time; MIN/MAX are NOT
+    delete-maintainable without per-group history and stay out of scope
+    (rebuild those, or keep a sorted sketch).
+
+    NULL measure values contribute 0 to the sum and still count in
+    n_rows (document-level semantics; an SQL AVG ignoring nulls needs
+    its own non-null counter — add the indicator column upstream).
+    With DOUBLE measures the maintained sum can differ from a rebuild
+    by float associativity — use integer/DECIMAL measures where exact
+    equivalence matters (the pytest pins integer measures bit-exact).
+
+    Cost per run: one CDF diff (full-outer join on base_key), one
+    delta-sized groupBy, one delta×view join on the group key, and one
+    delete + one upsert commit — the base is never rescanned. At 100 TB
+    the view stays partitioned on `partition_col` (must be one of
+    group_key) so the merge rewrites only touched partitions.
+
+    First call builds the view with one full groupBy. State (the
+    last-consumed base commit count) lives in `view_dir/_ivm_state.json`.
+    Valid while `from_seq` survives the base's vacuum retention window."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.upsert import (
+        _list_commits,
+        delete_versioned,
+        read_versioned,
+        table_changes,
+        upsert_versioned,
+    )
+
+    gk = list(group_key)
+    if partition_col not in gk:
+        raise ValueError(
+            f"partition_col {partition_col!r} must be one of group_key {gk}"
+        )
+    ms = list(sums)
+    base_n = len(_list_commits(spark, base_dir))
+    state = _read_ivm_state(spark, view_dir)
+    epoch = (state or {}).get("epoch", 0) + 1
+
+    def agg_cols():
+        return [
+            *[F.sum(F.coalesce(F.col(c), F.lit(0))).alias(f"sum_{c}") for c in ms],
+            F.count(F.lit(1)).alias("n_rows"),
+        ]
+
+    if state is None:
+        full = read_versioned(spark, base_dir)
+        view = full.groupBy(*gk).agg(*agg_cols()).withColumn("__seq", F.lit(epoch))
+        upsert_versioned(spark, view, view_dir, gk, "__seq", partition_col)
+        new_state = {"base_seq": base_n, "epoch": epoch}
+        _write_ivm_state(spark, view_dir, new_state)
+        return new_state
+
+    if base_n == state["base_seq"]:
+        return state
+
+    cur = read_versioned(spark, base_dir)
+    compare = [c for c in cur.columns if c not in base_key]
+    ch = table_changes(
+        spark, base_dir, list(base_key), compare,
+        from_seq=state["base_seq"], to_seq=base_n,
+    ).where(F.col("status") != "unchanged")
+
+    # retractions carry old group/measure values with negative sign;
+    # additions carry the new values — one unioned delta frame, then a
+    # delta-sized groupBy produces per-group net contributions.
+    def side(statuses: list[str], prefix: str, sign: int) -> DataFrame:
+        return ch.where(F.col("status").isin(statuses)).select(
+            *[F.col(f"{prefix}{c}").alias(c) for c in gk],
+            *[
+                (F.lit(sign) * F.coalesce(F.col(f"{prefix}{c}"), F.lit(0))).alias(c)
+                for c in ms
+            ],
+            F.lit(sign).alias("__dn"),
+        )
+
+    delta_rows = side(["deleted", "changed"], "old_", -1).unionByName(
+        side(["inserted", "changed"], "new_", +1)
+    )
+    delta = delta_rows.groupBy(*gk).agg(
+        *[F.sum(c).alias(f"d_sum_{c}") for c in ms],
+        F.sum("__dn").alias("d_n"),
+    )
+    if delta.isEmpty():
+        new_state = {"base_seq": base_n, "epoch": epoch}
+        _write_ivm_state(spark, view_dir, new_state)
+        return new_state
+
+    old_view = read_versioned(spark, view_dir).drop("__seq")
+    merged = delta.join(old_view, gk, "left").select(
+        *gk,
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                + F.col(f"d_sum_{c}")
+            ).alias(f"sum_{c}")
+            for c in ms
+        ],
+        (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_n")).alias("n_rows"),
+    )
+    merged = merged.persist()
+    try:
+        gone = merged.where(F.col("n_rows") == 0).select(*gk)
+        if not gone.isEmpty():
+            try:
+                delete_versioned(spark, gone, view_dir, gk, partition_col)
+            except ValueError as exc:
+                if "matches no live partition" not in str(exc):
+                    raise
+        live = merged.where(F.col("n_rows") != 0).withColumn(
+            "__seq", F.lit(epoch)
+        )
+        if not live.isEmpty():
+            upsert_versioned(spark, live, view_dir, gk, "__seq", partition_col)
+    finally:
+        merged.unpersist()
+    new_state = {"base_seq": base_n, "epoch": epoch}
+    _write_ivm_state(spark, view_dir, new_state)
+    return new_state
+
+
+def read_agg_view_versioned(spark: SparkSession, view_dir: str) -> DataFrame:
+    """The maintained aggregate view's live state, without the internal
     sequence column."""
     from etl_poc_spark.operators.upsert import read_versioned
 

@@ -1,0 +1,172 @@
+"""Bigram language-model training + per-document perplexity scoring —
+the KenLM-shaped quality filter a pretraining-data pipeline runs after
+exact/near dedup (CCNet / Gopher both gate on LM perplexity; public
+recipe: arXiv:1911.00359 §4.3, arXiv:2112.11446 §A1.2).
+
+Everything is DataFrame-native and JVM-side:
+
+- **training** is explode → groupBy with map-side combine: the shuffle
+  carries (bigram, partial_count) pairs — bounded by per-partition
+  distinct-bigram occupancy, never corpus token volume. Unigram
+  (history) counts reuse the same tokenization. At 100 TB the count
+  tables are themselves large; they stay distributed (no driver
+  collect), and scoring joins against them shuffle-on-key.
+- **scoring** explodes each document's bigrams WITH their position,
+  left-joins the count tables (missing history → pure-smoothing mass),
+  computes each add-k log-probability from exact integer counts, and
+  folds the per-document sum via `aggregate` over a position-sorted
+  array — a FIXED left-to-right fold, so the double result is
+  bit-identical under any partitioning/AQE regime (the property the
+  pinned-exact gate class requires). A plain SUM would be
+  merge-order-dependent.
+- smoothing: add-k over the training vocabulary V;
+  p(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V). An unseen history word
+  degrades to the uniform 1/V mass, never a zero division.
+
+The per-doc regroup is ONE shuffle on doc_id; the scoring join is
+broadcast when the LM fits (sf-test scale) and a standard shuffle join
+otherwise — Catalyst/AQE picks via the normal size estimate, nothing is
+forced.
+
+Reference parity: the reference pipeline has no LM stage; this extends
+the engine's training-data curation tier (SURVEY.md §7) alongside
+vocab_q / tokenize_q / curation.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def words_col(text_col: str = "text") -> Column:
+    """Whitespace tokens of the trimmed body — the engine's shared
+    tokenizer (same idiom as vocab_q / linededup)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def _bigram_structs(words: str = "words") -> Column:
+    """(pos, w1, bigram) structs for every adjacent pair, built inside
+    whole-stage codegen. Operates on a pre-projected array column so the
+    regex split is not re-run per element (Catalyst does not CSE through
+    lambda bodies)."""
+    return F.expr(
+        f"transform(sequence(0, size({words}) - 2), i -> "
+        f"struct(i AS pos, {words}[i] AS w1, "
+        f"concat({words}[i], ' ', {words}[i + 1]) AS bigram))"
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame, *, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Count tables for an add-k bigram LM over `docs[text_col]`.
+
+    Returns (bigram_counts, unigram_counts, vocab_size):
+      bigram_counts  (bigram STRING, c_bi BIGINT)
+      unigram_counts (w1 STRING, c_uni BIGINT) — history counts, i.e.
+                     every token that HAS a successor (so the
+                     denominator matches the bigram numerator mass)
+      vocab_size     1-row (v BIGINT): distinct tokens in the corpus
+                     (full vocabulary, not just histories — the
+                     smoothing support).
+
+    All three stay distributed; vocab_size is a 1-row aggregate meant to
+    fold in-plan via a broadcast crossJoin."""
+    w = docs.select(words_col(text_col).alias("words"))
+    pairs = w.where(F.size("words") >= 2).select(
+        F.explode(_bigram_structs()).alias("p")
+    )
+    bigram_counts = pairs.groupBy(F.col("p.bigram").alias("bigram")).agg(
+        F.count(F.lit(1)).alias("c_bi")
+    )
+    unigram_counts = pairs.groupBy(F.col("p.w1").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c_uni")
+    )
+    vocab_size = (
+        w.select(F.explode("words").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    return bigram_counts, unigram_counts, vocab_size
+
+
+def score_bigram_logprob(
+    docs: DataFrame,
+    bigram_counts: DataFrame,
+    unigram_counts: DataFrame,
+    vocab_size: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-document add-k bigram log-probability / perplexity.
+
+    Output: (id_col, n_bigrams BIGINT, avg_nll DOUBLE, ppl DOUBLE) for
+    every document with at least one bigram. avg_nll is the mean
+    negative natural-log probability per bigram; ppl = exp(avg_nll).
+
+    Determinism: each per-bigram logp is a pure function of exact
+    integer counts; the per-document total folds left-to-right over the
+    position-sorted (pos, logp) array, so the doubles are bit-identical
+    under any partitioning (pinned-exact-safe). The fold runs in the JVM
+    (`aggregate` over an array column), not Python."""
+    b = (
+        docs.select(F.col(id_col), words_col(text_col).alias("words"))
+        .where(F.size("words") >= 2)
+        .select(F.col(id_col), F.explode(_bigram_structs()).alias("p"))
+        .select(F.col(id_col), "p.pos", "p.w1", "p.bigram")
+    )
+    scored = (
+        b.join(bigram_counts, "bigram", "left")
+        .join(unigram_counts, "w1", "left")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            F.col(id_col),
+            "pos",
+            F.log(
+                (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(float(k)))
+                / (
+                    F.coalesce(F.col("c_uni"), F.lit(0))
+                    + F.lit(float(k)) * F.col("v").cast("double")
+                )
+            ).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(pos, logp))), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.logp)"
+            ).alias("total_logp"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            (-F.col("total_logp") / F.col("n_bigrams")).alias("avg_nll"),
+            F.exp(-F.col("total_logp") / F.col("n_bigrams")).alias("ppl"),
+        )
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+    max_ppl: float | None = None,
+) -> DataFrame:
+    """Train-on-corpus, score-per-doc in one call (the CCNet shape:
+    the LM trained on the reference corpus gates each document). Adds a
+    `keep` flag when `max_ppl` is given; otherwise returns the scores
+    for a downstream threshold choice."""
+    bi, uni, v = train_bigram_lm(docs, text_col=text_col)
+    out = score_bigram_logprob(
+        docs, bi, uni, v, id_col=id_col, text_col=text_col, k=k
+    )
+    if max_ppl is not None:
+        out = out.withColumn("keep", F.col("ppl") <= F.lit(float(max_ppl)))
+    return out

@@ -58,6 +58,7 @@ def load_all() -> None:
         extra_q,
         graph_q,
         linededup_q,
+        lm_q,
         misc_q,
         multimodal_q,
         pipeline_q,

@@ -220,3 +220,42 @@ def test_compression_ratio_features_pins(spark):
     again = {r["doc_id"]: r["n_compressed"]
              for r in compression_ratio_features(df).collect()}
     assert again == {k: v["n_compressed"] for k, v in rows.items()}
+
+
+def test_bigram_lm_perplexity_hand_computed(spark):
+    """Add-1 bigram perplexity on a 2-doc corpus small enough to verify
+    by hand, plus the determinism property the pinned gate class relies
+    on: the per-doc fold is position-sorted, so a repartitioned input
+    yields bit-identical doubles."""
+    import math
+
+    from etl_poc_spark.operators.ngram_lm import perplexity_filter
+
+    # corpus: "a b a b" + "a b c"  ->  V = {a,b,c} = 3
+    # bigrams: (a b)x3, (b a)x1, (b c)x1; history counts a:3, b:3? no:
+    #   doc1 histories a,b,a ; doc2 a,b  ->  c(a)=3, c(b)=2
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in perplexity_filter(df, k=1.0).collect()}
+
+    p_ab = (3 + 1) / (3 + 3)   # c(a b)=3, c(a)=3, V=3
+    p_ba = (1 + 1) / (2 + 3)   # c(b a)=1, c(b)=2
+    p_bc = (1 + 1) / (2 + 3)
+    nll1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    nll2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 2
+    assert abs(out[1]["avg_nll"] - nll1) < 1e-12
+    assert abs(out[2]["avg_nll"] - nll2) < 1e-12
+    assert abs(out[1]["ppl"] - math.exp(nll1)) < 1e-9
+
+    # an unseen-history doc degrades to the uniform 1/V smoothing mass
+    oov = spark.createDataFrame([(9, "zz qq")], "doc_id long, text string")
+    bi_ppl = perplexity_filter(df.unionByName(oov), k=1.0)
+    row9 = bi_ppl.where("doc_id = 9").collect()[0]
+    assert row9["n_bigrams"] == 1
+
+    # determinism under repartitioning: bit-identical doubles
+    a = sorted(map(tuple, perplexity_filter(df, k=1.0).collect()))
+    b = sorted(map(tuple, perplexity_filter(df.repartition(7), k=1.0).collect()))
+    assert a == b

@@ -405,3 +405,94 @@ def test_versioned_ivm_equals_rebuild_with_deletes_and_updates(spark, tmp_path):
     st = maintain()
     check()
     assert st["left_seq"] == len(U._list_commits(spark, ldir))
+
+
+def test_versioned_agg_ivm_equals_rebuild_with_deletes_and_updates(spark, tmp_path):
+    """Aggregate IVM: after every maintenance run — inserts, measure
+    updates, a GROUP-changing update (retract under the old group,
+    re-enter under the new), and deletions that empty a group — the
+    maintained SUM/COUNT view equals a from-scratch groupBy of the
+    base's current state, and emptied groups are physically absent."""
+    from etl_poc_spark.operators import upsert as U
+    from etl_poc_spark.operators.ivm import (
+        maintain_agg_view_versioned,
+        read_agg_view_versioned,
+    )
+
+    bdir = str(tmp_path / "base")
+    vdir = str(tmp_path / "aggview")
+
+    def upsert(rows, seq):
+        U.upsert_versioned(
+            spark,
+            spark.createDataFrame(rows, "oid long, day string, k long, qty long")
+            .withColumn("seq", F.lit(seq)),
+            bdir, ["oid"], "seq", "day",
+        )
+
+    def maintain():
+        return maintain_agg_view_versioned(
+            spark, bdir, vdir,
+            base_key=["oid"], group_key=["day", "k"],
+            sums=["qty"], partition_col="day",
+        )
+
+    def check():
+        want = sorted(
+            map(
+                tuple,
+                U.read_versioned(spark, bdir)
+                .groupBy("day", "k")
+                .agg(
+                    F.sum(F.coalesce("qty", F.lit(0))).alias("sum_qty"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                )
+                .collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                read_agg_view_versioned(spark, vdir)
+                .select("day", "k", "sum_qty", "n_rows")
+                .collect(),
+            )
+        )
+        assert got == want
+
+    upsert([(1, "d1", 10, 5), (2, "d1", 10, 7), (3, "d1", 20, 1), (4, "d2", 10, 2)], 1)
+    maintain()
+    check()
+
+    # insert + measure update in one batch
+    upsert([(1, "d1", 10, 6), (5, "d2", 20, 9)], 2)
+    maintain()
+    check()
+
+    # GROUP-changing update: row 2 moves from (d1,10) to (d1,20) — it
+    # retracts under the old group and re-enters under the new one.
+    # (The move stays inside partition d1: the versioned base's
+    # partition-scoped MERGE requires the partition column to be
+    # immutable per key — a partition-crossing move is delete+insert
+    # at the base level, covered by the deletion step below.)
+    upsert([(2, "d1", 20, 7)], 3)
+    maintain()
+    check()
+
+    # deletions emptying a group: (d1,20) loses both its rows
+    U.delete_versioned(
+        spark, spark.createDataFrame([(2,), (3,)], "oid long"), bdir, ["oid"], "day"
+    )
+    maintain()
+    check()
+    assert not [
+        r
+        for r in read_agg_view_versioned(spark, vdir).collect()
+        if (r["day"], r["k"]) == ("d1", 20)
+    ]
+
+    # idempotent: no base changes -> no-op, state unchanged
+    st1 = maintain()
+    st2 = maintain()
+    check()
+    assert st1["base_seq"] == st2["base_seq"] == len(U._list_commits(spark, bdir))

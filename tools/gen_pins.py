@@ -29,6 +29,8 @@ CANDIDATES = [
     "bpe_segmentation_stats",
     "bpe_trained_merges",
     "doc_compression_quality",
+    "doc_lm_perplexity",          # transcendental logs but fixed fold order
+                                  # (position-sorted aggregate) + round(9)
     "hll_sketch_union_users",
     "image_near_dup_pairs",
     "image_phash_stats",
