@@ -72,6 +72,7 @@ def load_all() -> None:
         scd_q,
         similarity_q,
         spandedup_q,
+        stats_q,
         temporal_q,
         timeseries_q,
         tokenize_q,
