@@ -21,7 +21,9 @@ docetl/config/article_pipeline.yaml.j2):
       # sample {percent, id, salt},
       # line_dedup {id, text_key, words_per_segment, min_docs},
       # semdedup {id, embedding_key, n_centroids, threshold,
-      #           max_cluster_size, keep: min_id|centroid}
+      #           max_cluster_size, keep: min_id|centroid},
+      # lm_perplexity {id, text_key, k, max_ppl} — CCNet-style bigram-LM
+      #   gate: filter above max_ppl, or attach scores when omitted
       # analytics vocabulary (engine extension, round 9):
       # profile {columns}, attribution {entity_key, state_key, ts_key,
       #   conversion_type, within_seconds}, rfm {entity_key, ts_key,
@@ -261,6 +263,27 @@ def _apply_op(
             F.col("keep")
         ).select(id_col)
         return df.join(keep_ids, id_col, "left_semi")
+    if t == "lm_perplexity":
+        # CCNet-style LM quality gate (operators/ngram_lm.py): train the
+        # bigram LM on the incoming frame itself, score every document;
+        # with `max_ppl` set, docs above it drop (docs too short to score
+        # — under two words — are kept: no evidence either way); without
+        # it the scores attach as columns for a downstream threshold.
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.ngram_lm import perplexity_filter
+
+        id_col = op.get("id", "doc_id")
+        scores = perplexity_filter(
+            df,
+            id_col=id_col,
+            text_col=op.get("text_key", "text"),
+            k=float(op.get("k", 1.0)),
+        )
+        if op.get("max_ppl") is not None:
+            bad = scores.filter(F.col("ppl") > float(op["max_ppl"])).select(id_col)
+            return df.join(bad, id_col, "left_anti")
+        return df.join(scores, id_col, "left")
     if t == "pii_redact":
         from pyspark.sql import functions as F
 

@@ -823,3 +823,44 @@ def test_yaml_entity_resolution_and_association_rules_ops(spark):
     assert ab["lift"] == round(10 * n_baskets / (10 * 10), 9)
     ac = by_pair[("a", "c")]
     assert ac["n_both"] == 5 and ac["confidence"] == 0.5
+
+
+def test_yaml_lm_perplexity_op(spark):
+    """Round-10 vocabulary: the bigram-LM gate drives from config — a
+    repetitive in-distribution doc scores low, a gibberish doc high;
+    max_ppl filters only the gibberish; score mode attaches columns and
+    keeps unscoreable (sub-two-word) docs with NULL scores."""
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the cat sat again") for i in range(8)]
+        + [(100, "zq xv qk jw vx wj kq zx vq xz jk wq")]   # gibberish
+        + [(200, "tiny")],                                  # unscoreable
+        "doc_id long, text string",
+    )
+
+    def cfg(extra):
+        return {
+            "default_model": "stub",
+            "datasets": {"d": {"path": "i.json"}},
+            "operations": [{
+                "name": "lm", "type": "lm_perplexity", "id": "doc_id",
+                **extra,
+            }],
+            "pipeline": {"steps": [
+                {"name": "s", "input": "d", "operations": ["lm"]}
+            ]},
+        }
+
+    scored = run_pipeline(spark, cfg({}), datasets={"d": docs})["__final__"]
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    assert len(rows) == 10 and {"n_bigrams", "avg_nll", "ppl"} <= set(scored.columns)
+    assert rows[200]["ppl"] is None                  # kept, unscored
+    assert rows[100]["ppl"] > rows[0]["ppl"] * 2     # gibberish is high-ppl
+
+    cut = (rows[0]["ppl"] + rows[100]["ppl"]) / 2
+    kept = run_pipeline(
+        spark, cfg({"max_ppl": cut}), datasets={"d": docs}
+    )["__final__"]
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 100 not in ids and 200 in ids and 0 in ids
