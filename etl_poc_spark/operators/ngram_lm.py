@@ -170,3 +170,138 @@ def perplexity_filter(
     if max_ppl is not None:
         out = out.withColumn("keep", F.col("ppl") <= F.lit(float(max_ppl)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# incremental / streaming LM count maintenance — the same log-structured
+# discipline as the exact-dedup fingerprint store (operators/incremental.py):
+# append-only per-batch deltas, reads fold (SUM is associative/mergeable),
+# tag-slotted overwrite for idempotent replay. Corpus-scale counts never
+# rewrite; each ingest shuffles only (token, partial_count) rows.
+# ---------------------------------------------------------------------------
+
+
+def _lm_batch_deltas(batch: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Per-batch (bigram, n) and (tok, n_tok, n_hist) delta frames.
+    n_hist counts occurrences WITH a successor (the LM denominator);
+    n_tok counts all occurrences (vocabulary support) — token rows exist
+    even for single-word docs, mirroring train_bigram_lm exactly."""
+    w = batch.select(words_col(text_col).alias("words"))
+    pairs = w.where(F.size("words") >= 2).select(
+        F.explode(_bigram_structs()).alias("p")
+    )
+    bi = pairs.groupBy(F.col("p.bigram").alias("bigram")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hist = pairs.groupBy(F.col("p.w1").alias("tok")).agg(
+        F.count(F.lit(1)).alias("n_hist")
+    )
+    tok = (
+        w.select(F.explode("words").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    toks = tok.join(hist, "tok", "left").select(
+        "tok", "n_tok", F.coalesce("n_hist", F.lit(0)).alias("n_hist")
+    )
+    return bi, toks
+
+
+def incremental_bigram_lm_ingest(
+    spark,
+    batch: DataFrame,
+    store_dir: str,
+    *,
+    text_col: str = "text",
+    batch_tag: str | None = None,
+) -> None:
+    """Fold `batch` into the bigram-LM count store at `store_dir`
+    (subdirs bigrams/ and tokens/, each an append-only delta log).
+
+    Idempotency: pass a stable `batch_tag` to slot both deltas under
+    tag=<batch_tag> with overwrite semantics — a replayed batch replaces
+    its own deltas instead of double-counting (the streaming twin passes
+    the micro-batch id). After any sequence of ingests,
+    read_bigram_lm_store equals train_bigram_lm over the union of every
+    batch ever ingested."""
+    bi, toks = _lm_batch_deltas(batch, text_col)
+    if batch_tag is not None:
+        safe = "".join(
+            ch if ch.isalnum() or ch in "-_." else "_" for ch in batch_tag
+        )
+        bi.write.mode("overwrite").parquet(f"{store_dir}/bigrams/tag={safe}")
+        toks.write.mode("overwrite").parquet(f"{store_dir}/tokens/tag={safe}")
+    else:
+        bi.write.mode("append").parquet(f"{store_dir}/bigrams")
+        toks.write.mode("append").parquet(f"{store_dir}/tokens")
+
+
+def read_bigram_lm_store(
+    spark, store_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fold the delta logs to the current LM: returns
+    (bigram_counts, unigram_counts, vocab_size) in the exact shape
+    train_bigram_lm produces, so score_bigram_logprob consumes either
+    interchangeably (and bit-identically — counts are exact integers
+    regardless of batch slicing)."""
+    opts = {"recursiveFileLookup": "true"}
+    bi = (
+        spark.read.options(**opts)
+        .parquet(f"{store_dir}/bigrams")
+        .groupBy("bigram")
+        .agg(F.sum("n").alias("c_bi"))
+    )
+    toks = (
+        spark.read.options(**opts)
+        .parquet(f"{store_dir}/tokens")
+        .groupBy("tok")
+        .agg(F.sum("n_tok").alias("n_tok"), F.sum("n_hist").alias("n_hist"))
+    )
+    uni = toks.where(F.col("n_hist") > 0).select(
+        F.col("tok").alias("w1"), F.col("n_hist").alias("c_uni")
+    )
+    vocab = toks.agg(F.count(F.lit(1)).alias("v"))
+    return bi, uni, vocab
+
+
+def bigram_lm_handle_batch(
+    batch_df: DataFrame, batch_id: int, *, store_dir: str, text_col: str = "text"
+) -> None:
+    """One micro-batch of streaming_bigram_lm_ingest, module-level so the
+    replay contract is directly testable: calling this twice with the
+    same batch_id (at-least-once delivery) leaves the store in the same
+    state as calling it once — the tag slot overwrites."""
+    incremental_bigram_lm_ingest(
+        batch_df.sparkSession,
+        batch_df,
+        store_dir,
+        text_col=text_col,
+        batch_tag=f"b{batch_id}",
+    )
+
+
+def streaming_bigram_lm_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+):
+    """Continuous LM count maintenance: each micro-batch folds into the
+    shared store exactly-once (batch id = tag slot). Returns a configured
+    DataStreamWriter — call .trigger(...).start(). Read the live LM any
+    time with read_bigram_lm_store; scoring stays a batch concern."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bigram_lm_handle_batch(
+            batch_df, batch_id, store_dir=store_dir, text_col=text_col
+        )
+
+    return stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)

@@ -496,3 +496,46 @@ def test_versioned_agg_ivm_equals_rebuild_with_deletes_and_updates(spark, tmp_pa
     st2 = maintain()
     check()
     assert st1["base_seq"] == st2["base_seq"] == len(U._list_commits(spark, bdir))
+
+
+def test_incremental_bigram_lm_store_folds_bit_equal(spark, tmp_path):
+    """LM count store: after ingesting batches (one tagged, replayed
+    twice), the folded store equals train_bigram_lm over the union of
+    everything ingested — and SCORING a probe frame through the store
+    yields bit-identical doubles to scoring through the one-shot
+    trainer (same counts -> same logs -> same fixed-order fold)."""
+    from etl_poc_spark.operators.ngram_lm import (
+        bigram_lm_handle_batch,
+        incremental_bigram_lm_ingest,
+        read_bigram_lm_store,
+        score_bigram_logprob,
+        train_bigram_lm,
+    )
+
+    store = str(tmp_path / "lm_store")
+    b1 = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "a cat and a dog"), (4, "single")], "doc_id long, text string"
+    )
+    incremental_bigram_lm_ingest(spark, b1, store)
+    # tagged batch replayed twice: the slot overwrite must not double-count
+    bigram_lm_handle_batch(b2, 7, store_dir=store)
+    bigram_lm_handle_batch(b2, 7, store_dir=store)
+
+    union = b1.unionByName(b2)
+    bi_w, uni_w, v_w = train_bigram_lm(union)
+    bi_g, uni_g, v_g = read_bigram_lm_store(spark, store)
+    assert sorted(map(tuple, bi_g.collect())) == sorted(map(tuple, bi_w.collect()))
+    assert sorted(map(tuple, uni_g.collect())) == sorted(map(tuple, uni_w.collect()))
+    assert v_g.collect()[0]["v"] == v_w.collect()[0]["v"]
+
+    probe = spark.createDataFrame(
+        [(9, "the cat sat"), (10, "unseen words entirely")],
+        "doc_id long, text string",
+    )
+    want = sorted(map(tuple, score_bigram_logprob(probe, bi_w, uni_w, v_w).collect()))
+    got = sorted(map(tuple, score_bigram_logprob(probe, bi_g, uni_g, v_g).collect()))
+    assert got == want
