@@ -32,6 +32,7 @@ SMOKE_QUERIES = [
     "semdedup_flags",
     "customer_name_fuzzy_pairs",
     "line_dedup_stats",
+    "doc_lm_perplexity",   # r10: bigram-count shuffle + score join + fold
 ]
 
 # per-table key columns to offset per copy so the scaled table has
