@@ -202,6 +202,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "segment_price_outliers",    # 5-row segment-stats broadcast onto the fact scan
         "partkey_skew_report",       # 1-row stats x 1-row p99 scalar join
         "part_association_rules",    # 1-row basket-count scalar x 20-row top-k frame
+        "doc_lm_perplexity",         # 1-row vocabulary-size scalar join (smoothing denominator)
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():
@@ -864,3 +865,30 @@ def test_yaml_lm_perplexity_op(spark):
     )["__final__"]
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert 100 not in ids and 200 in ids and 0 in ids
+
+
+def test_round10_tier_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-10 queries: dims broadcast into the
+    chisq contingency scan (no shuffle join for 25/5-row dims); the
+    trigram motif query carries exactly one user_id window shuffle plus
+    motif-frame aggregates; the LM scoring joins are broadcast at test
+    scale and the only nested-loop is the whitelisted 1-row vocab
+    scalar; novelty never nests loops at all."""
+    p = formatted_plan(spark, "segment_region_chisq", sf_dir)
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    p = formatted_plan(spark, "event_trigram_paths", sf_dir)
+    assert "Window" in p and "SortMergeJoin" not in p
+    # ONE exchange feeds the window (hashpartitioning on user_id); the
+    # rest shuffle cells-frame sized aggregates
+    assert "hashpartitioning(user_id" in p
+
+    p = formatted_plan(spark, "doc_bigram_novelty", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+    p = formatted_plan(spark, "doc_lm_perplexity", sf_dir)
+    assert "CartesianProduct" not in p
+    # per-doc fold is the JVM higher-order aggregate, not a Python UDF
+    assert "aggregate(array_sort" in p or "aggregate(sort_array" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
