@@ -81,7 +81,12 @@ def segment_region_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         F.sum("n_obs").over(Window.partitionBy("segment")).alias("row_total"),
         F.sum("n_obs").over(Window.partitionBy("region")).alias("col_total"),
-        F.sum("n_obs").over(Window.partitionBy()).alias("n_total"),
+        # grand total over the tiny cell frame: partition by a constant-
+        # valued expr (cuped idiom) — single group by value, but no
+        # no-partition WindowExec warning
+        F.sum("n_obs")
+        .over(Window.partitionBy(F.col("segment").isNull()))
+        .alias("n_total"),
     )
     num = F.col("n_obs") * F.col("n_total") - F.col("row_total") * F.col("col_total")
     den = F.col("n_total") * F.col("row_total") * F.col("col_total")
