@@ -539,3 +539,71 @@ def test_incremental_bigram_lm_store_folds_bit_equal(spark, tmp_path):
     want = sorted(map(tuple, score_bigram_logprob(probe, bi_w, uni_w, v_w).collect()))
     got = sorted(map(tuple, score_bigram_logprob(probe, bi_g, uni_g, v_g).collect()))
     assert got == want
+
+
+def test_versioned_agg_ivm_random_interleavings(spark, tmp_path):
+    """Seeded-random batch schedules against the versioned base —
+    inserts, measure updates, within-partition group moves, and key
+    deletions in random mixes — keep the maintained aggregate view
+    equal to a from-scratch groupBy after EVERY maintenance run, not
+    just the scripted four-step case."""
+    import random
+
+    from etl_poc_spark.operators import upsert as U
+    from etl_poc_spark.operators.ivm import (
+        maintain_agg_view_versioned,
+        read_agg_view_versioned,
+    )
+
+    rng = random.Random(7)
+    for trial in range(2):
+        bdir = str(tmp_path / f"b{trial}")
+        vdir = str(tmp_path / f"v{trial}")
+        live: dict[int, tuple[str, int, int]] = {}  # oid -> (day, k, qty)
+        next_oid = 0
+        seq = 0
+        for _ in range(rng.randint(3, 5)):
+            seq += 1
+            batch = []
+            for _ in range(rng.randint(1, 4)):  # inserts
+                oid = next_oid
+                next_oid += 1
+                row = (f"d{rng.randint(1, 2)}", rng.randint(10, 12), rng.randint(1, 9))
+                live[oid] = row
+                batch.append((oid, *row))
+            for oid in list(live):  # updates: new qty and/or group k
+                if rng.random() < 0.3 and not any(b[0] == oid for b in batch):
+                    day = live[oid][0]  # partition col stays immutable
+                    row = (day, rng.randint(10, 12), rng.randint(1, 9))
+                    live[oid] = row
+                    batch.append((oid, *row))
+            U.upsert_versioned(
+                spark,
+                spark.createDataFrame(
+                    batch, "oid long, day string, k long, qty long"
+                ).withColumn("seq", F.lit(seq)),
+                bdir, ["oid"], "seq", "day",
+            )
+            doomed = [oid for oid in live if rng.random() < 0.15]
+            if doomed:
+                U.delete_versioned(
+                    spark,
+                    spark.createDataFrame([(o,) for o in doomed], "oid long"),
+                    bdir, ["oid"], "day",
+                )
+                for oid in doomed:
+                    del live[oid]
+            maintain_agg_view_versioned(
+                spark, bdir, vdir,
+                base_key=["oid"], group_key=["day", "k"],
+                sums=["qty"], partition_col="day",
+            )
+            want: dict[tuple[str, int], tuple[int, int]] = {}
+            for day, k, qty in live.values():
+                s, n = want.get((day, k), (0, 0))
+                want[(day, k)] = (s + qty, n + 1)
+            got = {
+                (r["day"], r["k"]): (r["sum_qty"], r["n_rows"])
+                for r in read_agg_view_versioned(spark, vdir).collect()
+            }
+            assert got == want, f"trial {trial} seq {seq}"
