@@ -273,3 +273,53 @@ def test_blocked_fuzzy_pairs_matches_bruteforce_reference(spark):
             if i < j and a[0] == b[0] and lev(a, b) <= d
         }
         assert got == want, (trial, d)
+
+
+def test_bigram_lm_closed_form_property(spark):
+    """Hypothesis-generated corpora where EVERY word is globally distinct:
+    each bigram and each history then occurs exactly once, so add-1
+    smoothing gives every bigram p = (1+1)/(1+V) and the perplexity of
+    every scoreable doc is EXACTLY (1+V)/2 — a closed form the whole
+    train/score/fold pipeline must hit bit-for-bit. Novelty degenerates
+    the same way: all bigrams are hapax. Duplicating the corpus once
+    flips it: NO bigram is hapax."""
+    from etl_poc_spark.operators.ngram_lm import perplexity_filter, train_bigram_lm
+
+    word_lists = collect_examples(
+        st.lists(st.integers(0, 10**9), min_size=2, max_size=30, unique=True),
+        n=12,
+    )
+    # globally-unique words across docs: prefix with the doc index
+    docs = [
+        (i, " ".join(f"w{i}x{w}" for w in ws)) for i, ws in enumerate(word_lists)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    v = sum(len(ws) for ws in word_lists)
+
+    import math
+
+    scored = perplexity_filter(df, k=1.0).collect()
+    assert len(scored) == len(docs)
+    for r in scored:
+        # closed form up to the exp(log(x)) float round-trip (~1 ulp)
+        assert math.isclose(r["ppl"], (1 + v) / 2, rel_tol=1e-12), (r, v)
+
+    _, _, vdf = train_bigram_lm(df)
+    assert vdf.collect()[0]["v"] == v
+
+    # duplicated corpus: every bigram count doubles -> zero hapax
+    from etl_poc_spark import registry
+
+    dup = df.unionByName(
+        df.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    from etl_poc_spark.operators.ngram_lm import _bigram_structs, words_col
+
+    b = (
+        dup.select("doc_id", words_col().alias("words"))
+        .where(F.size("words") >= 2)
+        .select("doc_id", F.explode(_bigram_structs()).alias("p"))
+        .select("doc_id", F.col("p.bigram").alias("bigram"))
+    )
+    cnt = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    assert cnt.where("c = 1").count() == 0
