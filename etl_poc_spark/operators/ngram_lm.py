@@ -158,12 +158,17 @@ def perplexity_filter(
     text_col: str = "text",
     k: float = 1.0,
     max_ppl: float | None = None,
+    reference: DataFrame | None = None,
 ) -> DataFrame:
-    """Train-on-corpus, score-per-doc in one call (the CCNet shape:
-    the LM trained on the reference corpus gates each document). Adds a
-    `keep` flag when `max_ppl` is given; otherwise returns the scores
-    for a downstream threshold choice."""
-    bi, uni, v = train_bigram_lm(docs, text_col=text_col)
+    """Train, then score-per-doc in one call. Default trains on `docs`
+    itself; pass `reference` to train on a held-out/high-quality corpus
+    and gate `docs` against it — the true CCNet setup (the Wikipedia-
+    trained LM scores the crawl, arXiv:1911.00359 §4.3). Adds a `keep`
+    flag when `max_ppl` is given; otherwise returns the scores for a
+    downstream threshold choice."""
+    bi, uni, v = train_bigram_lm(
+        reference if reference is not None else docs, text_col=text_col
+    )
     out = score_bigram_logprob(
         docs, bi, uni, v, id_col=id_col, text_col=text_col, k=k
     )
@@ -305,3 +310,86 @@ def streaming_bigram_lm_ingest(
 from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
 
 _rbv(__name__)
+
+
+def perplexity_monitor_handle_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    monitor_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> None:
+    """One micro-batch of streaming_perplexity_monitor: score the batch
+    against the PRE-BATCH LM state (what "this data looks unlike what
+    came before" means), write a 1-row drift record, then fold the batch
+    into the store. Both sinks are batch_id-slotted with overwrite, so
+    an at-least-once replay leaves store AND monitor exactly as a single
+    delivery would (same contract as exact_dedup_handle_batch).
+
+    The drift statistic is decimal-mean of the per-doc avg_nll values
+    (each itself a deterministic fixed-order fold), so the record is
+    partition-independent. The very first batch has no prior LM and
+    records n_scored=0."""
+    spark = batch_df.sparkSession
+    try:
+        bi, uni, v = read_bigram_lm_store(spark, store_dir)
+        scored = score_bigram_logprob(
+            batch_df, bi, uni, v, id_col=id_col, text_col=text_col, k=k
+        )
+        stats = scored.agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.avg(F.col("avg_nll").cast("decimal(28,16)"))
+            .cast("double")
+            .alias("mean_nll"),
+        )
+    except Exception as exc:  # noqa: BLE001 — first batch: no store yet
+        from pyspark.errors import AnalysisException
+
+        if not isinstance(exc, AnalysisException) or (
+            "PATH_NOT_FOUND" not in str(exc)
+            and "Path does not exist" not in str(exc)
+        ):
+            raise
+        stats = spark.createDataFrame(
+            [(0, None)], "n_scored long, mean_nll double"
+        )
+    (
+        stats.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .parquet(f"{monitor_dir}/batch_id={int(batch_id)}")
+    )
+    bigram_lm_handle_batch(
+        batch_df, batch_id, store_dir=store_dir, text_col=text_col
+    )
+
+
+def streaming_perplexity_monitor(
+    stream: DataFrame,
+    store_dir: str,
+    monitor_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+):
+    """Concept-drift monitor for a document stream: every micro-batch is
+    scored against the LM of everything that came BEFORE it, then folded
+    in — a rising mean_nll series means the incoming data is drifting
+    away from the accumulated corpus (new domain, new language, spam
+    flood). Returns a configured DataStreamWriter; read the drift series
+    with spark.read.parquet(monitor_dir) (batch_id is an inferred
+    partition column)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        perplexity_monitor_handle_batch(
+            batch_df, batch_id, store_dir=store_dir, monitor_dir=monitor_dir,
+            id_col=id_col, text_col=text_col, k=k,
+        )
+
+    return stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )

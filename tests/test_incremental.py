@@ -607,3 +607,68 @@ def test_versioned_agg_ivm_random_interleavings(spark, tmp_path):
                 for r in read_agg_view_versioned(spark, vdir).collect()
             }
             assert got == want, f"trial {trial} seq {seq}"
+
+
+def test_streaming_perplexity_monitor_drift_and_replay(spark, tmp_path):
+    """Drift monitor: batch 0 has no prior LM (n_scored=0); an
+    in-distribution batch scores LOW mean_nll against the accumulated
+    store while a gibberish batch scores HIGH (drift visible); replaying
+    a batch (at-least-once delivery) leaves store and monitor exactly as
+    single delivery; and the held-out `reference=` path scores docs
+    against the reference LM, bit-identical to store-based scoring over
+    the same corpus."""
+    from etl_poc_spark.operators.ngram_lm import (
+        perplexity_filter,
+        perplexity_monitor_handle_batch,
+        read_bigram_lm_store,
+        score_bigram_logprob,
+    )
+
+    store = str(tmp_path / "lm")
+    mon = str(tmp_path / "mon")
+    base = [(i, "the cat sat on the mat and the dog sat too") for i in range(6)]
+    indist = [(10 + i, "the cat sat on the mat again") for i in range(3)]
+    gibberish = [(20 + i, f"zq{i} xv{i} qk{i} jw{i} vx{i} wj{i}") for i in range(3)]
+    schema = "doc_id long, text string"
+
+    def handle(rows, bid):
+        perplexity_monitor_handle_batch(
+            spark.createDataFrame(rows, schema), bid,
+            store_dir=store, monitor_dir=mon,
+        )
+
+    handle(base, 0)
+    handle(indist, 1)
+    handle(gibberish, 2)
+    handle(gibberish, 2)  # replay: must not double-count or re-append
+
+    recs = {r["batch_id"]: r for r in spark.read.parquet(mon).collect()}
+    assert set(recs) == {0, 1, 2}
+    assert recs[0]["n_scored"] == 0 and recs[0]["mean_nll"] is None
+    assert recs[1]["n_scored"] == 3 and recs[2]["n_scored"] == 3
+    assert recs[2]["mean_nll"] > recs[1]["mean_nll"] * 1.5  # drift fires
+
+    # replayed batch 2 did not fold twice: store == sequential 0,1,2
+    ref = str(tmp_path / "ref_lm")
+    for bid, rows in enumerate((base, indist, gibberish)):
+        from etl_poc_spark.operators.ngram_lm import bigram_lm_handle_batch
+
+        bigram_lm_handle_batch(
+            spark.createDataFrame(rows, schema), bid, store_dir=ref
+        )
+    bi_a, uni_a, v_a = read_bigram_lm_store(spark, store)
+    bi_b, uni_b, v_b = read_bigram_lm_store(spark, ref)
+    assert sorted(map(tuple, bi_a.collect())) == sorted(map(tuple, bi_b.collect()))
+    assert v_a.collect()[0]["v"] == v_b.collect()[0]["v"]
+
+    # held-out reference path == explicit train/score composition
+    refc = spark.createDataFrame(base, schema)
+    probe = spark.createDataFrame(indist + gibberish, schema)
+    from etl_poc_spark.operators.ngram_lm import train_bigram_lm
+
+    got = sorted(
+        map(tuple, perplexity_filter(probe, reference=refc).collect())
+    )
+    bi, uni, v = train_bigram_lm(refc)
+    want = sorted(map(tuple, score_bigram_logprob(probe, bi, uni, v).collect()))
+    assert got == want
