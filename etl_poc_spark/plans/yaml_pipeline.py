@@ -22,7 +22,7 @@ docetl/config/article_pipeline.yaml.j2):
       # line_dedup {id, text_key, words_per_segment, min_docs},
       # semdedup {id, embedding_key, n_centroids, threshold,
       #           max_cluster_size, keep: min_id|centroid},
-      # lm_perplexity {id, text_key, k, max_ppl} — CCNet-style bigram-LM
+      # lm_perplexity {id, text_key, k, max_ppl, reference} — CCNet bigram-LM
       #   gate: filter above max_ppl, or attach scores when omitted
       # analytics vocabulary (engine extension, round 9):
       # profile {columns}, attribution {entity_key, state_key, ts_key,
@@ -279,6 +279,9 @@ def _apply_op(
             id_col=id_col,
             text_col=op.get("text_key", "text"),
             k=float(op.get("k", 1.0)),
+            # `reference`: train on a held-out/high-quality dataset or an
+            # earlier step instead of the incoming frame (CCNet setup)
+            reference=_frame("reference") if op.get("reference") else None,
         )
         if op.get("max_ppl") is not None:
             bad = scores.filter(F.col("ppl") > float(op["max_ppl"])).select(id_col)

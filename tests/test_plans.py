@@ -892,3 +892,36 @@ def test_round10_tier_plan_shapes(spark, sf_dir):
     # per-doc fold is the JVM higher-order aggregate, not a Python UDF
     assert "aggregate(array_sort" in p or "aggregate(sort_array" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_yaml_lm_perplexity_reference_dataset(spark):
+    """lm_perplexity with `reference`: the LM trains on the named
+    held-out dataset, so in-reference-distribution docs survive a cut
+    that drops out-of-distribution ones — and the scores differ from the
+    train-on-self path."""
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat too") for i in range(6)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (200, "zq xv qk jw vx wj")],
+        "doc_id long, text string",
+    )
+    cfg = {
+        "default_model": "stub",
+        "datasets": {"ref": {"path": "r.json"}, "probe": {"path": "p.json"}},
+        "operations": [{
+            "name": "lm", "type": "lm_perplexity", "id": "doc_id",
+            "reference": "ref",
+        }],
+        "pipeline": {"steps": [
+            {"name": "s", "input": "probe", "operations": ["lm"]}
+        ]},
+    }
+    out = run_pipeline(
+        spark, cfg, datasets={"ref": ref, "probe": probe}
+    )["__final__"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[200]["ppl"] > rows[100]["ppl"] * 2  # OOD vs in-distribution
