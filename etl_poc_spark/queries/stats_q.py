@@ -42,9 +42,10 @@ from etl_poc_spark.registry import query
       FROM cells
     )
     SELECT segment, region, n_obs, row_total, col_total, n_total,
-           CAST((n_obs * n_total - row_total * col_total)
+           CAST(CAST(n_obs * n_total - row_total * col_total AS DECIMAL(38,0))
                 * (n_obs * n_total - row_total * col_total) AS DOUBLE)
-             / (CAST(n_total AS BIGINT) * row_total * col_total) AS chi2_contrib
+             / CAST(CAST(n_total AS DECIMAL(38,0)) * row_total * col_total
+                    AS DOUBLE) AS chi2_contrib
     FROM m
     ORDER BY segment, region
     """,
@@ -56,10 +57,12 @@ def segment_region_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     input (sum the column for the statistic; df = (|seg|-1)(|reg|-1)).
 
     chi2 cell term (O - E)^2/E with E = R*C/N is computed as the exact
-    integer rearrangement (O*N - R*C)^2 / (N*R*C): both operands are
-    exact BIGINTs, so the single double division is bit-identical across
-    engines. BIGINT headroom: (O*N)^2 needs N*max(O) < 3e9 — fine
-    through sf1; past that switch the numerator to DECIMAL(38,0).
+    integer rearrangement (O*N - R*C)^2 / (N*R*C). The inner products
+    stay BIGINT (need N^2 < 9.2e18, i.e. N < 3e9 rows); the SQUARE and
+    the denominator widen to DECIMAL(38,0) — scale-0 decimal arithmetic
+    is exact integers in both engines (the BIGINT square would overflow
+    at N ~ 55k worst-case), so the single double division stays
+    bit-identical across engines up to N^4 < 1e38.
 
     Plan: dims broadcast into the customer scan, ONE aggregate to the
     |seg| x |reg| cell frame, marginals as windows over that tiny frame
@@ -89,7 +92,11 @@ def segment_region_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_total"),
     )
     num = F.col("n_obs") * F.col("n_total") - F.col("row_total") * F.col("col_total")
-    den = F.col("n_total") * F.col("row_total") * F.col("col_total")
+    den = (
+        F.col("n_total").cast("decimal(38,0)")
+        * F.col("row_total")
+        * F.col("col_total")
+    )
     return m.select(
         "segment",
         "region",
@@ -97,7 +104,10 @@ def segment_region_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_total",
         "col_total",
         "n_total",
-        ((num * num).cast("double") / den.cast("double")).alias("chi2_contrib"),
+        (
+            (num.cast("decimal(38,0)") * num).cast("double")
+            / den.cast("double")
+        ).alias("chi2_contrib"),
     ).orderBy("segment", "region")
 
 
