@@ -33,6 +33,13 @@ SMOKE_QUERIES = [
     "customer_name_fuzzy_pairs",
     "line_dedup_stats",
     "doc_lm_perplexity",   # r10: bigram-count shuffle + score join + fold
+    # r10 second sweep (text + temporal tiers; 30x/100x readings in
+    # SCALE_SMOKE_r10.json / SCALING.md):
+    "tf_idf_top_terms",
+    "bm25_search",
+    "duplicate_span_coverage",
+    "events_sessionize",
+    "events_asof_click_view",
 ]
 
 # per-table key columns to offset per copy so the scaled table has
