@@ -26,6 +26,38 @@ from typing import Any
 import yaml
 
 
+_CONFIG_VAR = None  # compiled lazily; see render_config_template
+
+
+def render_config_template(text: str, variables: dict[str, str]) -> str:
+    """Render a `[[ var ]]`-templated pipeline config — parity with the
+    reference's config-render step (zara_hybrid_etl.py:176-192), which
+    uses jinja2 with variable delimiters switched to `[[ ... ]]` so the
+    DocETL `{{ input.x }}` PROMPT templates inside the YAML pass through
+    untouched. The reference's template uses pure variable substitution
+    (no loops/conditionals), so this is a dependency-free regex render;
+    unknown variables raise instead of silently rendering empty (a
+    deliberate narrowing of jinja's permissive default — a missing
+    dataset path should fail at render time, not as a confusing
+    downstream read error)."""
+    import re
+
+    global _CONFIG_VAR
+    if _CONFIG_VAR is None:
+        _CONFIG_VAR = re.compile(r"\[\[\s*([A-Za-z_][A-Za-z0-9_]*)\s*\]\]")
+
+    def sub(m: "re.Match[str]") -> str:
+        name = m.group(1)
+        if name not in variables:
+            raise KeyError(
+                f"config template references undefined variable {name!r} "
+                f"(pass --var {name}=...)"
+            )
+        return str(variables[name])
+
+    return _CONFIG_VAR.sub(sub, text)
+
+
 def rewrite_paths(config: dict[str, Any], input_dir: str | None, base: str = "/data/input") -> dict[str, Any]:
     if not input_dir:
         return config
@@ -51,10 +83,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--retry-delay", type=float, default=0.0, help="seconds between attempts")
     ap.add_argument("--errors-dir", default=None,
                     help="quarantine directory for failure records (S9 error sink)")
+    ap.add_argument("--var", action="append", default=[], metavar="KEY=VALUE",
+                    help="config-template variable for [[ key ]] placeholders "
+                         "(repeatable; the reference's .yaml.j2 convention)")
     args = ap.parse_args(argv)
 
     with open(args.config, encoding="utf-8") as f:
-        config = yaml.safe_load(f)
+        raw = f.read()
+    if args.var or args.config.endswith(".j2"):
+        variables = dict(v.split("=", 1) for v in args.var)
+        raw = render_config_template(raw, variables)
+    config = yaml.safe_load(raw)
     config = rewrite_paths(config, args.input)
 
     from etl_poc_spark.llm.provider import get_provider

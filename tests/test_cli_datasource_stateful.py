@@ -145,3 +145,48 @@ def test_jsonl_tail_streaming_datasource_incremental_offsets(spark, tmp_path):
     run_once()
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_dir).collect()}
     assert got == {1: "one", 2: "two", 3: "three", 4: "four", 5: "five"}
+
+
+def test_cli_templated_config_render(tmp_path):
+    """The reference renders its .yaml.j2 config with [[ var ]]
+    placeholders before running (zara_hybrid_etl.py:176-192: jinja with
+    switched delimiters so DocETL's {{ input.x }} prompts pass through).
+    Parity: --var renders placeholders, prompt braces survive untouched,
+    and an undefined variable fails loudly at render time."""
+    tpl = """
+default_model: "[[ default_model ]]"
+datasets:
+  docs: {type: file, source: local, path: "[[ dataset_path ]]", format: parquet}
+operations:
+  - {name: chunk, type: split, split_key: text, chunk_size: 30, chunk_overlap: 5}
+  - name: extract
+    type: map
+    prompt: "Extract: {{ input.chunk_text }}"
+    output_schema: {title: string}
+pipeline:
+  steps: [{name: s1, input: docs, operations: [chunk, extract]}]
+"""
+    cfg = tmp_path / "p.yaml.j2"
+    cfg.write_text(tpl)
+    out_path, sum_path = tmp_path / "out.json", tmp_path / "summary.json"
+    proc = subprocess.run(
+        [sys.executable, "-m", "etl_poc_spark.cli", "--config", str(cfg),
+         "--var", "default_model=stub",
+         "--var", "dataset_path=/root/testdata/sf0.001/documents.parquet",
+         "--output", str(out_path), "--summary", str(sum_path), "--cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(sum_path.read_text())
+    assert summary["steps"]["s1"]["rows"] > 500
+    records = json.loads(out_path.read_text())
+    assert records[0]["title"]  # the {{ input.x }} prompt rendered per row
+
+    # undefined variable -> loud render-time failure
+    from etl_poc_spark.cli import render_config_template
+
+    try:
+        render_config_template("x: [[ missing ]]", {})
+        raise AssertionError("expected KeyError")
+    except KeyError as e:
+        assert "missing" in str(e)
