@@ -293,9 +293,14 @@ def maintain_agg_view_versioned(
     by float associativity — use integer/DECIMAL measures where exact
     equivalence matters (the pytest pins integer measures bit-exact).
 
-    Cost per run: one CDF diff (full-outer join on base_key), one
-    delta-sized groupBy, one delta×view join on the group key, and one
-    delete + one upsert commit — the base is never rescanned. At 100 TB
+    Cost per run: one CDF diff (full-outer join of the two base
+    SNAPSHOTS on base_key — O(base), not O(delta)), one delta-sized
+    groupBy, one delta×view join on the group key, and one delete + one
+    upsert commit. Measured at 10x (SCALING.md): a cheap 15-group sum
+    REBUILDS faster than it maintains — use this operator when rebuild
+    is genuinely expensive (wide multi-join views) or when versioned
+    delete/update propagation is the point; for append-only rollups
+    prefer the O(delta) incremental count stores. At 100 TB
     the view stays partitioned on `partition_col` (must be one of
     group_key) so the merge rewrites only touched partitions.
 
