@@ -110,3 +110,26 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_nll", 9).alias("avg_nll"),
         F.round("ppl", 6).alias("ppl"),
     ).orderBy("doc_id")
+
+
+@query("doc_lm_perplexity_heldout")  # pinned-exact: same transcendental-
+# fold rationale as doc_lm_perplexity; this row covers the PRODUCTION
+# CCNet configuration (train on a reference corpus, score a different
+# one) so the reference= path carries gate evidence, not just pytest.
+def doc_lm_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram perplexity: the LM trains on even-doc_id documents
+    and scores the odd ones (a deterministic split standing in for the
+    curated-reference-vs-crawl setup, arXiv:1911.00359 §4.3). Unlike the
+    train-on-self sibling, scored documents here carry genuinely unseen
+    bigrams, so the smoothing mass and OOV handling are exercised in the
+    gate, not just in unit tests."""
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    probe = d.where(F.col("doc_id") % 2 == 1)
+    out = perplexity_filter(probe, k=1.0, reference=ref)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_nll", 9).alias("avg_nll"),
+        F.round("ppl", 6).alias("ppl"),
+    ).orderBy("doc_id")

@@ -203,6 +203,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "partkey_skew_report",       # 1-row stats x 1-row p99 scalar join
         "part_association_rules",    # 1-row basket-count scalar x 20-row top-k frame
         "doc_lm_perplexity",         # 1-row vocabulary-size scalar join (smoothing denominator)
+        "doc_lm_perplexity_heldout",  # same scalar join, reference-trained LM
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():

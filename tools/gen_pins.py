@@ -31,6 +31,7 @@ CANDIDATES = [
     "doc_compression_quality",
     "doc_lm_perplexity",          # transcendental logs but fixed fold order
                                   # (position-sorted aggregate) + round(9)
+    "doc_lm_perplexity_heldout",  # same, via the reference= (CCNet) path
     "hll_sketch_union_users",
     "image_near_dup_pairs",
     "image_phash_stats",
