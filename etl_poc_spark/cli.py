@@ -91,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
     with open(args.config, encoding="utf-8") as f:
         raw = f.read()
     if args.var or args.config.endswith(".j2"):
+        for v in args.var:
+            if "=" not in v:
+                ap.error(
+                    f"--var expects KEY=VALUE, got {v!r}"
+                )
         variables = dict(v.split("=", 1) for v in args.var)
         raw = render_config_template(raw, variables)
     config = yaml.safe_load(raw)

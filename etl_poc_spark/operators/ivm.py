@@ -323,6 +323,13 @@ def maintain_agg_view_versioned(
             f"partition_col {partition_col!r} must be one of group_key {gk}"
         )
     ms = list(sums)
+    bad_ms = [c for c in ms if c in set(base_key)]
+    if bad_ms:
+        raise ValueError(
+            f"sum measures {bad_ms} are base-key columns — a key is "
+            "invariant across versions so its delta is always 0; drop it "
+            "from sums (keys may appear in group_key, not in sums)"
+        )
     base_n = len(_list_commits(spark, base_dir))
     state = _read_ivm_state(spark, view_dir)
     epoch = (state or {}).get("epoch", 0) + 1
@@ -353,10 +360,18 @@ def maintain_agg_view_versioned(
 
     # retractions carry old group/measure values with negative sign;
     # additions carry the new values — one unioned delta frame, then a
-    # delta-sized groupBy produces per-group net contributions.
+    # delta-sized groupBy produces per-group net contributions. Group
+    # columns that are ALSO base-key columns come through table_diff
+    # unprefixed (keys are coalesced, invariant across old/new), so
+    # they select as-is on both sides.
+    bk = set(base_key)
+
     def side(statuses: list[str], prefix: str, sign: int) -> DataFrame:
         return ch.where(F.col("status").isin(statuses)).select(
-            *[F.col(f"{prefix}{c}").alias(c) for c in gk],
+            *[
+                (F.col(c) if c in bk else F.col(f"{prefix}{c}")).alias(c)
+                for c in gk
+            ],
             *[
                 (F.lit(sign) * F.coalesce(F.col(f"{prefix}{c}"), F.lit(0))).alias(c)
                 for c in ms

@@ -231,9 +231,7 @@ def incremental_bigram_lm_ingest(
     batch ever ingested."""
     bi, toks = _lm_batch_deltas(batch, text_col)
     if batch_tag is not None:
-        safe = "".join(
-            ch if ch.isalnum() or ch in "-_." else "_" for ch in batch_tag
-        )
+        safe = _safe_tag(batch_tag)
         bi.write.mode("overwrite").parquet(f"{store_dir}/bigrams/tag={safe}")
         toks.write.mode("overwrite").parquet(f"{store_dir}/tokens/tag={safe}")
     else:
@@ -241,24 +239,56 @@ def incremental_bigram_lm_ingest(
         toks.write.mode("append").parquet(f"{store_dir}/tokens")
 
 
+def _safe_tag(batch_tag: str) -> str:
+    return "".join(
+        ch if ch.isalnum() or ch in "-_." else "_" for ch in batch_tag
+    )
+
+
+def lm_store_exists(spark, store_dir: str) -> bool:
+    """Explicit store-exists probe (Hadoop FS, portable to HDFS/S3 URIs)
+    — the seam that keeps the streaming path free of exception-message
+    string matching. Probes the bigrams/ subdir: both subdirs are
+    written per ingest, bigrams first, so its absence means no ingest
+    has ever started."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{store_dir}/bigrams")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def read_bigram_lm_store(
-    spark, store_dir: str
+    spark, store_dir: str, *, exclude_tag: str | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Fold the delta logs to the current LM: returns
     (bigram_counts, unigram_counts, vocab_size) in the exact shape
     train_bigram_lm produces, so score_bigram_logprob consumes either
     interchangeably (and bit-identically — counts are exact integers
-    regardless of batch slicing)."""
+    regardless of batch slicing).
+
+    `exclude_tag` drops that batch's tag slot from the fold (same
+    replay seam as incremental_exact_dedup_ingest): a REPLAYED tagged
+    batch must be able to read the store exactly as it stood before its
+    own crashed attempt folded in — otherwise the replay scores the
+    batch against its own counts. Also heals a crash BETWEEN the two
+    subdir writes of incremental_bigram_lm_ingest (bigrams/tag=X
+    written, tokens/tag=X not): excluding X restores a consistent
+    pre-batch view, and the replay's overwrite completes the pair."""
     opts = {"recursiveFileLookup": "true"}
+
+    def _excl(df: DataFrame) -> DataFrame:
+        if exclude_tag is None:
+            return df
+        return df.where(
+            ~F.input_file_name().contains(f"tag={_safe_tag(exclude_tag)}/")
+        )
+
     bi = (
-        spark.read.options(**opts)
-        .parquet(f"{store_dir}/bigrams")
+        _excl(spark.read.options(**opts).parquet(f"{store_dir}/bigrams"))
         .groupBy("bigram")
         .agg(F.sum("n").alias("c_bi"))
     )
     toks = (
-        spark.read.options(**opts)
-        .parquet(f"{store_dir}/tokens")
+        _excl(spark.read.options(**opts).parquet(f"{store_dir}/tokens"))
         .groupBy("tok")
         .agg(F.sum("n_tok").alias("n_tok"), F.sum("n_hist").alias("n_hist"))
     )
@@ -329,13 +359,31 @@ def perplexity_monitor_handle_batch(
     an at-least-once replay leaves store AND monitor exactly as a single
     delivery would (same contract as exact_dedup_handle_batch).
 
+    Recovery contract (crash-sim pytested): the store read EXCLUDES the
+    current batch's own tag slot, so every replay point converges —
+    (a) crash after the monitor write, before the fold: replay rewrites
+    the identical record (store lacks tag b; exclusion is a no-op) and
+    completes the fold; (b) crash mid-fold (bigrams/tag=b written,
+    tokens/tag=b not): exclusion restores the consistent pre-batch view
+    and the replay's overwrite completes both subdirs; (c) crash after
+    the fold, before the checkpoint commit: exclusion removes the
+    already-folded tag b, so the replay scores against the same
+    pre-batch LM a single delivery saw instead of the batch's own
+    counts. Store existence is an explicit FS probe (lm_store_exists),
+    not exception-message matching.
+
     The drift statistic is decimal-mean of the per-doc avg_nll values
     (each itself a deterministic fixed-order fold), so the record is
     partition-independent. The very first batch has no prior LM and
-    records n_scored=0."""
+    records n_scored=0 (a replayed first batch likewise: its own slot
+    is excluded, leaving an empty prior vocabulary)."""
     spark = batch_df.sparkSession
-    try:
-        bi, uni, v = read_bigram_lm_store(spark, store_dir)
+    tag = f"b{int(batch_id)}"
+    prior_vocab = 0
+    if lm_store_exists(spark, store_dir):
+        bi, uni, v = read_bigram_lm_store(spark, store_dir, exclude_tag=tag)
+        prior_vocab = (v.first() or {"v": 0})["v"] or 0  # 1-row driver probe
+    if prior_vocab > 0:
         scored = score_bigram_logprob(
             batch_df, bi, uni, v, id_col=id_col, text_col=text_col, k=k
         )
@@ -345,14 +393,7 @@ def perplexity_monitor_handle_batch(
             .cast("double")
             .alias("mean_nll"),
         )
-    except Exception as exc:  # noqa: BLE001 — first batch: no store yet
-        from pyspark.errors import AnalysisException
-
-        if not isinstance(exc, AnalysisException) or (
-            "PATH_NOT_FOUND" not in str(exc)
-            and "Path does not exist" not in str(exc)
-        ):
-            raise
+    else:  # first batch (or its replay): no pre-batch LM to score against
         stats = spark.createDataFrame(
             [(0, None)], "n_scored long, mean_nll double"
         )

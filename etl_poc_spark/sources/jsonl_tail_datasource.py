@@ -62,6 +62,37 @@ class JsonlTailStreamReader(SimpleDataSourceStreamReader):
         # "" sorts before every real filename: consume everything
         return {"last": ""}
 
+    def _canon(self, offset: dict) -> dict:
+        """Canonicalize an offset, accepting the legacy positional form.
+
+        Pre-name-anchored checkpoints stored {"idx": N} = "first N
+        sorted files consumed". A stream restarted from one of those
+        must not crash (KeyError: 'last') — translate: the name of the
+        (N-1)-th currently-listed sorted file (or "" for N=0). The
+        translation is exact under the same assumption the legacy
+        offset itself required (no file landing with a name sorting
+        before consumed ones); thereafter the checkpoint advances in
+        the name-anchored form."""
+        if "last" in offset:
+            return offset
+        if "idx" in offset:
+            idx = int(offset["idx"])
+            if idx <= 0:
+                return {"last": ""}
+            files = _list_files(self.path)
+            if idx > len(files):
+                raise ValueError(
+                    f"legacy jsonl_tail offset idx={idx} exceeds the "
+                    f"{len(files)} files present in {self.path!r}; the "
+                    "landing dir no longer matches the checkpoint — "
+                    "reset the checkpoint"
+                )
+            return {"last": os.path.basename(files[idx - 1])}
+        raise ValueError(
+            f"unrecognized jsonl_tail offset {offset!r}: checkpoint "
+            "format changed — reset the checkpoint"
+        )
+
     def _rows(self, files: list[str]) -> list[tuple]:
         # materialized list, not a generator: Spark's prefetch cache
         # copy.copy()s the returned iterator, which generators can't do
@@ -77,12 +108,14 @@ class JsonlTailStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def read(self, start: dict):
+        start = self._canon(start)
         files = _list_files(self.path)
         fresh = [f for f in files if os.path.basename(f) > start["last"]]
         end = {"last": os.path.basename(fresh[-1]) if fresh else start["last"]}
         return iter(self._rows(fresh)), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        start, end = self._canon(start), self._canon(end)
         files = _list_files(self.path)
         batch = [
             f

@@ -190,3 +190,62 @@ pipeline:
         raise AssertionError("expected KeyError")
     except KeyError as e:
         assert "missing" in str(e)
+
+
+def test_jsonl_tail_legacy_positional_offsets(spark, tmp_path):
+    """A checkpoint written by the pre-name-anchored reader stored
+    {"idx": N} (first N sorted files consumed). The reader must accept
+    that form — translating N to the (N-1)-th sorted filename — instead
+    of crashing with KeyError: 'last', and must fail LOUDLY (not
+    misread) when the landing dir no longer has N files."""
+    import json as _json
+
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from etl_poc_spark.sources.jsonl_tail_datasource import (
+        JsonlTailStreamReader,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    for name, rows in (
+        ("a.jsonl", [{"doc_id": 1}]),
+        ("b.jsonl", [{"doc_id": 2}]),
+        ("c.jsonl", [{"doc_id": 3}]),
+    ):
+        (land / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    schema = StructType.fromDDL("doc_id long")
+    rdr = JsonlTailStreamReader(schema, {"path": str(land)})
+
+    # legacy start {"idx": 2} == "a.jsonl and b.jsonl consumed"
+    rows, end = rdr.read({"idx": 2})
+    assert [r[0] for r in rows] == [3]
+    assert end == {"last": "c.jsonl"}
+
+    # idx 0 == nothing consumed; readBetweenOffsets accepts mixed forms
+    rows = list(rdr.readBetweenOffsets({"idx": 0}, {"last": "b.jsonl"}))
+    assert [r[0] for r in rows] == [1, 2]
+
+    # idx beyond the present files: explicit reset-the-checkpoint error
+    with pytest.raises(ValueError, match="reset the checkpoint"):
+        rdr.read({"idx": 9})
+    # unrecognized shape: same loud failure
+    with pytest.raises(ValueError, match="reset the checkpoint"):
+        rdr.read({"position": 1})
+
+
+def test_cli_var_without_equals_is_usage_error(tmp_path, capsys):
+    """--var values missing '=' exit as a usage error naming the bad
+    value, not an opaque ValueError from the dict comprehension."""
+    import pytest
+
+    from etl_poc_spark.cli import main
+
+    cfg = tmp_path / "p.yaml"
+    cfg.write_text("operations: []\npipeline: {steps: []}\n")
+    with pytest.raises(SystemExit) as ei:
+        main(["--config", str(cfg), "--var", "novalue"])
+    assert ei.value.code == 2
+    assert "novalue" in capsys.readouterr().err

@@ -672,3 +672,161 @@ def test_streaming_perplexity_monitor_drift_and_replay(spark, tmp_path):
     bi, uni, v = train_bigram_lm(refc)
     want = sorted(map(tuple, score_bigram_logprob(probe, bi, uni, v).collect()))
     assert got == want
+
+
+def test_perplexity_monitor_crash_recovery_converges(spark, tmp_path):
+    """Crash-sim for the streaming LM store + drift monitor (the
+    recovery contract in perplexity_monitor_handle_batch's docstring):
+    whatever point the previous attempt died at — (a) after the monitor
+    write but before the fold, (b) mid-fold with only the bigrams slot
+    committed, (c) after the full fold but before the checkpoint commit
+    — the replay converges store AND monitor to exactly the single-
+    delivery state, bit-equal (mean_nll is a deterministic fold; counts
+    are exact integers)."""
+    import shutil
+
+    from etl_poc_spark.operators.ngram_lm import (
+        perplexity_monitor_handle_batch,
+        read_bigram_lm_store,
+    )
+
+    schema = "doc_id long, text string"
+    batches = [
+        [(i, "the cat sat on the mat and the dog sat too") for i in range(6)],
+        [(10 + i, "the cat sat on the mat again") for i in range(3)],
+        [(20 + i, f"zq{i} xv{i} qk{i} jw{i} vx{i} wj{i}") for i in range(3)],
+    ]
+
+    def handle(root, rows, bid):
+        perplexity_monitor_handle_batch(
+            spark.createDataFrame(rows, schema), bid,
+            store_dir=f"{root}/lm", monitor_dir=f"{root}/mon",
+        )
+
+    def monitor_state(root):
+        return sorted(map(tuple, spark.read.parquet(f"{root}/mon").collect()))
+
+    def store_state(root):
+        bi, uni, v = read_bigram_lm_store(spark, f"{root}/lm")
+        return (
+            sorted(map(tuple, bi.collect())),
+            sorted(map(tuple, uni.collect())),
+            v.collect()[0]["v"],
+        )
+
+    clean = str(tmp_path / "clean")
+    for bid, rows in enumerate(batches):
+        handle(clean, rows, bid)
+    want_mon, want_store = monitor_state(clean), store_state(clean)
+
+    # (c) crash AFTER the fold, before checkpoint commit — the replay
+    # must score against the pre-batch LM, not the batch's own counts
+    c = str(tmp_path / "after_fold")
+    for bid, rows in enumerate(batches):
+        handle(c, rows, bid)
+    handle(c, batches[2], 2)  # replay
+    assert monitor_state(c) == want_mon
+    assert store_state(c) == want_store
+
+    # (a) crash after the monitor write, before the fold: monitor[2]
+    # exists, store lacks tag=b2 entirely
+    a = str(tmp_path / "pre_fold")
+    for bid, rows in enumerate(batches):
+        handle(a, rows, bid)
+    shutil.rmtree(f"{a}/lm/bigrams/tag=b2")
+    shutil.rmtree(f"{a}/lm/tokens/tag=b2")
+    handle(a, batches[2], 2)  # replay
+    assert monitor_state(a) == want_mon
+    assert store_state(a) == want_store
+
+    # (b) crash mid-fold: bigrams/tag=b2 committed, tokens/tag=b2 never
+    # written — the tag-excluded read must still see a CONSISTENT
+    # pre-batch LM (excluding the orphan slot), and the replay completes
+    # the pair
+    b = str(tmp_path / "mid_fold")
+    for bid, rows in enumerate(batches):
+        handle(b, rows, bid)
+    shutil.rmtree(f"{b}/lm/tokens/tag=b2")
+    handle(b, batches[2], 2)  # replay
+    assert monitor_state(b) == want_mon
+    assert store_state(b) == want_store
+
+
+def test_agg_ivm_group_key_overlapping_base_key(spark, tmp_path):
+    """A group_key column that is ALSO a base_key column (here `day`,
+    composite upsert key (oid, day)) comes through the change feed
+    unprefixed — maintenance must select it as-is instead of failing on
+    a nonexistent old_day/new_day; and a measure column that is a
+    base-key column is rejected up front with a clear error."""
+    import pytest
+
+    from etl_poc_spark.operators import upsert as U
+    from etl_poc_spark.operators.ivm import (
+        maintain_agg_view_versioned,
+        read_agg_view_versioned,
+    )
+
+    bdir = str(tmp_path / "base")
+    vdir = str(tmp_path / "aggview")
+
+    def upsert(rows, seq):
+        U.upsert_versioned(
+            spark,
+            spark.createDataFrame(rows, "oid long, day string, k long, qty long")
+            .withColumn("seq", F.lit(seq)),
+            bdir, ["oid", "day"], "seq", "day",
+        )
+
+    def maintain():
+        return maintain_agg_view_versioned(
+            spark, bdir, vdir,
+            base_key=["oid", "day"], group_key=["day", "k"],
+            sums=["qty"], partition_col="day",
+        )
+
+    def check():
+        want = sorted(
+            map(
+                tuple,
+                U.read_versioned(spark, bdir)
+                .groupBy("day", "k")
+                .agg(
+                    F.sum(F.coalesce("qty", F.lit(0))).alias("sum_qty"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                )
+                .collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                read_agg_view_versioned(spark, vdir)
+                .select("day", "k", "sum_qty", "n_rows")
+                .collect(),
+            )
+        )
+        assert got == want
+
+    upsert([(1, "d1", 10, 5), (2, "d1", 10, 7), (3, "d2", 20, 1)], 1)
+    maintain()
+    check()
+
+    # incremental run over the overlapping key: insert, measure update,
+    # group-changing update (k moves), and a deletion emptying a group
+    upsert([(1, "d1", 20, 6), (4, "d2", 20, 9)], 2)
+    maintain()
+    check()
+    U.delete_versioned(
+        spark,
+        spark.createDataFrame([(3, "d2")], "oid long, day string"),
+        bdir, ["oid", "day"], "day",
+    )
+    maintain()
+    check()
+
+    with pytest.raises(ValueError, match="base-key columns"):
+        maintain_agg_view_versioned(
+            spark, bdir, str(tmp_path / "v2"),
+            base_key=["oid", "day"], group_key=["day"],
+            sums=["oid"], partition_col="day",
+        )
