@@ -264,6 +264,60 @@ def _pair_cosine_float(
     return j.mapInPandas(fn, out_schema)
 
 
+def _cluster_dup_pairs_float(
+    members: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Within-cluster duplicate pairs by float cosine, computed GROUP-
+    LOCALLY: `members` is (cluster, id, vec); each cluster's pairwise
+    cosine matrix is one numpy matmul inside applyInPandas, and only
+    pairs at cosine >= `threshold` are emitted (query_id < neighbor_id).
+
+    This is the scale-correct shape for semdedup's verify stage: the
+    shuffle moves each VECTOR once (O(n x dim)) instead of attaching
+    both vectors to every candidate pair (O(pairs x dim) — the 100x
+    smoke measured that join spilling and going ~4x superlinear, 24 GB
+    of pair payload for 200k vectors). Per-group memory is m^2 doubles —
+    bounded by the occupancy cap (2000 -> 32 MB); always cap clusters
+    before calling. Determinism: rows sort by id inside the kernel and
+    each cosine is a pure function of the pair's two vectors (fixed-K
+    dot products are order-independent in BLAS), so the emitted set and
+    values are partition-independent. Zero-norm vectors score 0.0
+    (same guard as _pair_cosine_float)."""
+    import numpy as np
+    import pandas as pd
+
+    idt = dict(members.dtypes)[id_col]
+    out_schema = f"query_id {idt}, neighbor_id {idt}, cos_sim double"
+    empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []})
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values(id_col, kind="stable")
+        v = np.stack(pdf[vec_col].apply(lambda a: np.asarray(a, dtype=np.float64)))
+        ids = pdf[id_col].to_numpy()
+        norms = np.linalg.norm(v, axis=1)
+        g = v @ v.T
+        denom = np.outer(norms, norms)
+        cos = np.where(denom == 0, 0.0, g / np.where(denom == 0, 1.0, denom))
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = cos[iu, ju] >= threshold
+        if not hit.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": ids[iu[hit]],  # ids sorted asc -> i<j is id<id
+                "neighbor_id": ids[ju[hit]],
+                "cos_sim": cos[iu[hit], ju[hit]],
+            }
+        )
+
+    return members.groupBy("cluster").applyInPandas(fn, out_schema)
+
+
 def _assign_centroid(
     df: DataFrame,
     centroids,
@@ -299,8 +353,16 @@ def _assign_centroid(
             vn = np.linalg.norm(v, axis=1)
             vn[vn == 0] = 1.0
             sims = (v / vn[:, None]) @ cunit.T
-            # top-nprobe clusters per vector, deterministic tie-break by index
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            # top-nprobe clusters per vector, deterministic tie-break by
+            # index. nprobe=1 (every base-side assignment) takes argmax —
+            # first-max tie-break, identical to the stable argsort's head
+            # but O(k) per row instead of a full O(k log k) row sort,
+            # which matters once auto_centroids scales k with n (the
+            # 100x smoke measured the row sort dominating assignment)
+            if nprobe == 1:
+                order = np.argmax(sims, axis=1).reshape(-1, 1)
+            else:
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
             out = {
                 id_col: pdf[id_col].to_numpy().repeat(nprobe),
                 "cluster": order.reshape(-1).astype("int32"),
@@ -728,26 +790,31 @@ def semdedup(
         if max_cluster_size is not None
         else assigned
     )
-    a = pairable.select(F.col(id_col).alias("query_id"), "cluster")
-    b = pairable.select(F.col(id_col).alias("neighbor_id"), "cluster")
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("query_id") < F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
-    # verify="float": the Arrow-batched numpy scorer — the pair stage is
-    # the dominant cost at scale (measured in tools/scale_smoke.py), and
-    # the decimal explode exists for oracle bit-stability, which a
-    # production dedup screen doesn't need. The float path thresholds the
-    # UNROUNDED cosine (round_digits=None): round-to-7-then-compare could
-    # flip a borderline pair the opposite way from the exact scorer.
+    # verify="float": the production path scores within-cluster pairs
+    # GROUP-LOCALLY (_cluster_dup_pairs_float) — each vector ships once
+    # into its cluster group instead of being attached to every candidate
+    # pair. The explicit pair join below exists only for the decimal-
+    # exact path, whose oracle needs a materialized pair list; at the
+    # 100x smoke the pair-attach join was the verify stage's scale
+    # killer (O(pairs x dim) shuffle, ~4x superlinear), while the
+    # grouped kernel reads ~linear (SCALING.md). Both paths threshold
+    # the UNROUNDED cosine: round-to-7-then-compare could flip a
+    # borderline pair the opposite way from the exact scorer.
     if verify == "exact":
-        scored = _pair_cosine(corpus, corpus, pairs, id_col, vec_col)
-    else:
-        scored = _pair_cosine_float(
-            corpus, corpus, pairs, id_col, vec_col, round_digits=None
+        a = pairable.select(F.col(id_col).alias("query_id"), "cluster")
+        b = pairable.select(F.col(id_col).alias("neighbor_id"), "cluster")
+        pairs = (
+            a.join(b, "cluster")
+            .filter(F.col("query_id") < F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
         )
-    dup = scored.filter(F.col("cos_sim") >= threshold)
+        scored = _pair_cosine(corpus, corpus, pairs, id_col, vec_col)
+        dup = scored.filter(F.col("cos_sim") >= threshold)
+    else:
+        members = pairable.select(id_col, "cluster").join(
+            corpus.select(id_col, vec_col), id_col
+        )
+        dup = _cluster_dup_pairs_float(members, threshold, id_col, vec_col)
     if with_sim:
         # attach each member's cosine-to-centroid onto the (small,
         # post-threshold) duplicate-pair frame, then drop the member
