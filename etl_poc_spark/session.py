@@ -22,7 +22,15 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def get_spark(app_name: str = "etl_poc_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "etl_poc_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """`extra_conf` overlays/overrides the tuned defaults — used by
+    tooling that needs a non-default knob (e.g. tools/scale_smoke.py
+    re-enables the UI to read per-task durations from the status REST
+    API). Ignored if a session already exists (getOrCreate semantics)."""
     cpus = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -43,6 +51,8 @@ def get_spark(app_name: str = "etl_poc_spark", cpus: int | None = None) -> Spark
         # hidden session side effects.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -202,6 +202,107 @@ def semdedup_phase_split(spark, scratch: str) -> dict:
     return out
 
 
+def _max_task_ms(spark, stage_floor: int) -> tuple[int, int]:
+    """(max task duration ms, last stage id) across completed stages with
+    id > stage_floor, via the status REST API (requires spark.ui.enabled).
+    The max-task number is the one wall-clock can't show on local[32]:
+    a whale-key window partition serializes onto ONE task, so the
+    straggler time is what a 1000-executor cluster would actually wait."""
+    import json as _j
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    stages = _j.load(
+        urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete")
+    )
+    mx, last = 0, stage_floor
+    for st in stages:
+        sid = st["stageId"]
+        last = max(last, sid)
+        if sid <= stage_floor:
+            continue
+        try:
+            s = _j.load(
+                urllib.request.urlopen(
+                    f"{base}/api/v1/applications/{app}/stages/{sid}/"
+                    f"{st['attemptId']}/taskSummary?quantiles=1.0"
+                )
+            )
+            mx = max(mx, int(s["duration"][0]))
+        except Exception:  # noqa: BLE001 — summary not retained; skip stage
+            continue
+    return mx, last
+
+
+def asof_whale_measure(spark, src_sf: str, copies: int, whale_share: float = 0.5) -> dict:
+    """Whale-key as-of measurement (VERDICT r10 ask #2): scale events by
+    `copies`, reassign ~`whale_share` of all rows to ONE user, then time
+    the plain window asof_join against asof_join_bucketed at several
+    bucket widths, recording wall AND max-task duration. The plain
+    window serializes the whale's entire history onto one task (AQE skew
+    split cannot act inside a window partition); the bucketed form
+    bounds each task to one (key, bucket)."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.io import load_table
+    from etl_poc_spark.operators.temporal import asof_join, asof_join_bucketed
+
+    base = load_table(spark, src_sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    scaled = None
+    for i in range(copies):
+        c = base.withColumn("event_id", F.col("event_id") + F.lit(i * ID_STRIDE))
+        scaled = c if scaled is None else scaled.unionByName(c)
+    mod = max(2, int(round(1.0 / whale_share)))
+    ev = scaled.withColumn(
+        "user_id",
+        F.when(
+            F.pmod(F.xxhash64("event_id"), F.lit(mod)) == 0, F.lit(999_999_999)
+        ).otherwise(F.col("user_id")),
+    ).persist()
+    n = ev.count()
+    n_whale = ev.filter(F.col("user_id") == 999_999_999).count()
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    span = ev.agg(
+        (F.unix_seconds(F.max("ts")) - F.unix_seconds(F.min("ts"))).alias("s")
+    ).collect()[0]["s"]
+
+    out = {
+        "n_rows": n,
+        "n_whale_rows": n_whale,
+        "whale_share": round(n_whale / n, 3),
+        "ts_span_days": round(span / 86400, 1),
+        "runs": {},
+    }
+    _, floor = _max_task_ms(spark, -1)
+
+    def run(label, fn):
+        nonlocal floor
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 1)
+        mx, floor = _max_task_ms(spark, floor)
+        out["runs"][label] = {"wall_s": wall, "max_task_s": round(mx / 1000, 1)}
+        print(json.dumps({label: out["runs"][label]}), flush=True)
+
+    run("plain_window", lambda: asof_join(
+        views, purchases, by=["user_id"], left_ts="ts", right_ts="ts",
+        tiebreak_cols=["purchase_value"],
+    ))
+    for bs in (86400, 6 * 3600, 3600):
+        run(f"bucketed_{bs}s", lambda bs=bs: asof_join_bucketed(
+            views, purchases, by=["user_id"], bucket_seconds=bs,
+            left_ts="ts", right_ts="ts", tiebreak_cols=["purchase_value"],
+        ))
+    ev.unpersist()
+    return out
+
+
 def _jvm_peak_rss_mb() -> int | None:
     """Peak RSS (VmHWM) of the local-mode JVM — the number that actually
     bounds whether a stage fits, since executors live inside it. Scans
@@ -241,6 +342,12 @@ def main() -> int:
         "print the isolated semdedup train/assign/pair/verify phase "
         "split instead of running the query list",
     )
+    ap.add_argument(
+        "--asof-whale",
+        action="store_true",
+        help="skewed-events as-of measurement: plain window vs bucketed, "
+        "wall + max-task, ~50%% of rows on one user",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -249,6 +356,14 @@ def main() -> int:
     from etl_poc_spark.session import get_spark
 
     registry.load_all()
+    if args.asof_whale:
+        spark = get_spark(
+            "scale_smoke", extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"}
+        )
+        report = asof_whale_measure(spark, args.src, args.copies)
+        report["copies"] = args.copies
+        print(json.dumps({"asof_whale": report}))
+        return 0
     spark = get_spark("scale_smoke")
     if args.semdedup_realistic:
         if not args.skip_build:
