@@ -111,6 +111,31 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("etl_poc_spark_cli", cpus=args.cpus)
     provider = get_provider(args.provider)
 
+    if "streaming" in config:
+        # continuous surface: streaming.op over a landing-zone source,
+        # run to completion of the available data (availableNow)
+        from etl_poc_spark.plans.yaml_pipeline import run_streaming_pipeline
+
+        try:
+            stream_summary = run_streaming_pipeline(
+                spark, config, timeout_seconds=args.timeout
+            )
+        except Exception as e:  # noqa: BLE001 — report and exit nonzero
+            print(json.dumps({"error": str(e), "type": type(e).__name__,
+                              "config": os.path.abspath(args.config)}), file=sys.stderr)
+            return 1
+        summary = {
+            "config": os.path.abspath(args.config),
+            "streaming": stream_summary,
+            "wall_seconds": round(time.perf_counter() - t0, 3),
+        }
+        if args.summary:
+            os.makedirs(os.path.dirname(args.summary) or ".", exist_ok=True)
+            with open(args.summary, "w", encoding="utf-8") as f:
+                json.dump(summary, f, indent=2)
+        print(json.dumps(summary))
+        return 0
+
     def body() -> tuple[dict[str, Any], Any]:
         frames = run_pipeline(spark, config, provider=provider)
         steps: dict[str, Any] = {}

@@ -351,6 +351,7 @@ def perplexity_monitor_handle_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: float = 1.0,
+    fold: bool = True,
 ) -> None:
     """One micro-batch of streaming_perplexity_monitor: score the batch
     against the PRE-BATCH LM state (what "this data looks unlike what
@@ -358,6 +359,12 @@ def perplexity_monitor_handle_batch(
     into the store. Both sinks are batch_id-slotted with overwrite, so
     an at-least-once replay leaves store AND monitor exactly as a single
     delivery would (same contract as exact_dedup_handle_batch).
+
+    `fold=False` is the HELD-OUT mode (CCNet's fixed-reference setup):
+    the store is a pre-seeded reference LM that batches score against
+    but never fold into — the monitor series then reads "distance from
+    the reference corpus" instead of "drift from everything so far".
+    Replay stays trivially idempotent (the store never changes).
 
     Recovery contract (crash-sim pytested): the store read EXCLUDES the
     current batch's own tag slot, so every replay point converges —
@@ -402,9 +409,10 @@ def perplexity_monitor_handle_batch(
         .write.mode("overwrite")
         .parquet(f"{monitor_dir}/batch_id={int(batch_id)}")
     )
-    bigram_lm_handle_batch(
-        batch_df, batch_id, store_dir=store_dir, text_col=text_col
-    )
+    if fold:
+        bigram_lm_handle_batch(
+            batch_df, batch_id, store_dir=store_dir, text_col=text_col
+        )
 
 
 def streaming_perplexity_monitor(
@@ -416,6 +424,7 @@ def streaming_perplexity_monitor(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: float = 1.0,
+    fold: bool = True,
 ):
     """Concept-drift monitor for a document stream: every micro-batch is
     scored against the LM of everything that came BEFORE it, then folded
@@ -428,7 +437,7 @@ def streaming_perplexity_monitor(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         perplexity_monitor_handle_batch(
             batch_df, batch_id, store_dir=store_dir, monitor_dir=monitor_dir,
-            id_col=id_col, text_col=text_col, k=k,
+            id_col=id_col, text_col=text_col, k=k, fold=fold,
         )
 
     return stream.writeStream.foreachBatch(handle).option(

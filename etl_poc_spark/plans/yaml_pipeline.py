@@ -37,6 +37,11 @@ docetl/config/article_pipeline.yaml.j2):
       steps: [{name: s1, input: papers, operations: [chunk, extract]}]
       output: {type: file, path: /out, intermediate_dir: /tmp/int}
 
+A config may instead declare a `streaming:` block (round 11) to run one
+of the continuous operators over a landing-zone source — see
+run_streaming_pipeline for the shape (ops: exact_dedup, lm_counts,
+lm_perplexity_monitor incl. the held-out `reference:` mode).
+
 Static validation mirrors the reference's DocETLOperator checks
 (airflow/plugins/docetl_operator.py:126-158): default_model present,
 non-empty operations, each op has name/type (+prompt for LLM ops).
@@ -935,3 +940,142 @@ def run_pipeline(
     assert last is not None
     out["__final__"] = last
     return out
+
+
+# ---------------------------------------------------------------------------
+# config-declared STREAMING pipelines (round 11): the batch surface above
+# covers the reference's whole DAG; this exposes the engine's continuous
+# operators (exact dedup, LM count maintenance, the perplexity drift /
+# held-out quality monitor) to the same YAML + CLI front-end, so a config
+# can declare a landing-zone tail end to end without touching library code.
+# ---------------------------------------------------------------------------
+
+
+def _open_stream(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
+    """readStream for a streaming source spec: format 'parquet' (schema
+    inferred from the existing files, `max_files_per_trigger` for
+    micro-batch slicing) or 'jsonl_tail' (the Spark 4 Python streaming
+    DataSource over a landing dir of immutable jsonl files; requires
+    `ddl`)."""
+    path = spec["path"]
+    fmt = spec.get("format", "parquet")
+    if fmt == "parquet":
+        reader = spark.readStream.schema(spark.read.parquet(path).schema)
+        if spec.get("max_files_per_trigger"):
+            reader = reader.option(
+                "maxFilesPerTrigger", int(spec["max_files_per_trigger"])
+            )
+        return reader.parquet(path)
+    if fmt == "jsonl_tail":
+        from etl_poc_spark.sources.jsonl_tail_datasource import (
+            register_jsonl_tail_datasource,
+        )
+
+        if "ddl" not in spec:
+            raise PipelineConfigError("jsonl_tail stream requires 'ddl'")
+        register_jsonl_tail_datasource(spark)
+        return (
+            spark.readStream.format("jsonl_tail")
+            .option("path", path)
+            .option("ddl", spec["ddl"])
+            .load()
+        )
+    raise PipelineConfigError(f"unknown streaming source format {fmt!r}")
+
+
+def run_streaming_pipeline(
+    spark: SparkSession, config: dict[str, Any], timeout_seconds: float = 600.0
+) -> dict[str, Any]:
+    """Run the config's `streaming:` block to completion of the available
+    data (availableNow trigger — the batch-boundary-exact mode every
+    continuous op here is replay-tested under) and return a summary.
+
+    Block shape:
+        streaming:
+          source: {path, format: parquet|jsonl_tail, ddl?, max_files_per_trigger?}
+          op: exact_dedup | lm_counts | lm_perplexity_monitor
+          store_dir: ...          # op state store
+          checkpoint_dir: ...
+          # exact_dedup: keys: [col,...], id: doc_id, kept_dir: ...
+          # lm_counts / lm_perplexity_monitor: text_key: text
+          # lm_perplexity_monitor: monitor_dir, id: doc_id, k: 1.0,
+          #   reference: {path, format?, text_key?}  -> held-out mode:
+          #   the reference corpus seeds the store ONCE (tag=reference)
+          #   and batches score against it WITHOUT folding in (CCNet's
+          #   fixed-reference quality gate); omit `reference` for drift
+          #   mode (score against everything so far, then fold).
+    """
+    spec = config.get("streaming")
+    if not isinstance(spec, dict):
+        raise PipelineConfigError("streaming config requires a 'streaming' mapping")
+    for key in ("source", "op", "store_dir", "checkpoint_dir"):
+        if key not in spec:
+            raise PipelineConfigError(f"streaming block missing required key {key!r}")
+    stream = _open_stream(spark, spec["source"])
+    op = spec["op"]
+    summary: dict[str, Any] = {"op": op, "store_dir": spec["store_dir"]}
+
+    if op == "exact_dedup":
+        from etl_poc_spark.operators.incremental import streaming_exact_dedup_ingest
+
+        if "kept_dir" not in spec or "keys" not in spec:
+            raise PipelineConfigError("streaming exact_dedup requires 'keys' and 'kept_dir'")
+        writer = streaming_exact_dedup_ingest(
+            stream,
+            spec["store_dir"],
+            spec["kept_dir"],
+            spec["checkpoint_dir"],
+            key_cols=list(spec["keys"]),
+            id_col=spec.get("id", "doc_id"),
+        )
+    elif op == "lm_counts":
+        from etl_poc_spark.operators.ngram_lm import streaming_bigram_lm_ingest
+
+        writer = streaming_bigram_lm_ingest(
+            stream,
+            spec["store_dir"],
+            spec["checkpoint_dir"],
+            text_col=spec.get("text_key", "text"),
+        )
+    elif op == "lm_perplexity_monitor":
+        from etl_poc_spark.operators.ngram_lm import (
+            incremental_bigram_lm_ingest,
+            streaming_perplexity_monitor,
+        )
+
+        if "monitor_dir" not in spec:
+            raise PipelineConfigError("lm_perplexity_monitor requires 'monitor_dir'")
+        ref = spec.get("reference")
+        if ref is not None:
+            # held-out seeding: idempotent by construction — the tag slot
+            # overwrites, so re-running the pipeline re-seeds identically
+            refdf = _load_dataset(spark, ref)
+            incremental_bigram_lm_ingest(
+                spark,
+                refdf,
+                spec["store_dir"],
+                text_col=ref.get("text_key", spec.get("text_key", "text")),
+                batch_tag="reference",
+            )
+            summary["reference_rows"] = refdf.count()
+        writer = streaming_perplexity_monitor(
+            stream,
+            spec["store_dir"],
+            spec["monitor_dir"],
+            spec["checkpoint_dir"],
+            id_col=spec.get("id", "doc_id"),
+            text_col=spec.get("text_key", "text"),
+            k=float(spec.get("k", 1.0)),
+            fold=ref is None,
+        )
+        summary["mode"] = "held_out" if ref is not None else "drift"
+        summary["monitor_dir"] = spec["monitor_dir"]
+    else:
+        raise PipelineConfigError(f"unknown streaming op {op!r}")
+
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(timeout_seconds)
+    summary["stream_stopped"] = not q.isActive
+    if q.isActive:
+        q.stop()
+    return summary

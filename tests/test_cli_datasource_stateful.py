@@ -249,3 +249,130 @@ def test_cli_var_without_equals_is_usage_error(tmp_path, capsys):
         main(["--config", str(cfg), "--var", "novalue"])
     assert ei.value.code == 2
     assert "novalue" in capsys.readouterr().err
+
+
+def test_cli_streaming_lm_monitor_drift_and_heldout(spark, tmp_path):
+    """Config-declared STREAMING pipelines through the CLI (round 11):
+    the `streaming:` block tails a landing dir and runs a continuous op.
+    Drift mode: each micro-batch scores against the accumulated LM then
+    folds in — the final store equals a from-scratch train over all
+    batches. Held-out mode (`reference:`): the reference corpus seeds
+    the store once and batches score against it WITHOUT folding — the
+    CCNet fixed-reference quality gate, so the store stays exactly the
+    reference LM."""
+    import json as _json
+
+    import yaml as _yaml
+
+    from etl_poc_spark.cli import main
+    from etl_poc_spark.operators.ngram_lm import (
+        read_bigram_lm_store,
+        train_bigram_lm,
+    )
+
+    land = tmp_path / "docs_in"
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat too") for i in range(4)]
+        + [(10 + i, f"zq{i} xv{i} qk{i} jw{i} vx{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    docs.repartition(3).write.mode("overwrite").parquet(str(land))
+
+    # --- drift mode ---
+    cfg = {
+        "streaming": {
+            "source": {
+                "path": str(land),
+                "format": "parquet",
+                "max_files_per_trigger": 1,
+            },
+            "op": "lm_perplexity_monitor",
+            "store_dir": str(tmp_path / "lm"),
+            "monitor_dir": str(tmp_path / "mon"),
+            "checkpoint_dir": str(tmp_path / "ck"),
+            "id": "doc_id",
+            "text_key": "text",
+        }
+    }
+    cfg_path = tmp_path / "drift.yaml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+    summary_path = tmp_path / "summary.json"
+    assert main(["--config", str(cfg_path), "--summary", str(summary_path)]) == 0
+    summary = _json.loads(summary_path.read_text())
+    assert summary["streaming"]["mode"] == "drift"
+    assert summary["streaming"]["stream_stopped"]
+
+    mon = spark.read.parquet(str(tmp_path / "mon"))
+    recs = {r["batch_id"]: r for r in mon.collect()}
+    assert len(recs) >= 2  # micro-batched, not one big swallow
+    assert recs[0]["n_scored"] == 0  # nothing before batch 0
+    assert all(r["n_scored"] > 0 for b, r in recs.items() if b > 0)
+
+    # folded store == from-scratch train over everything ingested
+    bi_s, uni_s, v_s = read_bigram_lm_store(spark, str(tmp_path / "lm"))
+    bi_w, uni_w, v_w = train_bigram_lm(docs)
+    assert sorted(map(tuple, bi_s.collect())) == sorted(map(tuple, bi_w.collect()))
+    assert v_s.collect()[0]["v"] == v_w.collect()[0]["v"]
+
+    # --- held-out mode: reference seeds, batches never fold ---
+    ref_dir = tmp_path / "ref_corpus"
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    ref.write.mode("overwrite").parquet(str(ref_dir))
+    cfg2 = {
+        "streaming": {
+            "source": {"path": str(land), "format": "parquet"},
+            "op": "lm_perplexity_monitor",
+            "store_dir": str(tmp_path / "lm2"),
+            "monitor_dir": str(tmp_path / "mon2"),
+            "checkpoint_dir": str(tmp_path / "ck2"),
+            "reference": {"path": str(ref_dir), "format": "parquet"},
+        }
+    }
+    cfg2_path = tmp_path / "heldout.yaml"
+    cfg2_path.write_text(_yaml.safe_dump(cfg2))
+    assert main(["--config", str(cfg2_path)]) == 0
+
+    mon2 = spark.read.parquet(str(tmp_path / "mon2"))
+    recs2 = mon2.collect()
+    # batch 0 scores against the PRE-SEEDED reference, not n_scored=0
+    assert all(r["n_scored"] > 0 for r in recs2)
+    # the store is exactly the reference LM — nothing folded in
+    bi_r, uni_r, v_r = read_bigram_lm_store(spark, str(tmp_path / "lm2"))
+    bi_e, uni_e, v_e = train_bigram_lm(ref)
+    assert sorted(map(tuple, bi_r.collect())) == sorted(map(tuple, bi_e.collect()))
+    assert v_r.collect()[0]["v"] == v_e.collect()[0]["v"]
+
+
+def test_cli_streaming_exact_dedup(spark, tmp_path):
+    """The exact-dedup continuous op through the same config surface:
+    the kept dir ends with one representative per distinct content."""
+    import yaml as _yaml
+
+    from etl_poc_spark.cli import main
+
+    land = tmp_path / "in"
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb")],
+        "doc_id long, text string",
+    )
+    docs.repartition(2).write.mode("overwrite").parquet(str(land))
+    cfg = {
+        "streaming": {
+            "source": {"path": str(land), "format": "parquet"},
+            "op": "exact_dedup",
+            "keys": ["text"],
+            "id": "doc_id",
+            "store_dir": str(tmp_path / "store"),
+            "kept_dir": str(tmp_path / "kept"),
+            "checkpoint_dir": str(tmp_path / "ck"),
+        }
+    }
+    p = tmp_path / "dedup.yaml"
+    p.write_text(_yaml.safe_dump(cfg))
+    assert main(["--config", str(p)]) == 0
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    assert kept.count() == 3
+    assert sorted(r["text"] for r in kept.collect()) == ["aaa", "bbb", "ccc"]

@@ -28,7 +28,10 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     from etl_poc_spark.io import TABLES, table_path
 
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+        p = table_path(sf_dir, t)
+        if os.path.isdir(p):  # Spark-written table: a dir of part files
+            p = os.path.join(p, "*.parquet")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
 
