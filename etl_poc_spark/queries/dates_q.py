@@ -76,9 +76,19 @@ def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch at accuracy 10000 (rank error <= n/10000) keeps O(accuracy)
     state per group with map-side partial merge — no per-group value
     buffering, so a hot l_returnflag group cannot OOM an executor at
-    100x. Rows-only check: the GK sketch has no engine-portable value
-    (DuckDB's approx_quantile uses t-digest); the error bound versus the
-    exact query is pytest-asserted instead (test_scale_techniques)."""
+    100x.
+
+    Rows-only is the CEILING for this query, by measurement (r11):
+    the GK sketch has no engine-portable value (DuckDB's approx_quantile
+    is t-digest), and the Spark value itself is partition-dependent —
+    at sf0.01 the group-A median reads 52832.76 under both the normal
+    AND the adversarial gate sessions but 52826.91 after repartition(13),
+    so a pin would pass gen_pins' bit-stability check and still be a
+    false invariant (the sketch merge is rank-approximate; any rounding
+    coarse enough to absorb a ~1e-4 relative swing would gut the value).
+    The within-bound guarantee versus the exact query is what the sketch
+    actually promises, and that is pytest-asserted instead
+    (test_scale_techniques)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("median_price_approx"),
