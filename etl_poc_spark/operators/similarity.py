@@ -391,6 +391,119 @@ def auto_centroids(n_rows: int, target_cluster_size: int = 200, floor: int = 16)
     return max(floor, n_rows // max(1, target_cluster_size))
 
 
+def _super_quantize(centroids, n_super: int, n_iters: int = 5):
+    """Driver-side k-means over the CENTROIDS themselves (cosine metric,
+    unit-sphere Lloyd): returns (super_unit_matrix k1 x dim, members)
+    where members[s] is the ASC-sorted array of centroid indices assigned
+    to super-centroid s. The input is the KB-sized model artifact, so
+    this is microseconds of numpy — deterministic: init takes every
+    (k // k1)-th centroid, assignment breaks ties toward the lower index,
+    empty supers keep their previous direction."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    k = len(cmat)
+    norms = np.linalg.norm(cmat, axis=1)
+    norms[norms == 0] = 1.0
+    cunit = cmat / norms[:, None]
+    step = max(1, k // n_super)
+    sup = cunit[::step][:n_super].copy()
+    for _ in range(n_iters):
+        sims = cunit @ sup.T
+        a = np.argmax(sims, axis=1)  # first-max: lower super index wins ties
+        for s in range(len(sup)):
+            m = cunit[a == s]
+            if len(m):
+                v = m.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    sup[s] = v / n
+    sims = cunit @ sup.T
+    a = np.argmax(sims, axis=1)
+    members = [np.flatnonzero(a == s) for s in range(len(sup))]
+    return sup, members
+
+
+def _assign_centroid_two_level(
+    df: DataFrame,
+    centroids,
+    id_col: str,
+    vec_col: str,
+    probe_superclusters: int = 4,
+    n_super: int | None = None,
+    with_sim: bool = False,
+) -> DataFrame:
+    """IMI-style two-level nearest-centroid assignment — the flat
+    argmax's O(n x k) matmul is the one semdedup phase that stays
+    superlinear once auto_centroids scales k with n (measured: 100x
+    smoke, SCALING.md r11). Here the centroids are grouped into
+    k1 ~ sqrt(k) super-centroids (driver-side numpy over the KB-sized
+    model); each vector probes its `probe_superclusters` nearest supers
+    and argmaxes only over THEIR member centroids:
+    O(n x (k1 + w·k/k1)) ~ O(n·sqrt(k)) for small w.
+
+    Approximate in the same sense the coarse quantizer itself is — a
+    vector whose true nearest centroid lives outside the probed supers
+    gets its best within-probe centroid. For dedup semantics this is
+    benign: near-duplicate vectors follow the SAME deterministic probe
+    path, so pairs stay co-clustered (pytest pins flag-equality with
+    flat assignment on the oracle corpus). Deterministic: ties break
+    toward the lower global centroid index at both levels."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    k = len(cmat)
+    norms = np.linalg.norm(cmat, axis=1)
+    norms[norms == 0] = 1.0
+    cunit = cmat / norms[:, None]
+    k1 = n_super or max(1, int(round(k ** 0.5)))
+    w = min(probe_superclusters, k1)
+    sup, members = _super_quantize(centroids, k1)
+
+    fields = [df.schema[id_col], T.StructField("cluster", T.IntegerType())]
+    if with_sim:
+        fields.append(T.StructField("cent_sim", T.DoubleType()))
+    out_schema = T.StructType(fields)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].apply(lambda a: np.asarray(a, dtype=np.float64)))
+            vn = np.linalg.norm(v, axis=1)
+            vn[vn == 0] = 1.0
+            vu = v / vn[:, None]
+            n = len(vu)
+            probes = np.argsort(-(vu @ sup.T), axis=1, kind="stable")[:, :w]
+            best = np.full(n, -np.inf)
+            besti = np.full(n, -1, dtype=np.int64)
+            for s in range(k1):
+                mem = members[s]
+                if not len(mem):
+                    continue
+                rows = np.flatnonzero((probes == s).any(axis=1))
+                if not len(rows):
+                    continue
+                sub = vu[rows] @ cunit[mem].T
+                li = np.argmax(sub, axis=1)  # first-max: lower index in mem
+                gi = mem[li]
+                val = sub[np.arange(len(rows)), li]
+                cur_b, cur_i = best[rows], besti[rows]
+                upd = (val > cur_b) | ((val == cur_b) & (gi < cur_i))
+                best[rows] = np.where(upd, val, cur_b)
+                besti[rows] = np.where(upd, gi, cur_i)
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "cluster": besti.astype("int32"),
+            }
+            if with_sim:
+                out["cent_sim"] = np.round(best, 7)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema=out_schema)
+
+
 def train_kmeans_centroids(
     base: DataFrame,
     n_centroids: int = 16,
@@ -753,6 +866,7 @@ def semdedup(
     vec_col: str = "embedding",
     keep: str = "min_id",
     verify: str = "exact",
+    assign: str = "flat",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): assign each vector to its nearest
     trained centroid, compute exact cosine ONLY within clusters, and for
@@ -781,10 +895,21 @@ def semdedup(
         raise ValueError(f"keep must be 'min_id' or 'centroid', got {keep!r}")
     if verify not in ("exact", "float"):
         raise ValueError(f"verify must be 'exact' or 'float', got {verify!r}")
+    if assign not in ("flat", "two_level"):
+        raise ValueError(f"assign must be 'flat' or 'two_level', got {assign!r}")
     with_sim = keep == "centroid"
-    assigned = _assign_centroid(
-        corpus, centroids, id_col, vec_col, nprobe=1, with_sim=with_sim
-    )
+    if assign == "two_level":
+        # O(n·sqrt(k)) approximate assignment — the scale path once
+        # auto_centroids makes the flat O(n·k) matmul the dominant
+        # phase (SCALING.md r11); near-dup pairs follow the same probe
+        # path so flags stay pair-consistent (pytest-pinned vs flat)
+        assigned = _assign_centroid_two_level(
+            corpus, centroids, id_col, vec_col, with_sim=with_sim
+        )
+    else:
+        assigned = _assign_centroid(
+            corpus, centroids, id_col, vec_col, nprobe=1, with_sim=with_sim
+        )
     pairable = (
         cap_buckets(assigned, ["cluster"], max_cluster_size)
         if max_cluster_size is not None

@@ -1445,3 +1445,60 @@ def test_asof_join_bucketed_beats_plain_on_whale_key(spark):
     # assert only demands it not LOSE (flake headroom)
     assert t_buck < t_plain * 1.05, (t_buck, t_plain)
     print(f"plain={t_plain:.2f}s bucketed={t_buck:.2f}s")
+
+
+def test_semdedup_two_level_assignment_matches_flat_flags(spark, sf_dir):
+    """The IMI-style two-level assignment (assign='two_level' —
+    O(n·sqrt(k)) instead of the flat O(n·k) matmul, the scale path once
+    auto_centroids grows k with n) produces the SAME dedup flags as flat
+    assignment on the planted-duplicate corpus: a near-dup pair follows
+    one deterministic probe path, so the pair stays co-clustered even
+    where the chosen cluster differs from flat's. Also checks the
+    assignment itself: exact-direction copies land in the same cluster
+    as their originals, and determinism holds across two runs."""
+    from etl_poc_spark.operators.similarity import (
+        _assign_centroid_two_level,
+        semdedup,
+        train_kmeans_centroids,
+    )
+    from etl_poc_spark.queries.similarity_q import _semdedup_corpus
+
+    corpus = _semdedup_corpus(spark, sf_dir)
+    cents = train_kmeans_centroids(corpus, n_centroids=16, n_iters=1)
+
+    flat = {
+        r["vec_id"]: r["is_dropped"]
+        for r in semdedup(corpus, cents, threshold=0.99, verify="float").collect()
+    }
+    two = {
+        r["vec_id"]: r["is_dropped"]
+        for r in semdedup(
+            corpus, cents, threshold=0.99, verify="float", assign="two_level"
+        ).collect()
+    }
+    assert flat == two
+    assert any(two.values())
+
+    a1 = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_centroid_two_level(
+            corpus, cents, "vec_id", "embedding"
+        ).collect()
+    }
+    a2 = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_centroid_two_level(
+            corpus, cents, "vec_id", "embedding"
+        ).collect()
+    }
+    assert a1 == a2  # deterministic across runs
+    copies = [v for v in a1 if v >= 100000]
+    assert copies
+    assert all(a1[v] == a1[v - 100000] for v in copies)  # pairs co-cluster
+
+    # keep='centroid' composes: cent_sim rides through the two-level path
+    out = semdedup(
+        corpus, cents, threshold=0.99, verify="float",
+        assign="two_level", keep="centroid",
+    )
+    assert {r["vec_id"]: r["is_dropped"] for r in out.collect()} == two

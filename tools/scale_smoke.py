@@ -178,6 +178,22 @@ def semdedup_phase_split(spark, scratch: str) -> dict:
     assigned.count()
     out["assign_s"] = round(time.perf_counter() - t0, 1)
 
+    # the O(n·sqrt(k)) two-level assignment beside the flat O(n·k) one:
+    # timing plus cluster-agreement and flag parity at scale
+    t0 = time.perf_counter()
+    assigned2 = S._assign_centroid_two_level(
+        corpus, cents, "vec_id", "embedding"
+    ).persist()
+    assigned2.count()
+    out["assign_two_level_s"] = round(time.perf_counter() - t0, 1)
+    out["assign_agreement"] = round(
+        assigned.join(
+            assigned2.withColumnRenamed("cluster", "c2"), "vec_id"
+        ).filter("cluster = c2").count()
+        / out["n_rows"],
+        4,
+    )
+
     # candidate-pair volume from cluster occupancy (sum m*(m-1)/2 over
     # capped clusters) — the grouped verify kernel never materializes a
     # pair list, so this is bookkeeping, not a timed phase
@@ -197,7 +213,18 @@ def semdedup_phase_split(spark, scratch: str) -> dict:
     out["n_dropped"] = dup.select("neighbor_id").distinct().count()
     out["verify_s"] = round(time.perf_counter() - t0, 1)
     out["dup_rate"] = round(out["n_dropped"] / out["n_rows"], 4)
-    for df in (assigned, corpus):
+
+    pairable2 = cap_buckets(assigned2, ["cluster"], 2000)
+    members2 = pairable2.select("vec_id", "cluster").join(
+        corpus.select("vec_id", "embedding"), "vec_id"
+    )
+    out["n_dropped_two_level"] = (
+        S._cluster_dup_pairs_float(members2, 0.99, "vec_id", "embedding")
+        .select("neighbor_id")
+        .distinct()
+        .count()
+    )
+    for df in (assigned2, assigned, corpus):
         df.unpersist()
     return out
 
