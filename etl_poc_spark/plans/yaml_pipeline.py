@@ -382,6 +382,7 @@ def _apply_op(
             vec_col=vec_col,
             keep=op.get("keep", "min_id"),
             verify=op.get("verify", "exact"),
+            assign=op.get("assign", "flat"),  # 'two_level' = O(n·sqrt(k))
         )
         from pyspark.sql import functions as F
 

@@ -17,9 +17,7 @@ from etl_poc_spark.io import load_table
 from etl_poc_spark.registry import query
 
 
-@query(
-    "events_asof_last_purchase",
-    oracle="""
+_ASOF_LAST_PURCHASE_ORACLE = """
     WITH u AS (
       SELECT user_id, ts, 0 AS is_left, event_id AS tb,
              CAST(NULL AS VARCHAR) AS etype,
@@ -52,17 +50,13 @@ from etl_poc_spark.registry import query
            round(CAST(SUM(gap_us) AS DOUBLE)
                  / (CAST(COUNT(v) AS DOUBLE) * 1000000.0), 9) AS avg_gap_seconds
     FROM m GROUP BY etype ORDER BY etype
-    """,
-)
-def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward as-of join (operators/temporal.py): every non-purchase event
-    gets the value of the user's most recent purchase at-or-before it,
-    within a 7-day tolerance — the feature-engineering join every
-    behavioral model wants ("context at event time"). The plan is ONE
-    user shuffle (union-window carry, no interval theta-join); tolerance
-    is a free post-filter in integer microseconds. The oracle mirrors the
-    exact union-window ordering (ts, is_left, event_id tiebreak)."""
-    from etl_poc_spark.operators.temporal import asof_join
+    """
+
+
+def _asof_last_purchase(
+    spark: SparkSession, sf_dir: str, bucket_seconds: int | None = None
+) -> DataFrame:
+    from etl_poc_spark.operators.temporal import asof_join, asof_join_bucketed
 
     e = load_table(spark, sf_dir, "events")
     purchases = e.where(F.col("event_type") == "purchase").select(
@@ -74,9 +68,7 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches = e.where(F.col("event_type") != "purchase").select(
         "user_id", "ts", "event_type"
     )
-    joined = asof_join(
-        touches,
-        purchases,
+    kwargs = dict(
         by=["user_id"],
         left_ts="ts",
         right_ts="ts",
@@ -85,6 +77,12 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["event_id"],
         include_matched_ts=True,
     )
+    if bucket_seconds is None:
+        joined = asof_join(touches, purchases, **kwargs)
+    else:
+        joined = asof_join_bucketed(
+            touches, purchases, bucket_seconds=bucket_seconds, **kwargs
+        )
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_matched_ts"))
     m = joined.select(
         "event_type",
@@ -105,6 +103,31 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("events_asof_last_purchase", oracle=_ASOF_LAST_PURCHASE_ORACLE)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/temporal.py): every non-purchase event
+    gets the value of the user's most recent purchase at-or-before it,
+    within a 7-day tolerance — the feature-engineering join every
+    behavioral model wants ("context at event time"). The plan is ONE
+    user shuffle (union-window carry, no interval theta-join); tolerance
+    is a free post-filter in integer microseconds. The oracle mirrors the
+    exact union-window ordering (ts, is_left, event_id tiebreak)."""
+    return _asof_last_purchase(spark, sf_dir)
+
+
+@query("events_asof_last_purchase_bucketed", oracle=_ASOF_LAST_PURCHASE_ORACLE)
+def events_asof_last_purchase_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics through the hot-key-safe bucketed form
+    (operators/temporal.py::asof_join_bucketed, bucket_seconds=86400):
+    per-(user, day) windows plus a bucket-granular carry, so one whale
+    user cannot serialize a task (straggler measurements: SCALING.md r11,
+    SCALE_SMOKE_r11.json). Sharing the plain query's oracle IS the
+    point — the mitigation is results-identical by construction, and
+    this row makes that an engine-vs-DuckDB gate check rather than only
+    a pytest property."""
+    return _asof_last_purchase(spark, sf_dir, bucket_seconds=86400)
 
 
 @query(

@@ -737,3 +737,40 @@ def semdedup_flags_adaptive_float(spark: SparkSession, sf_dir: str) -> DataFrame
         max_cluster_size=_SEMDEDUP_CLUSTER_CAP,
         verify="float",
     )
+
+
+@query("semdedup_flags_adaptive_two_level")
+def semdedup_flags_adaptive_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production semdedup with the r11 TWO-LEVEL assignment —
+    the configuration a 100-TB run would use once auto_centroids makes
+    the flat O(n·k) assignment matmul the dominant phase (measured:
+    SCALING.md r11, 10x faster at 100x). Same trained minibatch
+    quantizer as `semdedup_flags_adaptive_float` (shared model cache);
+    only the assignment path differs: vectors probe ~sqrt(k)
+    super-centroids and argmax over their members. Deterministic
+    end-to-end (stable super-quantization of the KB-sized model,
+    first-max tie-breaks at both levels, grouped float verify), so the
+    output is pinned-exact like its flat sibling; flag parity with flat
+    is pytest-pinned on the planted-duplicate corpus."""
+    from etl_poc_spark.operators.pins import pin
+    from etl_poc_spark.operators.similarity import (
+        auto_centroids,
+        semdedup,
+        train_kmeans_centroids_minibatch,
+    )
+
+    corpus = pin(_semdedup_corpus(spark, sf_dir))
+    key = _model_key(sf_dir)
+    centroids = _SEMDEDUP_PROD_MODELS.get(key)
+    if centroids is None:
+        k = auto_centroids(corpus.count(), target_cluster_size=200)
+        centroids = train_kmeans_centroids_minibatch(corpus, n_centroids=k, n_iters=4)
+        _SEMDEDUP_PROD_MODELS[key] = centroids
+    return semdedup(
+        corpus,
+        centroids,
+        threshold=0.99,
+        max_cluster_size=_SEMDEDUP_CLUSTER_CAP,
+        verify="float",
+        assign="two_level",
+    )

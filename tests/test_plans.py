@@ -398,6 +398,11 @@ def test_yaml_semdedup_op(spark):
     out = run_pipeline(spark, config, datasets={"docs": docs})
     assert sorted(r["doc_id"] for r in out["__final__"].collect()) == [1, 3, 4]
 
+    # assign: two_level (the O(n·sqrt(k)) r11 assignment) — same keeps
+    config["operations"][0]["assign"] = "two_level"
+    out = run_pipeline(spark, config, datasets={"docs": docs})
+    assert sorted(r["doc_id"] for r in out["__final__"].collect()) == [1, 3, 4]
+
 
 def test_yaml_span_dedup_op(spark):
     """The span_dedup pipeline op drops docs whose cross-doc duplicated

@@ -39,6 +39,8 @@ CANDIDATES = [
     "part_copurchase_kcore",       # pure-integer fixpoint output
     "semdedup_flags_adaptive_float",  # production path: hash-defined sample,
                                       # decimal batch sums, fixed fold order
+    "semdedup_flags_adaptive_two_level",  # r11 scale assignment: same model,
+                                          # deterministic two-level probe
     "simhash64_near_dup_pairs",
     "supplier_pagerank",           # rank rounded to 9 decimals in-query
 ]
