@@ -431,6 +431,58 @@ def mixture_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), m AS (SELECT MAX(n_tokens) AS mx FROM t)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(mx AS DOUBLE) AS w_t1,
+           sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)) AS w_t05
+    FROM t, m ORDER BY source
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture RECIPE side of data mixing: per-source token counts and
+    temperature-flattened sampling weights, relative to the largest
+    source — w_tau = (n_i / n_max)^tau at tau=1 (proportional) and
+    tau=0.5 (the flattening bigger-than-proportional boost small domains
+    get in multi-domain pretraining recipes, e.g. multilingual sampling
+    per arXiv:1901.07291 §3.1).
+
+    Float discipline: relative-to-max, NOT softmax-normalized —
+    normalization needs a cross-row float SUM whose merge order no
+    engine promises, while MAX of integers is order-free, IEEE-754
+    sqrt is correctly rounded, and each weight is then one double
+    division — bit-exact across Spark/DuckDB/partitionings by
+    construction. Downstream consumers renormalize rationally. One
+    narrow scan + one 4-group aggregate + a 1-row broadcast max."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("n_tokens"),
+    )
+    mx = t.agg(F.max("n_tokens").alias("mx"))
+    return (
+        t.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("mx").cast("double")).alias("w_t1"),
+            (
+                F.sqrt(F.col("n_tokens").cast("double"))
+                / F.sqrt(F.col("mx").cast("double"))
+            ).alias("w_t05"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "token_budget_sample",
     oracle="""
     WITH t AS (
