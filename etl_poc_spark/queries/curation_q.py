@@ -220,7 +220,12 @@ def pack_stream_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pack_sequences_greedy",
     oracle="""
-    WITH RECURSIVE toks AS (
+    WITH RECURSIVE toks AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing at scale: the recursive member joins
+      -- toks once per iteration, and without it DuckDB re-tokenizes every
+      -- document per step — O(iterations x corpus regex splits), ~hours at
+      -- sf1 (20.6k-doc stratum x 50k docs); materialized it's one
+      -- tokenize + 20.6k cheap frontier joins
       SELECT lang, doc_id,
              len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
              row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
