@@ -204,6 +204,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "part_association_rules",    # 1-row basket-count scalar x 20-row top-k frame
         "doc_lm_perplexity",         # 1-row vocabulary-size scalar join (smoothing denominator)
         "doc_lm_perplexity_heldout",  # same scalar join, reference-trained LM
+        "mixture_temperature_weights",  # 1-row max-tokens scalar join onto the per-source frame
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():
