@@ -422,8 +422,11 @@ def customer_order_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), mo AS (
       SELECT iso_dow,
              CAST(COUNT(*) AS BIGINT) AS n_days,
-             CAST(SUM(r) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(r * r AS DECIMAL(38,4))) AS DOUBLE) AS s2
+             -- VARCHAR hop: DuckDB DECIMAL->DOUBLE is 1-2 ulp off past 2^53
+             -- unscaled (s2's scale-4 square-sum crosses at sf1); see
+             -- pricing_summary. String->double is correctly rounded.
+             CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(r * r AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS s2
       FROM daily GROUP BY iso_dow
     )
     SELECT d.iso_dow, ANY_VALUE(m.n_days) AS n_days,
