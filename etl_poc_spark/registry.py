@@ -53,6 +53,7 @@ def load_all() -> None:
         dedup_q,
         diff_q,
         documents_q,
+        dsir_q,
         events_q,
         expectations_q,
         extra_q,

@@ -29,9 +29,13 @@ CANDIDATES = [
     "bpe_segmentation_stats",
     "bpe_trained_merges",
     "doc_compression_quality",
+    "doc_dsir_log_weights",       # transcendental log-ratios but fixed fold
+                                  # order (bucket-sorted aggregate) + round(9)
     "doc_lm_perplexity",          # transcendental logs but fixed fold order
                                   # (position-sorted aggregate) + round(9)
     "doc_lm_perplexity_heldout",  # same, via the reference= (CCNet) path
+    "dsir_gumbel_sample",         # pure per-row Gumbel key on the folded
+                                  # weight; top-k + id tiebreak
     "hll_sketch_union_users",
     "image_near_dup_pairs",
     "image_phash_stats",
