@@ -57,6 +57,36 @@ BENCH_ALL_REGISTERED = True
 RUNS_PER_QUERY = 3
 
 
+def _calibration(spark) -> float:
+    """Host-noise canary: a fixed data-independent workload (8M-row range
+    scan-agg, pure JVM codegen) timed as a 3-run median. Recorded at the
+    START and END of the sweep so a reader can normalize uniform
+    wall-clock drift (r10 +41s, r11 +26s were both host contention —
+    each needed a quiet-host rerun to prove it; this field removes that
+    bisection)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        (
+            spark.range(0, 8_000_000)
+            .select(
+                (F.col("id") % 1000).alias("k"),
+                ((F.col("id") * 2654435761) % 2147483647).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.avg("v").alias("a"), F.count("*").alias("c"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        runs.append(_time.perf_counter() - t0)
+    return round(sorted(runs)[1], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_poc_spark import registry
@@ -67,6 +97,7 @@ def main() -> None:
     spark = get_spark("bench")
     # warm the JVM + parquet footers so per-query numbers measure the plan
     registry.QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    cal_start = _calibration(spark)
 
     names = list(BENCH_QUERIES)
     if BENCH_ALL_REGISTERED:
@@ -98,6 +129,7 @@ def main() -> None:
     # as the full-surface sweep grows; the full total is reported alongside
     # A headline query that errored must not silently deflate the
     # round-over-round metric: emit null instead of a too-small total.
+    cal_end = _calibration(spark)
     headline_errs = [n for n in BENCH_QUERIES if n in errors]
     headline_total = (
         None if headline_errs else round(sum(timings[n] for n in BENCH_QUERIES), 3)
@@ -116,6 +148,7 @@ def main() -> None:
                 "timing": "median",
                 "headline_set_size": len(BENCH_QUERIES),
                 "headline_incomplete": bool(headline_errs),
+                "calibration": {"start_sec": cal_start, "end_sec": cal_end},
                 "queries": {**timings, **{n: {"err": e} for n, e in errors.items()}},
                 "n_errors": len(errors),
                 "sf": float(sf) if sf else sf_dir,
@@ -141,6 +174,7 @@ def main() -> None:
         "headline_incomplete": bool(headline_errs),
         "n_errors": len(errors),
         "sf": float(sf) if sf else sf_dir,
+        "calibration": {"start_sec": cal_start, "end_sec": cal_end},
         "timings": timings,
         "query_errors": {n: e[:200] for n, e in errors.items()},
     }
@@ -165,6 +199,7 @@ def main() -> None:
                 "n_errors": len(errors),
                 "headline_incomplete": bool(headline_errs),
                 "sf": float(sf) if sf else sf_dir,
+                "cal": [cal_start, cal_end],
                 "full_report": os.path.basename(out_path),
             },
             separators=(",", ":"),

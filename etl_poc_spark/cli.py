@@ -134,7 +134,9 @@ def main(argv: list[str] | None = None) -> int:
             with open(args.summary, "w", encoding="utf-8") as f:
                 json.dump(summary, f, indent=2)
         print(json.dumps(summary))
-        return 0
+        # a timed-out availableNow run was stopped MID-INGEST — partial
+        # state must surface in the exit code, not just the summary JSON
+        return 2 if stream_summary.get("timed_out") else 0
 
     def body() -> tuple[dict[str, Any], Any]:
         frames = run_pipeline(spark, config, provider=provider)

@@ -29,7 +29,7 @@ per stratum (the systematic-PPS idiom) — no global sort of the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_poc_spark.operators.ngram_lm import words_col
@@ -90,6 +90,24 @@ def bucket_totals(feat_counts: DataFrame, suffix: str) -> DataFrame:
     return feat_counts.groupBy("bucket").agg(F.sum("cnt").alias(f"c_{suffix}"))
 
 
+def _model_frame(raw_f: DataFrame, tgt_f: DataFrame) -> DataFrame:
+    """One broadcastable model frame (bucket, c_raw, c_tgt, t_raw, t_tgt)
+    covering every bucket present in EITHER corpus, with the corpus
+    totals attached via an unpartitioned window over the ≤ n_buckets-row
+    frame — no scalar crossJoin, so the scoring join is a single
+    BroadcastHashJoin (no BroadcastNestedLoopJoin anywhere in the plan).
+    The single-partition window exchange moves at most n_buckets rows."""
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        bucket_totals(raw_f, "raw")
+        .join(bucket_totals(tgt_f, "tgt"), "bucket", "full_outer")
+        .withColumn("t_raw", F.sum("c_raw").over(w))
+        .withColumn("t_tgt", F.sum("c_tgt").over(w))
+    )
+
+
 def dsir_log_weights(
     raw_docs: DataFrame,
     target_docs: DataFrame,
@@ -111,9 +129,10 @@ def dsir_log_weights(
     bit-identical under any partitioning (pinned-exact-safe, the
     `ngram_lm.score_documents` discipline).
 
-    Plan shape: two bucket-bounded aggregations build the models
-    (≤ n_buckets rows each → broadcast), the scoring join hits the raw
-    side's (doc, bucket) partials, then ONE doc_id shuffle for the fold.
+    Plan shape: one merged ≤ n_buckets-row model frame (totals attached
+    by window, see _model_frame) broadcast onto the raw side's
+    (doc, bucket) partials — a single BroadcastHashJoin — then ONE
+    doc_id shuffle for the fold.
     """
     raw_f = hashed_feature_counts(
         raw_docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
@@ -121,16 +140,9 @@ def dsir_log_weights(
     tgt_f = hashed_feature_counts(
         target_docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
     )
-    raw_m = bucket_totals(raw_f, "raw")
-    tgt_m = bucket_totals(tgt_f, "tgt")
-    tot_r = raw_m.agg(F.sum("c_raw").alias("t_raw"))
-    tot_t = tgt_m.agg(F.sum("c_tgt").alias("t_tgt"))
     nb = float(n_buckets)
     scored = (
-        raw_f.join(F.broadcast(raw_m), "bucket")  # every bucket present in raw
-        .join(F.broadcast(tgt_m), "bucket", "left")
-        .crossJoin(F.broadcast(tot_r))
-        .crossJoin(F.broadcast(tot_t))
+        raw_f.join(F.broadcast(_model_frame(raw_f, tgt_f)), "bucket")
         .select(
             F.col(id_col),
             "bucket",
@@ -188,10 +200,6 @@ def dsir_target_affinity(
     tgt_f = hashed_feature_counts(
         target_docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
     )
-    raw_m = bucket_totals(raw_f, "raw")
-    tgt_m = bucket_totals(tgt_f, "tgt")
-    tot_r = raw_m.agg(F.sum("c_raw").alias("t_raw"))
-    tot_t = tgt_m.agg(F.sum("c_tgt").alias("t_tgt"))
     d38 = "decimal(38,0)"
     leaning = (
         (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1)).cast(d38)
@@ -201,10 +209,7 @@ def dsir_target_affinity(
         * (F.col("t_tgt") + F.lit(n_buckets)).cast(d38)
     )
     per_bucket = (
-        raw_f.join(F.broadcast(raw_m), "bucket")
-        .join(F.broadcast(tgt_m), "bucket", "left")
-        .crossJoin(F.broadcast(tot_r))
-        .crossJoin(F.broadcast(tot_t))
+        raw_f.join(F.broadcast(_model_frame(raw_f, tgt_f)), "bucket")
         .select(F.col(id_col), "cnt", leaning.alias("leaning"))
     )
     return (
@@ -245,8 +250,11 @@ def dsir_resample(
     stragglers reproduce the same sample.
 
     key_i = log w_i + Gumbel_i,  Gumbel_i = −ln(−ln(u_i)),
-    u_i ∈ (0,1) from the first 15 hex digits of md5 (KMV's 60-bit
-    domain, never 0 or 1 after the +1/+2 guard).
+    u_i ∈ (0,1) from the first 13 hex digits of md5: a 52-bit integer
+    is EXACT in a double, so after the +1/+2 guard u stays strictly
+    inside (0,1) after the float cast too — a 60-bit draw can round to
+    exactly 1.0 (values within 128 of 2^60 collapse onto 2^60) and turn
+    −ln(−ln u) into NULL, silently dropping the doc from the sample.
 
     Scale: one global top-k (TakeOrderedAndProject — per-partition heap
     then a k-row merge on one reducer), never a full sort."""
@@ -256,14 +264,14 @@ def dsir_resample(
                 F.substring(
                     F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))),
                     1,
-                    15,
+                    13,
                 ),
                 16,
                 10,
             ).cast("double")
             + F.lit(1.0)
         )
-        / F.lit(float(2**60 + 2))
+        / F.lit(float(2**52 + 2))
     )
     key = F.col(weight_col) + (-F.log(-F.log(u)))
     return (

@@ -458,8 +458,9 @@ def _assign_centroid_two_level(
     norms[norms == 0] = 1.0
     cunit = cmat / norms[:, None]
     k1 = n_super or max(1, int(round(k ** 0.5)))
-    w = min(probe_superclusters, k1)
     sup, members = _super_quantize(centroids, k1)
+    k1 = len(sup)  # _super_quantize caps at k supers when n_super > k
+    w = min(probe_superclusters, k1)
 
     fields = [df.schema[id_col], T.StructField("cluster", T.IntegerType())]
     if with_sim:
@@ -493,6 +494,16 @@ def _assign_centroid_two_level(
                 upd = (val > cur_b) | ((val == cur_b) & (gi < cur_i))
                 best[rows] = np.where(upd, val, cur_b)
                 besti[rows] = np.where(upd, gi, cur_i)
+            # A vector whose probed supers are ALL empty (empty supers
+            # keep a stale direction and can still attract probes) would
+            # otherwise be silently assigned cluster -1 with -inf sim;
+            # fall back to the flat global argmax for exactly those rows.
+            miss = np.flatnonzero(besti < 0)
+            if len(miss):
+                sub = vu[miss] @ cunit.T
+                li = np.argmax(sub, axis=1)  # first-max: lower index wins
+                besti[miss] = li
+                best[miss] = sub[np.arange(len(miss)), li]
             out = {
                 id_col: pdf[id_col].to_numpy(),
                 "cluster": besti.astype("int32"),

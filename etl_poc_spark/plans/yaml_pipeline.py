@@ -24,6 +24,13 @@ docetl/config/article_pipeline.yaml.j2):
       #           max_cluster_size, keep: min_id|centroid},
       # lm_perplexity {id, text_key, k, max_ppl, reference} — CCNet bigram-LM
       #   gate: filter above max_ppl, or attach scores when omitted
+      # selection vocabulary (engine extension, round 12):
+      # dsir_select {id, text_key, n_buckets, k, seed,
+      #   target: <dataset/step> | target_where: <SQL predicate>} — DSIR
+      #   importance resampling toward a target corpus (k docs), or
+      #   attach (n_features, log_weight) when k omitted,
+      # temperature_mix {stratify_key, tau, id, text_key|weight_key,
+      #   salt} — keep-rate ∝ n^(tau-1) per stratum, realized mass ∝ n^tau
       # analytics vocabulary (engine extension, round 9):
       # profile {columns}, attribution {entity_key, state_key, ts_key,
       #   conversion_type, within_seconds}, rfm {entity_key, ts_key,
@@ -292,6 +299,94 @@ def _apply_op(
             bad = scores.filter(F.col("ppl") > float(op["max_ppl"])).select(id_col)
             return df.join(bad, id_col, "left_anti")
         return df.join(scores, id_col, "left")
+    if t == "dsir_select":
+        # DSIR data selection (arXiv:2302.03169, operators/dsir.py):
+        # weight every doc by the hashed-n-gram log-likelihood ratio
+        # toward a TARGET corpus — `target:` names a dataset/earlier step
+        # (the paper's curated-corpus setup) or `target_where:` is a SQL
+        # predicate over the incoming frame (target-as-subset). With `k`
+        # set, Gumbel top-k resamples k docs WITHOUT replacement with
+        # probability ∝ exp(log w) (semi join back, rows untouched);
+        # without it the (n_features, log_weight) columns attach for a
+        # downstream threshold.
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.dsir import dsir_log_weights, dsir_resample
+
+        id_col = op.get("id", "doc_id")
+        text_col = op.get("text_key", "text")
+        if op.get("target"):
+            tgt = _frame("target")
+        elif op.get("target_where"):
+            tgt = df.where(str(op["target_where"]))
+        else:
+            raise PipelineConfigError(
+                "dsir_select requires 'target' (dataset/step name) or "
+                "'target_where' (SQL predicate over the input)"
+            )
+        w = dsir_log_weights(
+            df,
+            tgt,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=int(op.get("n_buckets", 1024)),
+        )
+        if op.get("k") is not None:
+            picked = dsir_resample(
+                w, int(op["k"]), id_col=id_col, seed=str(op.get("seed", "dsir"))
+            )
+            return df.join(picked.select(id_col), id_col, "left_semi")
+        return df.join(w, id_col, "left")
+    if t == "temperature_mix":
+        # temperature-flattened mixing (arXiv:1901.07291 §3.1): realized
+        # per-stratum sampling mass follows n^tau by downsampling with
+        # keep-rate ∝ n^(tau-1), normalized so the most-boosted stratum
+        # keeps 100% (tau<1: smallest stratum; tau>1: largest). The keep
+        # decision is the md5 hash_bucket on id (mixture_resample's
+        # engine-portable discipline); the rates ride a broadcast join of
+        # the ≤n_strata-row frame whose normalizer attaches by
+        # unpartitioned window — no scalar crossJoin, no collect.
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.curation import hash_bucket
+
+        strat = op.get("stratify_key", "source")
+        id_col = op.get("id", "doc_id")
+        tau = float(op.get("tau", 0.5))
+        if tau <= 0:
+            raise PipelineConfigError("temperature_mix: tau must be > 0")
+        weight = op.get("weight_key")
+        if weight:
+            w_col = F.col(weight).cast("long")
+        else:
+            text_col = op.get("text_key", "text")
+            w_col = F.size(
+                F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+            ).cast("long")
+        totals = (
+            df.select(F.col(strat).alias("__s"), w_col.alias("__w"))
+            .groupBy("__s")
+            .agg(F.sum("__w").alias("__n"))
+            .where(F.col("__n") > 0)
+        )
+        wall = Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        raw = F.pow(F.col("__n").cast("double"), F.lit(tau - 1.0))
+        rates = (
+            totals.withColumn("__raw", raw)
+            .withColumn("__mx", F.max("__raw").over(wall))
+            .select(
+                "__s",
+                (F.lit(100.0) * F.col("__raw") / F.col("__mx")).alias("__rate"),
+            )
+        )
+        out = df.join(F.broadcast(rates), df[strat] == rates["__s"], "left")
+        keep = hash_bucket(
+            F.col(id_col), 100, str(op.get("salt", "mix"))
+        ) < F.coalesce(F.col("__rate"), F.lit(100.0))
+        return out.where(keep).drop("__s", "__rate")
     if t == "pii_redact":
         from pyspark.sql import functions as F
 
@@ -1078,5 +1173,16 @@ def run_streaming_pipeline(
     q.awaitTermination(timeout_seconds)
     summary["stream_stopped"] = not q.isActive
     if q.isActive:
+        # availableNow did not drain within the budget: the stop lands
+        # mid-ingest, so the run is PARTIAL. Flag it loudly — automation
+        # reading only the exit code must not mistake this for success.
+        import sys as _sys
+
         q.stop()
+        summary["timed_out"] = True
+        print(
+            f"WARNING: streaming pipeline did not complete within "
+            f"{timeout_seconds}s; stopped mid-ingest (partial state)",
+            file=_sys.stderr,
+        )
     return summary

@@ -376,3 +376,43 @@ def test_cli_streaming_exact_dedup(spark, tmp_path):
     kept = spark.read.parquet(str(tmp_path / "kept"))
     assert kept.count() == 3
     assert sorted(r["text"] for r in kept.collect()) == ["aaa", "bbb", "ccc"]
+
+
+def test_cli_streaming_timeout_exits_nonzero(spark, tmp_path, capsys):
+    """A timed-out availableNow run is stopped MID-INGEST: the CLI must
+    exit nonzero (2) and warn on stderr, not silently report success
+    with stream_stopped:false buried in the summary JSON."""
+    import json as _json
+
+    import yaml as _yaml
+
+    from etl_poc_spark.cli import main
+
+    land = tmp_path / "in"
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    docs.repartition(3).write.mode("overwrite").parquet(str(land))
+    cfg = {
+        "streaming": {
+            "source": {"path": str(land), "format": "parquet"},
+            "op": "exact_dedup",
+            "keys": ["text"],
+            "id": "doc_id",
+            "store_dir": str(tmp_path / "store"),
+            "kept_dir": str(tmp_path / "kept"),
+            "checkpoint_dir": str(tmp_path / "ck"),
+        }
+    }
+    p = tmp_path / "t.yaml"
+    p.write_text(_yaml.safe_dump(cfg))
+    summary_path = tmp_path / "summary.json"
+    # 1ms timeout: awaitTermination returns with the query still active
+    # (streaming startup alone takes far longer than this)
+    rc = main(["--config", str(p), "--summary", str(summary_path),
+               "--timeout", "0.001"])
+    assert rc == 2
+    assert "did not complete" in capsys.readouterr().err
+    summary = _json.loads(summary_path.read_text())
+    assert summary["streaming"]["timed_out"] is True
+    assert summary["streaming"]["stream_stopped"] is False

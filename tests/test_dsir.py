@@ -102,6 +102,21 @@ def test_gumbel_sample_deterministic_and_weight_shifted(spark, sf_dir):
     w.unpersist()
 
 
+def test_gumbel_key_never_null_over_full_corpus(spark, sf_dir):
+    # The uniform draw uses 13 hex digits (52 bits, EXACT in a double) /
+    # (2^52 + 2): u stays strictly inside (0,1) after the float cast, so
+    # -ln(-ln u) is always finite.  A 60-bit draw could round to exactly
+    # 1.0 and NULL the key, silently dropping that doc from the sample.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = dsir_log_weights(docs, docs.where(F.col("lang") == "en"))
+    n = w.count()
+    picked = dsir_resample(w, n)
+    assert picked.where(
+        F.col("gumbel_key").isNull() | F.isnan("gumbel_key")
+    ).count() == 0
+    assert picked.count() == n
+
+
 def test_resample_is_topk_not_global_sort(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = dsir_log_weights(docs, docs.where(F.col("lang") == "en"))

@@ -1502,3 +1502,30 @@ def test_semdedup_two_level_assignment_matches_flat_flags(spark, sf_dir):
         assign="two_level", keep="centroid",
     )
     assert {r["vec_id"]: r["is_dropped"] for r in out.collect()} == two
+
+
+def test_two_level_empty_probed_super_falls_back_to_global_argmax(
+    spark, monkeypatch
+):
+    """An empty super-cluster keeps a stale direction and can still win
+    the probe argsort; a vector whose probed supers are ALL empty must
+    fall back to the flat global argmax, never be silently assigned
+    cluster -1 / cent_sim -inf."""
+    import numpy as np
+
+    from etl_poc_spark.operators import similarity as S
+
+    # Super 1 is EMPTY but its stale direction is exactly +x, so a +x
+    # query with probe_superclusters=1 probes ONLY the empty super.
+    sup = np.array([[0.0, 1.0], [1.0, 0.0]])
+    members = [np.array([0, 1], dtype=np.int64), np.array([], dtype=np.int64)]
+    monkeypatch.setattr(
+        S, "_super_quantize", lambda c, k1, n_iters=5: (sup, members)
+    )
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, vec array<double>")
+    [row] = S._assign_centroid_two_level(
+        df, [[0.6, 0.8], [0.0, 1.0]], "id", "vec",
+        probe_superclusters=1, with_sim=True,
+    ).collect()
+    assert row["cluster"] == 0  # global fallback picks the true nearest
+    assert abs(row["cent_sim"] - 0.6) < 1e-6

@@ -265,6 +265,111 @@ def test_yaml_curation_vocabulary(spark):
     assert "[EMAIL]" in rows[5] and "bob@example.com" not in rows[5]
 
 
+def test_yaml_temperature_mix_rates(spark):
+    """temperature_mix: keep-rate ∝ n^(tau-1) normalized to the most-
+    boosted stratum — at tau=0.5 the smallest source keeps 100% and a
+    20x-bigger source keeps ~sqrt(1/20), so realized mass follows
+    n^tau. Deterministic across runs (md5 hash_bucket decision)."""
+    from etl_poc_spark.plans.yaml_pipeline import _apply_op
+    from etl_poc_spark.llm.provider import StubProvider
+
+    docs = spark.createDataFrame(
+        [(i, "small", 1) for i in range(20)]
+        + [(100 + i, "big", 1) for i in range(400)],
+        "doc_id long, source string, w long",
+    )
+    op = {
+        "name": "mix",
+        "type": "temperature_mix",
+        "stratify_key": "source",
+        "weight_key": "w",
+        "tau": 0.5,
+    }
+    out = _apply_op(docs, op, StubProvider())
+    kept = {r["doc_id"] for r in out.collect()}
+    small = {i for i in kept if i < 100}
+    big = kept - small
+    assert len(small) == 20                      # most-boosted: keep all
+    assert 40 <= len(big) <= 160                 # ~22.4% of 400, hash noise
+    kept2 = {r["doc_id"] for r in _apply_op(docs, op, StubProvider()).collect()}
+    assert kept2 == kept                         # pure function of (ids, salt)
+    # tau=1 is proportional sampling: nothing is dropped
+    out_t1 = _apply_op(docs, {**op, "tau": 1.0}, StubProvider())
+    assert out_t1.count() == 420
+
+
+def test_yaml_selection_pipeline_e2e(spark, sf_dir):
+    """The round-12 selection vocabulary composes declaratively:
+    quality_filter -> exact_dedup -> dsir_select(k) -> temperature_mix.
+    DSIR shifts the kept set toward the target language; the mix stage
+    subsamples it deterministically."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    config = {
+        "default_model": "stub",
+        "datasets": {"docs": {"path": "injected.json"}},
+        "operations": [
+            {"name": "quality", "type": "quality_filter"},
+            {"name": "exact", "type": "exact_dedup", "keys": ["text"], "id": "doc_id"},
+            {
+                "name": "select",
+                "type": "dsir_select",
+                "target_where": "lang = 'en'",
+                "k": 40,
+                "n_buckets": 1024,
+            },
+            {
+                "name": "mix",
+                "type": "temperature_mix",
+                "stratify_key": "source",
+                "tau": 0.5,
+            },
+        ],
+        "pipeline": {
+            "steps": [
+                {
+                    "name": "curate",
+                    "input": "docs",
+                    "operations": ["quality", "exact", "select", "mix"],
+                }
+            ]
+        },
+    }
+    out = run_pipeline(spark, config, datasets={"docs": docs})["__final__"]
+    rows = out.collect()
+    assert 0 < len(rows) <= 40
+    assert set(out.columns) == set(docs.columns)  # selection never mutates rows
+    # DSIR pulled toward the target: en share of the 40 selected docs
+    # beats the corpus baseline by a wide margin
+    en_base = docs.where(F.col("lang") == "en").count() / docs.count()
+    en_sel = sum(r["lang"] == "en" for r in rows) / len(rows)
+    assert en_sel > en_base + 0.15
+    # deterministic end to end
+    rows2 = run_pipeline(spark, config, datasets={"docs": docs})["__final__"].collect()
+    assert {r["doc_id"] for r in rows2} == {r["doc_id"] for r in rows}
+    # attach mode: k omitted -> weights ride along as columns
+    cfg2 = {
+        **config,
+        "operations": [
+            {
+                "name": "select",
+                "type": "dsir_select",
+                "target_where": "lang = 'en'",
+                "n_buckets": 1024,
+            }
+        ],
+        "pipeline": {
+            "steps": [{"name": "s", "input": "docs", "operations": ["select"]}]
+        },
+    }
+    w = run_pipeline(spark, cfg2, datasets={"docs": docs})["__final__"]
+    assert "log_weight" in w.columns and "n_features" in w.columns
+    assert w.count() == docs.count()
+
+
 def test_yaml_funnel_and_debounce_ops(spark):
     """The analytics operators drive from config: debounce strips the
     burst duplicate, then the funnel computes per-entity step times and
