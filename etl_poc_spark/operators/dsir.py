@@ -60,9 +60,21 @@ def hashed_feature_counts(
     The (doc, bucket) rollup happens BEFORE any exchange (map-side
     combine on the explode output), so the shuffle payload per document
     is bounded by min(2·len, n_buckets) rows, not token count."""
-    words = docs.select(F.col(id_col), words_col(text_col).alias("words"))
-    feats = words.select(
-        F.col(id_col),
+    feats = _features_frame(docs, [F.col(id_col)], text_col)
+    return (
+        feats.select(F.col(id_col), _bucket(F.col("f"), n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _features_frame(docs: DataFrame, keep_cols: list, text_col: str) -> DataFrame:
+    """Exploded (*keep_cols, f) frame of unigram + bigram features — the
+    shared extractor under both per-document counting and the store's
+    corpus-histogram deltas."""
+    words = docs.select(*keep_cols, words_col(text_col).alias("words"))
+    return words.select(
+        *keep_cols,
         F.explode(
             F.concat(
                 F.col("words"),
@@ -76,11 +88,6 @@ def hashed_feature_counts(
                 ),
             )
         ).alias("f"),
-    )
-    return (
-        feats.select(F.col(id_col), _bucket(F.col("f"), n_buckets).alias("bucket"))
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -140,9 +147,23 @@ def dsir_log_weights(
     tgt_f = hashed_feature_counts(
         target_docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
     )
+    return _score_against_model(raw_f, _model_frame(raw_f, tgt_f), id_col, n_buckets)
+
+
+def _score_against_model(
+    feats: DataFrame, model: DataFrame, id_col: str, n_buckets: int
+) -> DataFrame:
+    """Score (id, bucket, cnt) document partials against a model frame
+    (bucket, c_raw, c_tgt, t_raw, t_tgt): one broadcast join, then the
+    bucket-sorted left-to-right fold (partition-independent doubles).
+    The model must COVER every bucket the feats can produce: batch-mode
+    models cover all buckets present in raw (scored docs ⊆ raw corpus);
+    store-backed models are completed over the full [0, n_buckets)
+    domain (see read_dsir_model) so NEW docs always land — the count
+    coalesces then realize add-1 smoothing for unseen features."""
     nb = float(n_buckets)
     scored = (
-        raw_f.join(F.broadcast(_model_frame(raw_f, tgt_f)), "bucket")
+        feats.join(F.broadcast(model), "bucket")
         .select(
             F.col(id_col),
             "bucket",
@@ -157,7 +178,9 @@ def dsir_log_weights(
                         / (F.col("t_tgt") + F.lit(nb)).cast("double")
                     )
                     - F.log(
-                        (F.col("c_raw") + F.lit(1)).cast("double")
+                        (F.coalesce(F.col("c_raw"), F.lit(0)) + F.lit(1)).cast(
+                            "double"
+                        )
                         / (F.col("t_raw") + F.lit(nb)).cast("double")
                     )
                 )
@@ -279,3 +302,192 @@ def dsir_resample(
         .orderBy(F.desc("gumbel_key"), id_col)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental / streaming model maintenance (the ngram_lm store discipline:
+# append-only tag-slotted delta logs, replay-idempotent, crash-healable)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_batch_deltas(batch: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
+    """Per-batch corpus-level bucket histogram (bucket, n) — the delta a
+    batch contributes to a DSIR model. Map-side combined before the one
+    ≤ n_buckets-row shuffle."""
+    feats = _features_frame(batch, [], text_col)
+    return (
+        feats.select(_bucket(F.col("f"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def incremental_dsir_ingest(
+    spark,
+    batch: DataFrame,
+    store_dir: str,
+    *,
+    role: str = "raw",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    batch_tag: str | None = None,
+) -> None:
+    """Fold `batch` into the DSIR model store at `store_dir` under
+    `role` ('raw' or 'target' — the two sides of the likelihood ratio;
+    each is an independent append-only delta log).
+
+    Idempotency: a stable `batch_tag` slots the delta under tag=<tag>
+    with overwrite semantics, so an at-least-once replay replaces its
+    own delta instead of double-counting (the streaming twin passes the
+    micro-batch id). After any sequence of ingests, read_dsir_store
+    equals the one-shot histogram over the union of every batch —
+    exact integers, bit-equal under any batch slicing."""
+    from etl_poc_spark.operators.ngram_lm import _safe_tag
+
+    deltas = _dsir_batch_deltas(batch, text_col, n_buckets)
+    sub = f"{store_dir}/{role}"
+    if batch_tag is not None:
+        deltas.write.mode("overwrite").parquet(f"{sub}/tag={_safe_tag(batch_tag)}")
+    else:
+        deltas.write.mode("append").parquet(sub)
+
+
+def dsir_store_exists(spark, store_dir: str, role: str = "raw") -> bool:
+    """Hadoop-FS existence probe for a role's delta log (portable to
+    HDFS/S3 URIs; no exception-message string matching)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{store_dir}/{role}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def read_dsir_store(
+    spark, store_dir: str, role: str, *, exclude_tag: str | None = None
+) -> DataFrame:
+    """Fold a role's delta log to its current histogram (bucket, c) —
+    ≤ n_buckets rows. `exclude_tag` drops that batch's slot from the
+    fold (the replay seam: a replayed tagged batch reads the store as it
+    stood before its own crashed attempt)."""
+    from etl_poc_spark.operators.ngram_lm import _safe_tag
+
+    df = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{store_dir}/{role}"
+    )
+    if exclude_tag is not None:
+        df = df.where(
+            ~F.input_file_name().contains(f"tag={_safe_tag(exclude_tag)}/")
+        )
+    return df.groupBy("bucket").agg(F.sum("n").alias("c"))
+
+
+def read_dsir_model(
+    spark,
+    store_dir: str,
+    *,
+    n_buckets: int = DEFAULT_BUCKETS,
+    exclude_tag: str | None = None,
+) -> DataFrame:
+    """The store's current model frame, COMPLETE over the full
+    [0, n_buckets) bucket domain (a spark.range scaffold — so scoring
+    NEW documents never drops an unseen bucket; c=0 rows realize add-1
+    smoothing). Same (bucket, c_raw, c_tgt, t_raw, t_tgt) shape
+    _model_frame builds in batch mode; ≤ n_buckets rows, broadcastable."""
+    raw_h = read_dsir_store(spark, store_dir, "raw", exclude_tag=exclude_tag)
+    tgt_h = read_dsir_store(spark, store_dir, "target", exclude_tag=exclude_tag)
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        spark.range(n_buckets)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(raw_h.withColumnRenamed("c", "c_raw"), "bucket", "left")
+        .join(tgt_h.withColumnRenamed("c", "c_tgt"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+        )
+        .withColumn("t_raw", F.sum("c_raw").over(w))
+        .withColumn("t_tgt", F.sum("c_tgt").over(w))
+    )
+
+
+def score_dsir_store(
+    spark,
+    docs: DataFrame,
+    store_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    exclude_tag: str | None = None,
+) -> DataFrame:
+    """Score documents against the PERSISTED models: same output shape
+    and bit-identical doubles as dsir_log_weights whenever the store
+    holds the same two corpora (the fold is bucket-sorted either way).
+    Scoring stays a batch concern — the store only maintains counts,
+    exactly the ngram_lm split."""
+    feats = hashed_feature_counts(
+        docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    model = read_dsir_model(
+        spark, store_dir, n_buckets=n_buckets, exclude_tag=exclude_tag
+    )
+    return _score_against_model(feats, model, id_col, n_buckets)
+
+
+def dsir_handle_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    role: str = "raw",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """One micro-batch of streaming_dsir_ingest, module-level so the
+    replay contract is directly testable: same batch_id twice ==
+    once (the tag slot overwrites)."""
+    incremental_dsir_ingest(
+        batch_df.sparkSession,
+        batch_df,
+        store_dir,
+        role=role,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        batch_tag=f"{role}-b{batch_id}",
+    )
+
+
+def streaming_dsir_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    role: str = "raw",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+):
+    """Continuous DSIR model maintenance: each micro-batch folds its
+    bucket histogram into the shared store exactly-once (batch id = tag
+    slot). Returns a configured DataStreamWriter — call
+    .trigger(...).start(). Read the live model any time with
+    read_dsir_model; score with score_dsir_store."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        dsir_handle_batch(
+            batch_df,
+            batch_id,
+            store_dir=store_dir,
+            role=role,
+            text_col=text_col,
+            n_buckets=n_buckets,
+        )
+
+    return stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)

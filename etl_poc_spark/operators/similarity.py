@@ -878,6 +878,7 @@ def semdedup(
     keep: str = "min_id",
     verify: str = "exact",
     assign: str = "flat",
+    probe_superclusters: int = 4,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): assign each vector to its nearest
     trained centroid, compute exact cosine ONLY within clusters, and for
@@ -915,7 +916,8 @@ def semdedup(
         # phase (SCALING.md r11); near-dup pairs follow the same probe
         # path so flags stay pair-consistent (pytest-pinned vs flat)
         assigned = _assign_centroid_two_level(
-            corpus, centroids, id_col, vec_col, with_sim=with_sim
+            corpus, centroids, id_col, vec_col,
+            probe_superclusters=probe_superclusters, with_sim=with_sim,
         )
     else:
         assigned = _assign_centroid(

@@ -47,7 +47,8 @@ docetl/config/article_pipeline.yaml.j2):
 A config may instead declare a `streaming:` block (round 11) to run one
 of the continuous operators over a landing-zone source — see
 run_streaming_pipeline for the shape (ops: exact_dedup, lm_counts,
-lm_perplexity_monitor incl. the held-out `reference:` mode).
+lm_perplexity_monitor incl. the held-out `reference:` mode, and
+dsir_counts for continuous DSIR model maintenance).
 
 Static validation mirrors the reference's DocETLOperator checks
 (airflow/plugins/docetl_operator.py:126-158): default_model present,
@@ -1089,11 +1090,12 @@ def run_streaming_pipeline(
     Block shape:
         streaming:
           source: {path, format: parquet|jsonl_tail, ddl?, max_files_per_trigger?}
-          op: exact_dedup | lm_counts | lm_perplexity_monitor
+          op: exact_dedup | lm_counts | lm_perplexity_monitor | dsir_counts
           store_dir: ...          # op state store
           checkpoint_dir: ...
           # exact_dedup: keys: [col,...], id: doc_id, kept_dir: ...
           # lm_counts / lm_perplexity_monitor: text_key: text
+          # dsir_counts: role: raw|target, text_key, n_buckets
           # lm_perplexity_monitor: monitor_dir, id: doc_id, k: 1.0,
           #   reference: {path, format?, text_key?}  -> held-out mode:
           #   the reference corpus seeds the store ONCE (tag=reference)
@@ -1133,6 +1135,27 @@ def run_streaming_pipeline(
             spec["checkpoint_dir"],
             text_col=spec.get("text_key", "text"),
         )
+    elif op == "dsir_counts":
+        # continuous DSIR model maintenance (operators/dsir.py): fold each
+        # micro-batch's bucket histogram into the store under `role`
+        # (raw|target); batch scoring reads it via score_dsir_store
+        from etl_poc_spark.operators.dsir import (
+            DEFAULT_BUCKETS,
+            streaming_dsir_ingest,
+        )
+
+        role = spec.get("role", "raw")
+        if role not in ("raw", "target"):
+            raise PipelineConfigError("dsir_counts: role must be raw|target")
+        writer = streaming_dsir_ingest(
+            stream,
+            spec["store_dir"],
+            spec["checkpoint_dir"],
+            role=role,
+            text_col=spec.get("text_key", "text"),
+            n_buckets=int(spec.get("n_buckets", DEFAULT_BUCKETS)),
+        )
+        summary["role"] = role
     elif op == "lm_perplexity_monitor":
         from etl_poc_spark.operators.ngram_lm import (
             incremental_bigram_lm_ingest,

@@ -416,3 +416,45 @@ def test_cli_streaming_timeout_exits_nonzero(spark, tmp_path, capsys):
     summary = _json.loads(summary_path.read_text())
     assert summary["streaming"]["timed_out"] is True
     assert summary["streaming"]["stream_stopped"] is False
+
+
+def test_cli_streaming_dsir_counts(spark, tmp_path):
+    """Config-declared continuous DSIR model maintenance: the streaming
+    block folds a landing dir into the raw model store; the folded
+    histogram equals a one-shot batch ingest of the same rows."""
+    import yaml as _yaml
+
+    from etl_poc_spark.cli import main
+    from etl_poc_spark.operators.dsir import (
+        incremental_dsir_ingest,
+        read_dsir_store,
+    )
+
+    land = tmp_path / "in"
+    docs = spark.createDataFrame(
+        [(i, f"stream doc {i} the cat sat") for i in range(6)],
+        "doc_id long, text string",
+    )
+    docs.repartition(2).write.mode("overwrite").parquet(str(land))
+    cfg = {
+        "streaming": {
+            "source": {"path": str(land), "format": "parquet",
+                       "max_files_per_trigger": 1},
+            "op": "dsir_counts",
+            "role": "raw",
+            "n_buckets": 64,
+            "store_dir": str(tmp_path / "store"),
+            "checkpoint_dir": str(tmp_path / "ck"),
+        }
+    }
+    p = tmp_path / "dsir.yaml"
+    p.write_text(_yaml.safe_dump(cfg))
+    assert main(["--config", str(p)]) == 0
+
+    seq = str(tmp_path / "seq")
+    incremental_dsir_ingest(
+        spark, spark.read.parquet(str(land)), seq, role="raw", n_buckets=64
+    )
+    got = sorted(map(tuple, read_dsir_store(spark, str(tmp_path / "store"), "raw").collect()))
+    want = sorted(map(tuple, read_dsir_store(spark, seq, "raw").collect()))
+    assert got == want

@@ -122,3 +122,120 @@ def test_resample_is_topk_not_global_sort(spark, sf_dir):
     w = dsir_log_weights(docs, docs.where(F.col("lang") == "en"))
     plan = dsir_resample(w, 10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_dsir_store_folds_bit_equal(spark, tmp_path):
+    """DSIR model store (the ngram_lm delta-log discipline): after
+    ingesting the raw corpus in batches (one tagged, replayed twice) and
+    the target corpus, scoring through the store yields BIT-IDENTICAL
+    doubles to the one-shot dsir_log_weights over the unions — exact
+    integer counts regardless of batch slicing, then the same
+    bucket-sorted fold."""
+    from etl_poc_spark.operators.dsir import (
+        dsir_handle_batch,
+        incremental_dsir_ingest,
+        score_dsir_store,
+    )
+
+    store = str(tmp_path / "dsir_store")
+    b1 = _docs(spark, [(1, "the cat sat on the mat"), (2, "le chat noir")])
+    b2 = _docs(spark, [(3, "the dog sat on the rug"), (4, "der hund lief")])
+    tgt = _docs(spark, [(1, "the cat sat on the mat"), (3, "the dog sat on the rug")])
+
+    B = 64
+    incremental_dsir_ingest(spark, b1, store, role="raw", n_buckets=B)
+    # tagged batch replayed twice: the slot overwrite must not double-count
+    dsir_handle_batch(b2, 7, store_dir=store, role="raw", n_buckets=B)
+    dsir_handle_batch(b2, 7, store_dir=store, role="raw", n_buckets=B)
+    incremental_dsir_ingest(spark, tgt, store, role="target", n_buckets=B)
+
+    union = b1.unionByName(b2)
+    want = sorted(map(tuple, dsir_log_weights(union, tgt, n_buckets=B).collect()))
+    got = sorted(
+        map(tuple, score_dsir_store(spark, union, store, n_buckets=B).collect())
+    )
+    assert got == want  # bit-identical doubles, not approx
+
+    # the store's raison d'etre: score NEW docs, including unseen
+    # features — every doc scores finitely (add-1 smoothing), nothing
+    # silently drops from the inner model join
+    probe = _docs(
+        spark,
+        [(8, "totally unseen words here"), (9, "le chat noir"), (10, "the cat sat")],
+    )
+    rows = {
+        r["doc_id"]: r["log_weight"]
+        for r in score_dsir_store(spark, probe, store, n_buckets=B).collect()
+    }
+    assert set(rows) == {8, 9, 10}
+    assert all(v is not None and math.isfinite(v) for v in rows.values())
+    # target-corpus features outscore raw-only features
+    assert rows[10] > rows[9]
+
+
+def test_dsir_store_exclude_tag_restores_pre_batch_view(spark, tmp_path):
+    """The replay seam: exclude_tag drops exactly one batch's slot, so a
+    replayed batch can score against the store as it stood before its
+    own crashed attempt folded in."""
+    from etl_poc_spark.operators.dsir import (
+        incremental_dsir_ingest,
+        read_dsir_store,
+    )
+
+    store = str(tmp_path / "s")
+    B = 32
+    b1 = _docs(spark, [(1, "alpha beta gamma")])
+    b2 = _docs(spark, [(2, "delta epsilon zeta")])
+    incremental_dsir_ingest(spark, b1, store, role="raw", n_buckets=B, batch_tag="a")
+    after_b1 = sorted(map(tuple, read_dsir_store(spark, store, "raw").collect()))
+    incremental_dsir_ingest(spark, b2, store, role="raw", n_buckets=B, batch_tag="b")
+    rolled_back = sorted(
+        map(tuple, read_dsir_store(spark, store, "raw", exclude_tag="b").collect())
+    )
+    assert rolled_back == after_b1
+    full = sorted(map(tuple, read_dsir_store(spark, store, "raw").collect()))
+    assert full != after_b1
+
+
+def test_streaming_dsir_ingest_matches_sequential(spark, tmp_path):
+    """Structured-Streaming twin: availableNow micro-batches over a
+    landing dir fold to the SAME model as sequential incremental
+    ingests of the same rows."""
+    from etl_poc_spark.operators.dsir import (
+        incremental_dsir_ingest,
+        read_dsir_store,
+        streaming_dsir_ingest,
+    )
+
+    land = tmp_path / "land"
+    docs = _docs(
+        spark,
+        [(i, f"doc number {i} says the cat sat {i % 3} times") for i in range(12)],
+    )
+    docs.repartition(3).write.mode("overwrite").parquet(str(land))
+
+    B = 64
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = (
+        streaming_dsir_ingest(
+            stream, str(tmp_path / "stream_store"), str(tmp_path / "ck"),
+            role="raw", n_buckets=B,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    seq_store = str(tmp_path / "seq_store")
+    incremental_dsir_ingest(
+        spark, spark.read.parquet(str(land)), seq_store, role="raw", n_buckets=B
+    )
+    got = sorted(
+        map(tuple, read_dsir_store(spark, str(tmp_path / "stream_store"), "raw").collect())
+    )
+    want = sorted(map(tuple, read_dsir_store(spark, seq_store, "raw").collect()))
+    assert got == want

@@ -119,14 +119,23 @@ def load_pins() -> dict:
     shuffle.partitions=7, AQE off) — so a value drift is a real
     regression, not partitioning noise. Upgrades the rows-only gate
     class to pinned-exact."""
+    import glob
     import json
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pinned_expected.json")
-    try:
-        with open(path) as fh:
-            return json.load(fh)
-    except OSError:
-        return {}
+    tools_dir = os.path.dirname(os.path.abspath(__file__))
+    merged: dict = {}
+    # merge every pin file (pinned_expected.json = sf0.001/sf0.01;
+    # pinned_expected_sf1.json = the sf1 smoke build, etc.) — entries are
+    # keyed {query: {sf_tag: ...}} so scales never collide
+    for path in sorted(glob.glob(os.path.join(tools_dir, "pinned_expected*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except OSError:
+            continue
+        for name, by_sf in data.items():
+            merged.setdefault(name, {}).update(by_sf)
+    return merged
 
 
 def main() -> int:

@@ -10,6 +10,10 @@ mismatch in the gate is a real regression, never partitioning noise.
 Usage:
     python tools/gen_pins.py            # verify-and-write
     python tools/gen_pins.py --verify   # re-check current pins only
+    python tools/gen_pins.py --sf-dir /tmp/sf1-smoke --out tools/pinned_expected_sf1.json
+        # pin the same candidates at another scale (e.g. the sf1 smoke
+        # build) into a SEPARATE file — check_oracle merges every
+        # tools/pinned_expected*.json, keyed by sf-dir basename
 """
 
 from __future__ import annotations
@@ -77,7 +81,7 @@ print("PINJSON:" + json.dumps(out, sort_keys=True))
 """
 
 
-def _run(master: str, conf: list[tuple[str, str]]) -> dict:
+def _run(master: str, conf: list[tuple[str, str]], sf_dirs: list[str]) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = _CHILD % {
         "repo": repo,
@@ -85,7 +89,7 @@ def _run(master: str, conf: list[tuple[str, str]]) -> dict:
         "master": master,
         "conf": conf,
         "names": CANDIDATES,
-        "sf_dirs": SF_DIRS,
+        "sf_dirs": sf_dirs,
     }
     res = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
@@ -97,24 +101,40 @@ def _run(master: str, conf: list[tuple[str, str]]) -> dict:
 
 
 def main() -> int:
-    normal = _run("local[32]", [("spark.sql.shuffle.partitions", "32")])
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--verify", action="store_true")
+    ap.add_argument(
+        "--sf-dir", action="append", default=None,
+        help="override the pinned scales (repeatable); default sf0.001+sf0.01",
+    )
+    ap.add_argument(
+        "--out", default=PIN_PATH,
+        help="pin file to write (check_oracle merges tools/pinned_expected*.json)",
+    )
+    args = ap.parse_args()
+    sf_dirs = args.sf_dir or SF_DIRS
+
+    normal = _run("local[32]", [("spark.sql.shuffle.partitions", "32")], sf_dirs)
     advers = _run(
         "local[3]",
         [("spark.sql.shuffle.partitions", "7"), ("spark.sql.adaptive.enabled", "false")],
+        sf_dirs,
     )
     stable = {n: v for n, v in normal.items() if advers.get(n) == v}
     unstable = sorted(set(normal) - set(stable))
     for n in unstable:
         print(f"UNSTABLE (not pinned): {n}")
-    if "--verify" in sys.argv:
-        current = json.load(open(PIN_PATH))
+    if args.verify:
+        current = json.load(open(args.out))
         ok = current == stable
         print("pins", "match" if ok else "DIFFER from", "a fresh stable run")
         return 0 if ok else 1
-    with open(PIN_PATH, "w") as fh:
+    with open(args.out, "w") as fh:
         json.dump(stable, fh, indent=0, sort_keys=True)
         fh.write("\n")
-    print(f"pinned {len(stable)} queries x {len(SF_DIRS)} sfs -> {PIN_PATH}")
+    print(f"pinned {len(stable)} queries x {len(sf_dirs)} sfs -> {args.out}")
     return 0
 
 

@@ -40,6 +40,13 @@ SMOKE_QUERIES = [
     "duplicate_span_coverage",
     "events_sessionize",
     "events_asof_click_view",
+    # r12: DSIR selection tier — the n-gram explode is corpus-cardinality
+    # (docstring claims map-side combine bounds the wire at
+    # min(2*len, n_buckets) rows/doc); these measure it plus the
+    # <=n_buckets model broadcast and the one doc_id fold shuffle
+    "doc_dsir_log_weights",
+    "doc_dsir_target_affinity",
+    "dsir_gumbel_sample",
 ]
 
 # per-table key columns to offset per copy so the scaled table has
