@@ -488,6 +488,117 @@ def streaming_dsir_ingest(
     )
 
 
+def dsir_monitor_handle_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    monitor_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    fold: bool = True,
+) -> None:
+    """One micro-batch of streaming_dsir_monitor: score the batch's DSIR
+    log weights against the PRE-BATCH raw model (target model is the
+    pre-seeded reference — it never folds), write a 1-row drift record,
+    then fold the batch into the raw model. The perplexity-monitor
+    recovery contract verbatim: both sinks are batch_id-slotted with
+    overwrite, the store read EXCLUDES the batch's own tag slot, so
+    every replay point (post-monitor/pre-fold, mid-fold, post-fold
+    pre-checkpoint) converges to single-delivery state.
+
+    Drift reading: mean_log_weight RISING means incoming data looks
+    more like the target corpus than the accumulated raw stream did;
+    falling means the stream is drifting off-target.
+    share_target_leaning is the integer fraction of docs with positive
+    weight. Stats are decimal-accumulated means of per-doc fixed-order
+    folds — partition-independent. The first batch (or its replay) has
+    no prior raw model and records n_scored=0."""
+    spark = batch_df.sparkSession
+    tag = f"raw-b{int(batch_id)}"
+    prior_total = 0
+    if dsir_store_exists(spark, store_dir, "raw"):
+        raw_h = read_dsir_store(spark, store_dir, "raw", exclude_tag=tag)
+        row = raw_h.agg(F.sum("c").alias("t")).first()
+        prior_total = (row["t"] if row else 0) or 0
+    if prior_total > 0:
+        scored = score_dsir_store(
+            spark,
+            batch_df,
+            store_dir,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            exclude_tag=tag,
+        )
+        stats = scored.agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.avg(F.col("log_weight").cast("decimal(28,16)"))
+            .cast("double")
+            .alias("mean_log_weight"),
+            (
+                F.sum(F.when(F.col("log_weight") > 0, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("share_target_leaning"),
+        )
+    else:  # first batch (or its replay): no pre-batch raw model
+        stats = spark.createDataFrame(
+            [(0, None, None)],
+            "n_scored long, mean_log_weight double, share_target_leaning double",
+        )
+    (
+        stats.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .parquet(f"{monitor_dir}/batch_id={int(batch_id)}")
+    )
+    if fold:
+        dsir_handle_batch(
+            batch_df,
+            batch_id,
+            store_dir=store_dir,
+            role="raw",
+            text_col=text_col,
+            n_buckets=n_buckets,
+        )
+
+
+def streaming_dsir_monitor(
+    stream: DataFrame,
+    store_dir: str,
+    monitor_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    fold: bool = True,
+):
+    """Target-affinity drift monitor for a document stream: every
+    micro-batch is scored against the target reference model (seed the
+    'target' role ONCE with incremental_dsir_ingest(batch_tag=
+    'reference') before starting) relative to the raw model of
+    everything that came before, then folded into the raw model.
+    Returns a configured DataStreamWriter; read the drift series with
+    spark.read.parquet(monitor_dir)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        dsir_monitor_handle_batch(
+            batch_df,
+            batch_id,
+            store_dir=store_dir,
+            monitor_dir=monitor_dir,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            fold=fold,
+        )
+
+    return stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
 from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
 
 _rbv(__name__)

@@ -1090,12 +1090,14 @@ def run_streaming_pipeline(
     Block shape:
         streaming:
           source: {path, format: parquet|jsonl_tail, ddl?, max_files_per_trigger?}
-          op: exact_dedup | lm_counts | lm_perplexity_monitor | dsir_counts
+          op: exact_dedup | lm_counts | lm_perplexity_monitor | dsir_counts | dsir_monitor
           store_dir: ...          # op state store
           checkpoint_dir: ...
           # exact_dedup: keys: [col,...], id: doc_id, kept_dir: ...
           # lm_counts / lm_perplexity_monitor: text_key: text
           # dsir_counts: role: raw|target, text_key, n_buckets
+          # dsir_monitor: monitor_dir, target: {path, format?, text_key?},
+          #   id, text_key, n_buckets -> score-then-fold drift series
           # lm_perplexity_monitor: monitor_dir, id: doc_id, k: 1.0,
           #   reference: {path, format?, text_key?}  -> held-out mode:
           #   the reference corpus seeds the store ONCE (tag=reference)
@@ -1156,6 +1158,47 @@ def run_streaming_pipeline(
             n_buckets=int(spec.get("n_buckets", DEFAULT_BUCKETS)),
         )
         summary["role"] = role
+    elif op == "dsir_monitor":
+        # target-affinity drift monitor: `target:` seeds the reference
+        # model once (tag=reference — idempotent overwrite slot, the
+        # lm_perplexity_monitor held-out discipline), then each batch
+        # scores against it relative to the accumulated raw model and
+        # folds into raw
+        from etl_poc_spark.operators.dsir import (
+            DEFAULT_BUCKETS,
+            incremental_dsir_ingest,
+            streaming_dsir_monitor,
+        )
+
+        if "monitor_dir" not in spec:
+            raise PipelineConfigError("dsir_monitor requires 'monitor_dir'")
+        if "target" not in spec:
+            raise PipelineConfigError(
+                "dsir_monitor requires 'target' (the reference corpus dataset)"
+            )
+        nb = int(spec.get("n_buckets", DEFAULT_BUCKETS))
+        tgt_spec = spec["target"]
+        tgtdf = _load_dataset(spark, tgt_spec)
+        incremental_dsir_ingest(
+            spark,
+            tgtdf,
+            spec["store_dir"],
+            role="target",
+            text_col=tgt_spec.get("text_key", spec.get("text_key", "text")),
+            n_buckets=nb,
+            batch_tag="reference",
+        )
+        summary["target_rows"] = tgtdf.count()
+        writer = streaming_dsir_monitor(
+            stream,
+            spec["store_dir"],
+            spec["monitor_dir"],
+            spec["checkpoint_dir"],
+            id_col=spec.get("id", "doc_id"),
+            text_col=spec.get("text_key", "text"),
+            n_buckets=nb,
+        )
+        summary["monitor_dir"] = spec["monitor_dir"]
     elif op == "lm_perplexity_monitor":
         from etl_poc_spark.operators.ngram_lm import (
             incremental_bigram_lm_ingest,

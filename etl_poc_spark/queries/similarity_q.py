@@ -774,3 +774,36 @@ def semdedup_flags_adaptive_two_level(spark: SparkSession, sf_dir: str) -> DataF
         verify="float",
         assign="two_level",
     )
+
+
+@query("semdedup_flags_two_level_p2")
+def semdedup_flags_two_level_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level assignment at probe width 2 (probe_superclusters=2
+    instead of the default 4) — the narrow-probe point of the r12
+    probe-width sweep (SCALING.md: decision-delta vs flat as a function
+    of w; cost ~(√k + w·√k) dots/vector, so w=2 is ~3√k). Pinned-exact
+    like its siblings: every stage is deterministic, only the probe
+    fan-out differs."""
+    from etl_poc_spark.operators.pins import pin
+    from etl_poc_spark.operators.similarity import (
+        auto_centroids,
+        semdedup,
+        train_kmeans_centroids_minibatch,
+    )
+
+    corpus = pin(_semdedup_corpus(spark, sf_dir))
+    key = _model_key(sf_dir)
+    centroids = _SEMDEDUP_PROD_MODELS.get(key)
+    if centroids is None:
+        k = auto_centroids(corpus.count(), target_cluster_size=200)
+        centroids = train_kmeans_centroids_minibatch(corpus, n_centroids=k, n_iters=4)
+        _SEMDEDUP_PROD_MODELS[key] = centroids
+    return semdedup(
+        corpus,
+        centroids,
+        threshold=0.99,
+        max_cluster_size=_SEMDEDUP_CLUSTER_CAP,
+        verify="float",
+        assign="two_level",
+        probe_superclusters=2,
+    )

@@ -458,3 +458,74 @@ def test_cli_streaming_dsir_counts(spark, tmp_path):
     got = sorted(map(tuple, read_dsir_store(spark, str(tmp_path / "store"), "raw").collect()))
     want = sorted(map(tuple, read_dsir_store(spark, seq, "raw").collect()))
     assert got == want
+
+
+def test_cli_streaming_dsir_monitor(spark, tmp_path):
+    """Config-declared DSIR drift monitor: the target dataset seeds the
+    reference model once, each micro-batch scores against it relative to
+    the accumulated raw model, then folds into raw. Batches that look
+    like the target score HIGHER than off-target batches."""
+    import yaml as _yaml
+
+    from etl_poc_spark.cli import main
+
+    land = tmp_path / "in"
+    # 3 files land in name order (maxFilesPerTrigger=1): on-target,
+    # on-target, off-target — the drift series must show the drop
+    on1 = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    on2 = spark.createDataFrame(
+        [(3, "the cat and the dog sat"), (4, "a cat sat on a rug")],
+        "doc_id long, text string",
+    )
+    off = spark.createDataFrame(
+        [(5, "zq xv qk jw vx bl kr"), (6, "qq ww ee rr tt yy uu")],
+        "doc_id long, text string",
+    )
+    land.mkdir()
+    on1.coalesce(1).write.parquet(str(land / "a"))
+    on2.coalesce(1).write.parquet(str(land / "b"))
+    off.coalesce(1).write.parquet(str(land / "c"))
+
+    tgt_path = tmp_path / "target"
+    # target corpus big enough that t_tgt exceeds the accumulated t_raw:
+    # features UNSEEN in both models then score log((t_raw+B)/(t_tgt+B))
+    # < 0, so the off-target batch lands below the on-target ones
+    spark.createDataFrame(
+        [
+            (100 + i, "the cat sat on the mat and the dog sat on the rug")
+            for i in range(10)
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(tgt_path))
+
+    cfg = {
+        "streaming": {
+            "source": {
+                "path": str(land) + "/*",
+                "format": "parquet",
+                "ddl": "doc_id long, text string",
+                "max_files_per_trigger": 1,
+            },
+            "op": "dsir_monitor",
+            "target": {"path": str(tgt_path), "format": "parquet"},
+            "store_dir": str(tmp_path / "store"),
+            "monitor_dir": str(tmp_path / "mon"),
+            "checkpoint_dir": str(tmp_path / "ck"),
+            "n_buckets": 128,
+        }
+    }
+    p = tmp_path / "mon.yaml"
+    p.write_text(_yaml.safe_dump(cfg))
+    assert main(["--config", str(p)]) == 0
+
+    mon = spark.read.parquet(str(tmp_path / "mon"))
+    recs = {r["batch_id"]: r for r in mon.collect()}
+    assert len(recs) >= 3
+    assert recs[0]["n_scored"] == 0
+    scored = [recs[b] for b in sorted(recs) if recs[b]["n_scored"] > 0]
+    assert len(scored) >= 2
+    # the off-target batch (last) scores strictly below the on-target one
+    assert scored[-1]["mean_log_weight"] < scored[0]["mean_log_weight"]

@@ -239,3 +239,50 @@ def test_streaming_dsir_ingest_matches_sequential(spark, tmp_path):
     )
     want = sorted(map(tuple, read_dsir_store(spark, seq_store, "raw").collect()))
     assert got == want
+
+
+def test_dsir_monitor_scores_prebatch_and_replay_converges(spark, tmp_path):
+    """The drift monitor scores each batch against the PRE-batch raw
+    model then folds it in; replaying a batch (at-least-once delivery)
+    leaves store AND monitor exactly as single delivery — the store read
+    excludes the batch's own tag slot."""
+    from etl_poc_spark.operators.dsir import (
+        dsir_monitor_handle_batch,
+        incremental_dsir_ingest,
+        read_dsir_store,
+    )
+
+    store = str(tmp_path / "store")
+    mon = str(tmp_path / "mon")
+    B = 64
+    tgt = _docs(spark, [(100, "the cat sat on the mat"), (101, "the dog sat")])
+    incremental_dsir_ingest(
+        spark, tgt, store, role="target", n_buckets=B, batch_tag="reference"
+    )
+
+    b0 = _docs(spark, [(1, "the cat sat"), (2, "le chat noir")])
+    b1 = _docs(spark, [(3, "the dog sat on the rug"), (4, "der hund lief")])
+    kw = dict(store_dir=store, monitor_dir=mon, n_buckets=B)
+    dsir_monitor_handle_batch(b0, 0, **kw)
+    dsir_monitor_handle_batch(b1, 1, **kw)
+
+    recs = {r["batch_id"]: r for r in spark.read.parquet(mon).collect()}
+    assert recs[0]["n_scored"] == 0          # nothing before batch 0
+    assert recs[1]["n_scored"] == 2
+    assert recs[1]["mean_log_weight"] is not None
+    store_after = sorted(map(tuple, read_dsir_store(spark, store, "raw").collect()))
+
+    # replay batch 1: monitor record and store must be unchanged
+    dsir_monitor_handle_batch(b1, 1, **kw)
+    recs2 = {r["batch_id"]: r for r in spark.read.parquet(mon).collect()}
+    assert recs2[1]["mean_log_weight"] == recs[1]["mean_log_weight"]
+    assert recs2[1]["n_scored"] == 2
+    assert (
+        sorted(map(tuple, read_dsir_store(spark, store, "raw").collect()))
+        == store_after
+    )
+    # target model never folds: still exactly the reference histogram
+    tgt_h = sorted(map(tuple, read_dsir_store(spark, store, "target").collect()))
+    store2 = str(tmp_path / "fresh")
+    incremental_dsir_ingest(spark, tgt, store2, role="target", n_buckets=B)
+    assert tgt_h == sorted(map(tuple, read_dsir_store(spark, store2, "target").collect()))

@@ -1503,6 +1503,17 @@ def test_semdedup_two_level_assignment_matches_flat_flags(spark, sf_dir):
     )
     assert {r["vec_id"]: r["is_dropped"] for r in out.collect()} == two
 
+    # narrow probe (w=2, the r12 sweep's pinned point): flags still match
+    # flat on the planted-duplicate corpus — pairs follow one probe path
+    p2 = {
+        r["vec_id"]: r["is_dropped"]
+        for r in semdedup(
+            corpus, cents, threshold=0.99, verify="float",
+            assign="two_level", probe_superclusters=2,
+        ).collect()
+    }
+    assert p2 == flat
+
 
 def test_two_level_empty_probed_super_falls_back_to_global_argmax(
     spark, monkeypatch

@@ -47,6 +47,8 @@ CANDIDATES = [
     "part_copurchase_kcore",       # pure-integer fixpoint output
     "semdedup_flags_adaptive_float",  # production path: hash-defined sample,
                                       # decimal batch sums, fixed fold order
+    "semdedup_flags_two_level_p2",        # r12 narrow-probe point of the
+                                          # probe-width sweep (w=2)
     "semdedup_flags_adaptive_two_level",  # r11 scale assignment: same model,
                                           # deterministic two-level probe
     "simhash64_near_dup_pairs",
@@ -92,8 +94,13 @@ def _run(master: str, conf: list[tuple[str, str]], sf_dirs: list[str]) -> dict:
         "sf_dirs": sf_dirs,
     }
     res = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+        [sys.executable, "-c", code], capture_output=True, text=True
     )
+    if res.returncode != 0:
+        raise RuntimeError(
+            f"pin child ({master}) failed rc={res.returncode}:\n"
+            f"{res.stderr[-3000:]}"
+        )
     for line in res.stdout.splitlines():
         if line.startswith("PINJSON:"):
             return json.loads(line[len("PINJSON:"):])

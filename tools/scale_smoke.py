@@ -221,6 +221,68 @@ def semdedup_phase_split(spark, scratch: str) -> dict:
     out["verify_s"] = round(time.perf_counter() - t0, 1)
     out["dup_rate"] = round(out["n_dropped"] / out["n_rows"], 4)
 
+    # probe-width sweep (r12): how fast does the two-level decision
+    # delta close as more super-clusters are probed? flags vs the flat
+    # assignment, per w — the decision-rule evidence for SCALING.md
+    flat_dropped = (
+        S._cluster_dup_pairs_float(
+            pairable.select("vec_id", "cluster").join(
+                corpus.select("vec_id", "embedding"), "vec_id"
+            ),
+            0.99,
+            "vec_id",
+            "embedding",
+        )
+        .select("neighbor_id")
+        .distinct()
+        .persist()
+    )
+    n_flat = flat_dropped.count()
+    out["probe_sweep"] = {}
+    for wprobe in (1, 2, 4, 8):
+        t0 = time.perf_counter()
+        a_w = S._assign_centroid_two_level(
+            corpus, cents, "vec_id", "embedding", probe_superclusters=wprobe
+        ).persist()
+        a_w.count()
+        t_assign = round(time.perf_counter() - t0, 1)
+        agree = round(
+            assigned.join(a_w.withColumnRenamed("cluster", "c2"), "vec_id")
+            .filter("cluster = c2")
+            .count()
+            / out["n_rows"],
+            4,
+        )
+        p_w = cap_buckets(a_w, ["cluster"], 2000)
+        d_w = (
+            S._cluster_dup_pairs_float(
+                p_w.select("vec_id", "cluster").join(
+                    corpus.select("vec_id", "embedding"), "vec_id"
+                ),
+                0.99,
+                "vec_id",
+                "embedding",
+            )
+            .select("neighbor_id")
+            .distinct()
+            .persist()
+        )
+        n_w = d_w.count()
+        sym_diff = (
+            flat_dropped.join(d_w, "neighbor_id", "left_anti").count()
+            + d_w.join(flat_dropped, "neighbor_id", "left_anti").count()
+        )
+        out["probe_sweep"][f"w{wprobe}"] = {
+            "assign_s": t_assign,
+            "cluster_agreement": agree,
+            "n_dropped": n_w,
+            "flag_delta_vs_flat": sym_diff,
+            "flag_delta_pct": round(100.0 * sym_diff / max(n_flat, 1), 3),
+        }
+        d_w.unpersist()
+        a_w.unpersist()
+    flat_dropped.unpersist()
+
     pairable2 = cap_buckets(assigned2, ["cluster"], 2000)
     members2 = pairable2.select("vec_id", "cluster").join(
         corpus.select("vec_id", "embedding"), "vec_id"
