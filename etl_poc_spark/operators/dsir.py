@@ -391,6 +391,12 @@ def read_dsir_model(
     NEW documents never drops an unseen bucket; c=0 rows realize add-1
     smoothing). Same (bucket, c_raw, c_tgt, t_raw, t_tgt) shape
     _model_frame builds in batch mode; ≤ n_buckets rows, broadcastable."""
+    for role in ("raw", "target"):
+        if not dsir_store_exists(spark, store_dir, role):
+            raise ValueError(
+                f"DSIR store at {store_dir!r} has no {role!r} model — seed it "
+                f"with incremental_dsir_ingest(..., role={role!r}) first"
+            )
     raw_h = read_dsir_store(spark, store_dir, "raw", exclude_tag=exclude_tag)
     tgt_h = read_dsir_store(spark, store_dir, "target", exclude_tag=exclude_tag)
     w = Window.partitionBy().rowsBetween(

@@ -96,6 +96,18 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def _pin_digest(rows: list[list[str | None]]) -> str:
+    """Canonical digest of a pin's rendered rows — lets large-scale pin
+    files (sf1: tens of MB of rows) store {columns, n_rows, sha256}
+    instead of the rows themselves, with identical bit-exactness."""
+    import hashlib
+    import json
+
+    return hashlib.sha256(
+        json.dumps(rows, separators=(",", ":")).encode()
+    ).hexdigest()
+
+
 def _pin_rows(pdf: pd.DataFrame) -> list[list[str | None]]:
     """Render a frame to the pin file's canonical form: columns sorted,
     rows sorted by every column, floats as repr (bit-exact), everything
@@ -182,6 +194,22 @@ def main() -> int:
                         f"FAIL  {name}: pinned columns mismatch "
                         f"(got {sorted(spark_pdf.columns)}, pinned {pin['columns']})"
                     )
+                elif "sha256" in pin:
+                    if (
+                        len(got_rows) != pin["n_rows"]
+                        or _pin_digest(got_rows) != pin["sha256"]
+                    ):
+                        n_fail += 1
+                        print(
+                            f"FAIL  {name}: pinned digest mismatch "
+                            f"(got {len(got_rows)} rows, pinned {pin['n_rows']})"
+                        )
+                    else:
+                        print(
+                            f"pin   {name}: no SQL oracle; matches pinned digest "
+                            f"— {len(spark_pdf)} rows, {t_spark:.1f}s"
+                        )
+                    continue
                 elif got_rows != pin["rows"]:
                     n_fail += 1
                     n_bad = sum(1 for a, b in zip(got_rows, pin["rows"]) if a != b)

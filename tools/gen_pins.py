@@ -120,19 +120,44 @@ def main() -> int:
         "--out", default=PIN_PATH,
         help="pin file to write (check_oracle merges tools/pinned_expected*.json)",
     )
+    ap.add_argument(
+        "--hash-only", action="store_true",
+        help="store {columns, n_rows, sha256} instead of full rows — for "
+        "large scales where the row dump is tens of MB; stability is "
+        "still compared on full rows before hashing",
+    )
     args = ap.parse_args()
     sf_dirs = args.sf_dir or SF_DIRS
 
-    normal = _run("local[32]", [("spark.sql.shuffle.partitions", "32")], sf_dirs)
+    # fresh-JVM children default to a 1g driver — fine at sf0.01, OOM at
+    # sf1; match the engine session's sizing
+    mem = ("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    normal = _run("local[32]", [("spark.sql.shuffle.partitions", "32"), mem], sf_dirs)
     advers = _run(
         "local[3]",
-        [("spark.sql.shuffle.partitions", "7"), ("spark.sql.adaptive.enabled", "false")],
+        [("spark.sql.shuffle.partitions", "7"),
+         ("spark.sql.adaptive.enabled", "false"), mem],
         sf_dirs,
     )
     stable = {n: v for n, v in normal.items() if advers.get(n) == v}
     unstable = sorted(set(normal) - set(stable))
     for n in unstable:
         print(f"UNSTABLE (not pinned): {n}")
+    if args.hash_only:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from check_oracle import _pin_digest
+
+        stable = {
+            n: {
+                sf: {
+                    "columns": v["columns"],
+                    "n_rows": len(v["rows"]),
+                    "sha256": _pin_digest(v["rows"]),
+                }
+                for sf, v in by_sf.items()
+            }
+            for n, by_sf in stable.items()
+        }
     if args.verify:
         current = json.load(open(args.out))
         ok = current == stable
