@@ -26,7 +26,8 @@ docetl/config/article_pipeline.yaml.j2):
       #   gate: filter above max_ppl, or attach scores when omitted
       # selection vocabulary (engine extension, round 12):
       # dsir_select {id, text_key, n_buckets, k, seed,
-      #   target: <dataset/step> | target_where: <SQL predicate>} — DSIR
+      #   target: <dataset/step> | target_where: <SQL predicate> |
+      #   store_dir: <persisted raw/target models>} — DSIR
       #   importance resampling toward a target corpus (k docs), or
       #   attach (n_features, log_weight) when k omitted,
       # temperature_mix {stratify_key, tau, id, text_key|weight_key,
@@ -316,22 +317,34 @@ def _apply_op(
 
         id_col = op.get("id", "doc_id")
         text_col = op.get("text_key", "text")
-        if op.get("target"):
-            tgt = _frame("target")
-        elif op.get("target_where"):
-            tgt = df.where(str(op["target_where"]))
-        else:
-            raise PipelineConfigError(
-                "dsir_select requires 'target' (dataset/step name) or "
-                "'target_where' (SQL predicate over the input)"
+        nb = int(op.get("n_buckets", 1024))
+        if op.get("store_dir"):
+            # score against the PERSISTED raw/target models (maintained by
+            # the dsir_counts / dsir_monitor streaming ops) — selection
+            # composes with continuous model maintenance
+            from etl_poc_spark.operators.dsir import score_dsir_store
+
+            w = score_dsir_store(
+                df.sparkSession,
+                df,
+                str(op["store_dir"]),
+                id_col=id_col,
+                text_col=text_col,
+                n_buckets=nb,
             )
-        w = dsir_log_weights(
-            df,
-            tgt,
-            id_col=id_col,
-            text_col=text_col,
-            n_buckets=int(op.get("n_buckets", 1024)),
-        )
+        else:
+            if op.get("target"):
+                tgt = _frame("target")
+            elif op.get("target_where"):
+                tgt = df.where(str(op["target_where"]))
+            else:
+                raise PipelineConfigError(
+                    "dsir_select requires 'store_dir', 'target' (dataset/"
+                    "step name), or 'target_where' (SQL predicate)"
+                )
+            w = dsir_log_weights(
+                df, tgt, id_col=id_col, text_col=text_col, n_buckets=nb
+            )
         if op.get("k") is not None:
             picked = dsir_resample(
                 w, int(op["k"]), id_col=id_col, seed=str(op.get("seed", "dsir"))

@@ -1037,3 +1037,51 @@ def test_yaml_lm_perplexity_reference_dataset(spark):
     )["__final__"]
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[200]["ppl"] > rows[100]["ppl"] * 2  # OOD vs in-distribution
+
+
+def test_yaml_dsir_select_from_persisted_store(spark, tmp_path):
+    """dsir_select can score against the PERSISTED store (maintained by
+    the streaming ops) instead of computing models from the incoming
+    frame — and the attached weights are bit-identical to the in-flight
+    computation over the same corpora."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.llm.provider import StubProvider
+    from etl_poc_spark.operators.dsir import (
+        dsir_log_weights,
+        incremental_dsir_ingest,
+    )
+    from etl_poc_spark.plans.yaml_pipeline import _apply_op
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "le chat noir dort"),
+         (3, "the dog sat on the rug"), (4, "der hund lief schnell")],
+        "doc_id long, text string",
+    )
+    tgt = docs.where(F.col("doc_id").isin(1, 3))
+    store = str(tmp_path / "store")
+    B = 64
+    incremental_dsir_ingest(spark, docs, store, role="raw", n_buckets=B)
+    incremental_dsir_ingest(spark, tgt, store, role="target", n_buckets=B)
+
+    out = _apply_op(
+        docs,
+        {"name": "sel", "type": "dsir_select", "store_dir": store, "n_buckets": B},
+        StubProvider(),
+    )
+    got = {r["doc_id"]: r["log_weight"] for r in out.collect()}
+    want = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(docs, tgt, n_buckets=B).collect()
+    }
+    assert got == want  # bit-identical doubles
+
+    picked = _apply_op(
+        docs,
+        {"name": "sel", "type": "dsir_select", "store_dir": store,
+         "n_buckets": B, "k": 2},
+        StubProvider(),
+    )
+    rows = picked.collect()
+    assert len(rows) == 2
+    assert set(picked.columns) == set(docs.columns)

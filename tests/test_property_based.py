@@ -323,3 +323,39 @@ def test_bigram_lm_closed_form_property(spark):
     )
     cnt = b.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
     assert cnt.where("c = 1").count() == 0
+
+
+def test_dsir_weights_property_random_corpora(spark):
+    """DSIR invariants on hypothesis-generated corpora:
+    (1) target == raw  =>  every log weight is EXACTLY 0.0 (identical
+        models: each per-bucket term is log(x)-log(x) = 0.0 bit-exact,
+        and the fold of zeros is zero);
+    (2) feature conservation: a doc of n>=1 words contributes exactly
+        2n-1 hashed occurrences (n unigrams + n-1 bigrams);
+    (3) weights are finite for every doc (smoothing guards all logs)."""
+    from etl_poc_spark.operators.dsir import (
+        dsir_log_weights,
+        hashed_feature_counts,
+    )
+
+    words = st.lists(
+        st.text(alphabet=st.characters(codec="ascii", categories=("Ll",)),
+                min_size=1, max_size=6),
+        min_size=1, max_size=12,
+    )
+    corpora = collect_examples(st.lists(words, min_size=1, max_size=8), n=12)
+    for ci, corpus in enumerate(corpora):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        w = dsir_log_weights(d, d, n_buckets=32).collect()
+        assert len(w) == len(rows)
+        assert all(r["log_weight"] == 0.0 for r in w), (ci, w)
+        fc = {
+            r["doc_id"]: r["n"]
+            for r in hashed_feature_counts(d, n_buckets=32)
+            .groupBy("doc_id")
+            .agg(F.sum("cnt").alias("n"))
+            .collect()
+        }
+        for i, ws in enumerate(corpus):
+            assert fc[i] == 2 * len(ws) - 1, (ci, i, ws, fc[i])
