@@ -337,3 +337,75 @@ def gopher_flags(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
             & (F.col("n_stop") >= 2)
         ).alias("keep"),
     )
+
+
+def unimax_budgets(
+    counts: DataFrame,
+    stratum_col: str,
+    n_col: str,
+    total_budget: int,
+    max_epochs: int = 1,
+) -> DataFrame:
+    """UniMax sampling budgets (Chung et al. 2023, arXiv:2304.09151):
+    distribute a total token budget T across strata (languages/sources)
+    as uniformly as possible, capping each stratum at `max_epochs`
+    passes over its data — the mixing recipe that avoids both
+    proportional sampling's head-language domination and aggressive
+    temperature's small-language over-epoching.
+
+    Closed-form water-filling instead of the paper's sequential loop:
+    with strata ASC-sorted by cap_i = n_i·E, "stratum i is epoch-capped"
+    ⟺ f(i) = cap_i·(k−i+1) + cum_{i−1} ≤ T, and f is non-decreasing
+    (f(i)−f(i−1) = (k−i+1)(cap_i−cap_{i−1}) ≥ 0), so the capped set is a
+    PREFIX: p = Σ[f(i) ≤ T], and every uncapped stratum gets the level
+    u* = (T − cum_p)/(k−p). Every decision is exact BIGINT arithmetic;
+    u* is ONE int/int double division — hash-exact across engines.
+
+    Output: (stratum_col, n_col, cap, epoch_capped, budget DOUBLE).
+    If Σcap ≤ T everything is epoch-capped and budget = cap (leftover
+    budget intentionally unassigned, as in the paper).
+
+    Scale: every window runs over the ≤k-strata frame (k = distinct
+    strata — bounded by construction, same class as the DSIR model
+    frames); the single-partition exchange moves k rows."""
+    T_ = F.lit(int(total_budget)).cast("bigint")
+    caps = counts.select(
+        F.col(stratum_col),
+        F.col(n_col).cast("bigint").alias(n_col),
+        (F.col(n_col).cast("bigint") * F.lit(int(max_epochs))).alias("cap"),
+    )
+    w_ord = Window.orderBy("cap", stratum_col)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = caps.select(
+        "*",
+        F.row_number().over(w_ord).alias("__i"),
+        F.sum("cap").over(w_cum).alias("__cum"),
+        F.count(F.lit(1)).over(w_all).alias("__k"),
+    )
+    f_le_T = (
+        F.col("cap") * (F.col("__k") - F.col("__i") + 1)
+        + (F.col("__cum") - F.col("cap"))
+    ) <= T_
+    flagged = ranked.select("*", f_le_T.alias("__capped"))
+    with_p = flagged.select(
+        "*",
+        F.sum(F.when(F.col("__capped"), 1).otherwise(0)).over(w_all).alias("__p"),
+        F.sum(F.when(F.col("__capped"), F.col("cap")).otherwise(0))
+        .over(w_all)
+        .alias("__cum_p"),
+    )
+    level = (T_ - F.col("__cum_p")).cast("double") / (
+        (F.col("__k") - F.col("__p")).cast("double")
+    )
+    return with_p.select(
+        F.col(stratum_col),
+        F.col(n_col),
+        "cap",
+        F.col("__capped").alias("epoch_capped"),
+        F.when(F.col("__capped"), F.col("cap").cast("double"))
+        .otherwise(level)
+        .alias("budget"),
+    )

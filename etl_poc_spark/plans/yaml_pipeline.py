@@ -31,7 +31,10 @@ docetl/config/article_pipeline.yaml.j2):
       #   importance resampling toward a target corpus (k docs), or
       #   attach (n_features, log_weight) when k omitted,
       # temperature_mix {stratify_key, tau, id, text_key|weight_key,
-      #   salt} — keep-rate ∝ n^(tau-1) per stratum, realized mass ∝ n^tau
+      #   salt} — keep-rate ∝ n^(tau-1) per stratum, realized mass ∝ n^tau,
+      # unimax_mix {stratify_key, total_budget, max_epochs, id,
+      #   text_key|weight_key, salt} — UniMax water-filled budgets
+      #   realized as per-stratum keep-rates (epoch-capped strata keep all)
       # analytics vocabulary (engine extension, round 9):
       # profile {columns}, attribution {entity_key, state_key, ts_key,
       #   conversion_type, within_seconds}, rfm {entity_key, ts_key,
@@ -399,6 +402,48 @@ def _apply_op(
         out = df.join(F.broadcast(rates), df[strat] == rates["__s"], "left")
         keep = hash_bucket(
             F.col(id_col), 100, str(op.get("salt", "mix"))
+        ) < F.coalesce(F.col("__rate"), F.lit(100.0))
+        return out.where(keep).drop("__s", "__rate")
+    if t == "unimax_mix":
+        # UniMax (arXiv:2304.09151) realized as deterministic
+        # subsampling: compute per-stratum water-filled budgets at
+        # total_budget/max_epochs, then keep budget/cap of each stratum
+        # by md5 hash_bucket — epoch-capped strata keep 100%
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.curation import hash_bucket, unimax_budgets
+
+        strat = op.get("stratify_key", "source")
+        id_col = op.get("id", "doc_id")
+        if "total_budget" not in op:
+            raise PipelineConfigError("unimax_mix requires 'total_budget'")
+        weight = op.get("weight_key")
+        if weight:
+            w_col = F.col(weight).cast("long")
+        else:
+            text_col = op.get("text_key", "text")
+            w_col = F.size(
+                F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+            ).cast("long")
+        totals = (
+            df.select(F.col(strat).alias("__s"), w_col.alias("__w"))
+            .groupBy("__s")
+            .agg(F.sum("__w").alias("__n"))
+            .where(F.col("__n") > 0)
+        )
+        budgets = unimax_budgets(
+            totals, "__s", "__n",
+            int(op["total_budget"]), int(op.get("max_epochs", 1)),
+        )
+        rates = budgets.select(
+            "__s",
+            (F.lit(100.0) * F.col("budget") / F.col("cap").cast("double")).alias(
+                "__rate"
+            ),
+        )
+        out = df.join(F.broadcast(rates), df[strat] == rates["__s"], "left")
+        keep = hash_bucket(
+            F.col(id_col), 100, str(op.get("salt", "unimax"))
         ) < F.coalesce(F.col("__rate"), F.lit(100.0))
         return out.where(keep).drop("__s", "__rate")
     if t == "pii_redact":

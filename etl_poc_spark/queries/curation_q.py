@@ -627,3 +627,57 @@ def doc_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "unimax_lang_budgets",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), capped AS (
+      SELECT lang, n_tokens, n_tokens AS cap,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS i,
+             SUM(n_tokens) OVER (ORDER BY n_tokens, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             COUNT(*) OVER () AS k
+      FROM t
+    ), flagged AS (
+      SELECT *, (cap * (k - i + 1) + (cum - cap)) <= 18000 AS epoch_capped
+      FROM capped
+    ), p AS (
+      SELECT *,
+             SUM(CASE WHEN epoch_capped THEN 1 ELSE 0 END) OVER () AS np,
+             SUM(CASE WHEN epoch_capped THEN cap ELSE 0 END) OVER () AS cum_p
+      FROM flagged
+    )
+    SELECT lang, n_tokens, CAST(cap AS BIGINT) AS cap, epoch_capped,
+           CASE WHEN epoch_capped THEN CAST(cap AS DOUBLE)
+                ELSE CAST(18000 - cum_p AS DOUBLE) / CAST(k - np AS DOUBLE)
+           END AS budget
+    FROM p ORDER BY lang
+    """,
+)
+def unimax_lang_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixing budgets (arXiv:2304.09151) over the per-language
+    token masses: total budget T=18000 tokens, max_epochs=1. Languages
+    small enough to fit a full epoch under the uniform share are
+    epoch-capped at n_tokens; the rest split the remainder evenly (the
+    water-filling level, ONE int/int double division). At sf0.001 the
+    whole corpus fits the budget (all epoch-capped); at sf0.01 the small
+    languages cap while en water-fills — both branches carry the same
+    hash-exact oracle.
+
+    Plan: one scan + one ≤n_langs aggregate, then windows over the
+    ≤n_langs frame (single-partition exchange of k rows — the
+    bounded-model-frame class)."""
+    from etl_poc_spark.operators.curation import unimax_budgets
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    return unimax_budgets(t, "lang", "n_tokens", 18000, 1).orderBy("lang")

@@ -259,3 +259,34 @@ def test_bigram_lm_perplexity_hand_computed(spark):
     a = sorted(map(tuple, perplexity_filter(df, k=1.0).collect()))
     b = sorted(map(tuple, perplexity_filter(df.repartition(7), k=1.0).collect()))
     assert a == b
+
+
+def test_unimax_budgets_water_filling_hand_computed(spark):
+    """UniMax closed form against the worked example: strata 3549/3758/
+    3958/4143/11757 at T=18000, E=1 — only the smallest fits a full
+    epoch under the uniform share (f(1)=3549*5=17745 <= 18000;
+    f(2)=3758*4+3549=18581 > 18000), so p=1 and the remaining four split
+    (18000-3549)/4 = 3612.75 exactly."""
+    from etl_poc_spark.operators.curation import unimax_budgets
+
+    t = spark.createDataFrame(
+        [("a", 3549), ("b", 3758), ("c", 3958), ("d", 4143), ("e", 11757)],
+        "lang string, n_tokens long",
+    )
+    rows = {r["lang"]: r for r in unimax_budgets(t, "lang", "n_tokens", 18000, 1).collect()}
+    assert rows["a"]["epoch_capped"] and rows["a"]["budget"] == 3549.0
+    for s in "bcde":
+        assert not rows[s]["epoch_capped"]
+        assert rows[s]["budget"] == 3612.75
+    # budget conservation: sum equals T when anything water-fills
+    assert sum(r["budget"] for r in rows.values()) == 18000.0
+
+    # all-capped branch: corpus fits the budget -> budget = cap, leftover
+    # unassigned (the paper's behavior); max_epochs scales the caps
+    rows2 = {
+        r["lang"]: r
+        for r in unimax_budgets(t, "lang", "n_tokens", 10**9, 2).collect()
+    }
+    for s, n in (("a", 3549), ("b", 3758), ("c", 3958), ("d", 4143), ("e", 11757)):
+        assert rows2[s]["epoch_capped"] and rows2[s]["budget"] == float(2 * n)
+        assert rows2[s]["cap"] == 2 * n

@@ -1085,3 +1085,31 @@ def test_yaml_dsir_select_from_persisted_store(spark, tmp_path):
     rows = picked.collect()
     assert len(rows) == 2
     assert set(picked.columns) == set(docs.columns)
+
+
+def test_yaml_unimax_mix_realizes_budgets(spark):
+    """unimax_mix: a dominant stratum is cut to roughly its water-filled
+    budget share while small (epoch-capped) strata keep everything;
+    deterministic across runs."""
+    from etl_poc_spark.llm.provider import StubProvider
+    from etl_poc_spark.plans.yaml_pipeline import _apply_op
+
+    docs = spark.createDataFrame(
+        [(i, "small", 10) for i in range(30)]
+        + [(1000 + i, "big", 10) for i in range(600)],
+        "doc_id long, source string, w long",
+    )
+    # caps: small 300, big 6000; T=1500: f(1)=300*2=600<=1500 -> capped;
+    # f(2)=6000+300=6300>1500 -> big water-fills (1500-300)/1 = 1200
+    # -> keep-rate 20% of big (120 of 600 docs +- hash noise)
+    op = {
+        "name": "um", "type": "unimax_mix", "stratify_key": "source",
+        "weight_key": "w", "total_budget": 1500,
+    }
+    kept = {r["doc_id"] for r in _apply_op(docs, op, StubProvider()).collect()}
+    small = {i for i in kept if i < 1000}
+    big = kept - small
+    assert len(small) == 30                      # epoch-capped: keep all
+    assert 60 <= len(big) <= 180                 # ~20% of 600, hash noise
+    kept2 = {r["doc_id"] for r in _apply_op(docs, op, StubProvider()).collect()}
+    assert kept2 == kept
