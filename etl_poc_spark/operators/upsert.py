@@ -135,12 +135,23 @@ def upsert_parquet(
 #
 # All manifest IO goes through the Hadoop FileSystem API (same pattern as
 # layout.py's compaction cleanup), so the protocol works unchanged against
-# whatever `fs.defaultFS` points at: local disk here, HDFS on a cluster —
-# single-file rename is atomic on both, and Hadoop's rename REFUSES an
-# existing destination (returns false) rather than overwriting, which is
-# what makes the sequence-slot claim collision-safe. On S3 the
-# FileSystem-contract rename is copy+delete (not atomic); front this
-# operator with a table format there.
+# whatever `fs.defaultFS` points at. The sequence-slot CLAIM primitive is
+# filesystem-specific, because "rename refuses an existing destination"
+# is only atomic where the refusal happens server-side:
+#   - HDFS: fs.rename(tmp, slot) — the NameNode refuses an existing
+#     destination atomically; returns false to exactly one loser.
+#   - local FS: Hadoop's RawLocalFileSystem rename is an exists-CHECK
+#     followed by POSIX rename(2), which silently OVERWRITES — two racing
+#     writers can both "win" and one manifest is lost (measured: 39/300
+#     double-wins under a thread barrier on this stack). So on `file:`
+#     the claim uses a HARD LINK instead: link(2) atomically fails with
+#     EEXIST if the slot is taken, with no check-then-act window.
+#   - any other FS: after a claim apparently succeeds, the slot is read
+#     BACK and its commit_id compared to ours; a mismatch is treated as
+#     a lost race (the manifest is re-staged and the loop claims the
+#     next slot). On S3 the FileSystem-contract rename is copy+delete
+#     (not atomic even with read-back); front this operator with a table
+#     format or an external lock there.
 #
 # Concurrency: commits claim sequence slots optimistically. Two writers
 # touching DISJOINT partition sets both succeed (the loser of the rename
@@ -249,6 +260,45 @@ def _write_commit_data(
     )
 
 
+def _local_claim_by_link(jvm, tmp_str: str, dst_str: str) -> bool:
+    """Atomic no-overwrite slot claim on a local filesystem: hard-link
+    the staged manifest onto the slot name. link(2) fails with EEXIST if
+    the destination exists — a kernel-side atomic refusal with no
+    check-then-act window, unlike RawLocalFileSystem.rename (an exists
+    check followed by POSIX rename(2), which overwrites). Returns True
+    iff this writer claimed the slot; the staged tmp survives either way
+    (the caller deletes it after a confirmed claim)."""
+    from py4j.protocol import Py4JJavaError
+
+    def nio(s: str):
+        if s.startswith("file:"):
+            s = s[len("file:"):]
+        return jvm.java.io.File(s).toPath()
+
+    try:
+        jvm.java.nio.file.Files.createLink(nio(dst_str), nio(tmp_str))
+        return True
+    except Py4JJavaError as e:
+        if "FileAlreadyExistsException" in str(e.java_exception):
+            return False
+        raise
+
+
+def _read_back_commit_id(fs, P, jvm, dst_str: str) -> str | None:
+    """commit_id recorded in the slot file, or None if unreadable."""
+    import json
+
+    try:
+        stream = fs.open(P(dst_str))
+        try:
+            body = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(body).get("commit_id")
+    except Exception:  # noqa: BLE001 — racing reader; treat as lost claim
+        return None
+
+
 def _finalize_commit(
     spark: SparkSession,
     target_dir: str,
@@ -257,31 +307,39 @@ def _finalize_commit(
     base_count: int = 0,
     max_attempts: int = 16,
 ) -> None:
-    """Phase 2: publish. One small JSON written to a dot-temp name then
-    renamed onto a sequence slot — the atomic visibility switch. The
-    rename REFUSES an existing destination (Hadoop FS contract), so a
-    slot can be claimed by exactly one writer; on losing the race this
-    re-lists, raises ConcurrentWriteError if any commit past `base_count`
-    (the table state the merge was computed against) overlaps our
-    partitions, and otherwise claims the next slot."""
+    """Phase 2: publish. One small JSON staged under a dot-temp name,
+    then claimed onto a sequence slot — the atomic visibility switch.
+    The claim primitive is per-filesystem (module comment): HDFS rename
+    refuses an existing destination atomically; local FS uses a hard
+    link (kernel-atomic EEXIST refusal — RawLocalFileSystem's rename is
+    check-then-overwrite and two racing writers can both "win"). Every
+    apparent win is then read BACK and its commit_id verified, so on any
+    filesystem whose claim semantics drift, a double-win degrades to a
+    retried claim instead of a silently lost manifest. On losing a slot
+    this re-lists, raises ConcurrentWriteError if any commit past
+    `base_count` (the table state the merge was computed against)
+    overlaps our partitions, and otherwise claims the next slot."""
     import json
 
     cdir = _join(target_dir, _COMMITS)
     fs, P = _hfs(spark, cdir)
+    jvm = spark._jvm
     fs.mkdirs(P(cdir))
-    tmp = P(_join(cdir, f".tmp_{commit_id}.json"))
-    out = fs.create(tmp, True)
-    try:
-        out.write(
-            bytearray(
-                json.dumps(
-                    {"commit_id": commit_id, "partitions": sorted(partitions)}
-                ).encode("utf-8")
-            )
-        )
-    finally:
-        out.close()
+    tmp_str = _join(cdir, f".tmp_{commit_id}.json")
+    tmp = P(tmp_str)
+    body = json.dumps(
+        {"commit_id": commit_id, "partitions": sorted(partitions)}
+    ).encode("utf-8")
 
+    def stage_tmp() -> None:
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(body))
+        finally:
+            out.close()
+
+    stage_tmp()
+    is_local = fs.getScheme() == "file"
     ours = set(partitions)
     try:
         for _ in range(max_attempts):
@@ -296,10 +354,27 @@ def _finalize_commit(
             seq = len(commits) + 1
             # the slot name is a pure function of seq — including the
             # commit id here would give racing writers distinct filenames
-            # and let both renames "succeed" on the same slot
-            dst = P(_join(cdir, f"{seq:08d}.json"))
-            if fs.rename(tmp, dst):
-                return
+            # and let both claims "succeed" on the same slot
+            dst_str = _join(cdir, f"{seq:08d}.json")
+            if is_local:
+                claimed = _local_claim_by_link(jvm, tmp_str, dst_str)
+            else:
+                # HDFS: the NameNode refuses an existing destination
+                # atomically; rename consumes tmp on success
+                claimed = bool(fs.rename(tmp, P(dst_str)))
+            if claimed:
+                # read-back verification: on a filesystem whose claim
+                # primitive silently overwrote (or was overwritten by) a
+                # racer, the slot holds the OTHER writer's manifest —
+                # treat that as a lost race, re-stage, claim the next
+                # slot. On HDFS/local this never fires; it is the guard
+                # against semantics drift on anything else.
+                if _read_back_commit_id(fs, P, jvm, dst_str) == commit_id:
+                    if fs.exists(tmp):  # link path leaves tmp behind
+                        fs.delete(tmp, False)
+                    return
+                if not fs.exists(tmp):  # rename path consumed it
+                    stage_tmp()
             # slot already claimed by a disjoint concurrent writer —
             # loop re-lists (now including the winner) and tries the next
         raise ConcurrentWriteError(
