@@ -341,7 +341,12 @@ def incremental_dsir_ingest(
     own delta instead of double-counting (the streaming twin passes the
     micro-batch id). After any sequence of ingests, read_dsir_store
     equals the one-shot histogram over the union of every batch —
-    exact integers, bit-equal under any batch slicing."""
+    exact integers, bit-equal under any batch slicing.
+
+    Concurrency contract: single writer per tag (sequential same-tag
+    rewrite = last-writer-wins replay; concurrent distinct tags safe;
+    concurrent same-tag out of contract, heals on replay) — stated and
+    pinned in tests/test_store_concurrency.py."""
     from etl_poc_spark.operators.ngram_lm import _safe_tag
 
     deltas = _dsir_batch_deltas(batch, text_col, n_buckets)

@@ -232,7 +232,12 @@ def incremental_exact_dedup_ingest(
     tag=<batch_tag> with overwrite semantics — re-ingesting the same
     batch replaces its own delta instead of double-counting. The
     streaming twin gets this for free from foreachBatch checkpointing
-    (exactly-once per batch id) and passes the batch id as the tag."""
+    (exactly-once per batch id) and passes the batch id as the tag.
+
+    Concurrency contract: single writer per tag (sequential same-tag
+    rewrite = last-writer-wins replay; concurrent distinct tags safe;
+    concurrent same-tag out of contract, heals on replay) — stated and
+    pinned in tests/test_store_concurrency.py."""
     fps = exact_fingerprints(batch, key_cols, id_col, hash_mode)
     delta = fps.groupBy("fp").agg(
         F.min("id").alias("min_id"), F.count(F.lit(1)).alias("n_copies")

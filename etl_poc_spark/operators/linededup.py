@@ -161,7 +161,12 @@ def incremental_line_dedup_ingest(
     history read EXCLUDES the current batch_id — so a replayed micro-batch
     (foreachBatch is at-least-once) overwrites its own partition instead of
     double-appending, and never sees its prior attempt's rows as history.
-    Replay therefore produces byte-identical store state and output."""
+    Replay therefore produces byte-identical store state and output.
+
+    Concurrency contract: single writer per batch_id slot (sequential
+    same-id rewrite = last-writer-wins replay; concurrent distinct ids
+    safe; concurrent same-id out of contract, heals on replay) — stated
+    and pinned in tests/test_store_concurrency.py."""
     segments = segment_docs(batch, id_col, text_col, words_per_segment)
     seg_h = segments.withColumn("__h", F.md5(F.col("seg")))
     batch_counts = seg_h.groupBy("__h").agg(F.countDistinct(id_col).alias("n_docs"))

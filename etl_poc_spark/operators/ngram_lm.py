@@ -228,7 +228,15 @@ def incremental_bigram_lm_ingest(
     its own deltas instead of double-counting (the streaming twin passes
     the micro-batch id). After any sequence of ingests,
     read_bigram_lm_store equals train_bigram_lm over the union of every
-    batch ever ingested."""
+    batch ever ingested.
+
+    Concurrency contract (tests/test_store_concurrency.py): SINGLE
+    WRITER PER TAG — tags come from streaming batch ids, serialized by
+    the checkpoint. A sequential same-tag rewrite is a replay and
+    replaces the slot (last-writer-wins); concurrent DISTINCT tags are
+    safe (independent dirs, associative fold); concurrent SAME-tag
+    writers are out of contract, with damage confined to that slot and
+    healed by one sequential replay."""
     bi, toks = _lm_batch_deltas(batch, text_col)
     if batch_tag is not None:
         safe = _safe_tag(batch_tag)
