@@ -41,6 +41,22 @@ def hash_bucket(col: Column, n_buckets: int = 100, salt: str = "") -> Column:
     return (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % n_buckets).cast("int")
 
 
+def hash_uniform(col: Column, salt: str = "") -> Column:
+    """Deterministic engine-portable uniform in [0, 1): the first 13 hex
+    digits of md5(salt || value) as a 52-bit integer over 2^52 — exact in
+    a double (the same draw discipline as dsir_resample). Use instead of
+    hash_bucket(x, 100) < rate wherever the keep-rate is a real number:
+    the bucket form quantizes every rate to whole percents (any positive
+    rate keeps ≥1% — bucket 0 always passes), a large relative error at
+    small strata or extreme temperatures. DuckDB equivalent:
+    CAST(('0x' || substr(md5(salt || CAST(x AS VARCHAR)), 1, 13)) AS
+    UBIGINT) / 4503599627370496.0."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(
+        float(2**52)
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     id_col: str = "doc_id",

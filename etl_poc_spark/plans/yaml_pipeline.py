@@ -359,14 +359,19 @@ def _apply_op(
         # per-stratum sampling mass follows n^tau by downsampling with
         # keep-rate ∝ n^(tau-1), normalized so the most-boosted stratum
         # keeps 100% (tau<1: smallest stratum; tau>1: largest). The keep
-        # decision is the md5 hash_bucket on id (mixture_resample's
-        # engine-portable discipline); the rates ride a broadcast join of
-        # the ≤n_strata-row frame whose normalizer attaches by
-        # unpartitioned window — no scalar crossJoin, no collect.
+        # decision is the 52-bit md5 hash_uniform on id (dsir_resample's
+        # engine-portable draw — realized fractions track the computed
+        # rate to double precision, not whole percents); the rates ride
+        # a broadcast join of the ≤n_strata-row frame whose normalizer
+        # attaches by unpartitioned window — no scalar crossJoin, no
+        # collect. The rate join is NULL-SAFE on the stratify key, so
+        # null-keyed strata mix like any other; rows whose stratum has
+        # no positive total weight (zero/null weights only) carry no
+        # sampling mass and are DROPPED, not silently passed through.
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        from etl_poc_spark.operators.curation import hash_bucket
+        from etl_poc_spark.operators.curation import hash_uniform
 
         strat = op.get("stratify_key", "source")
         id_col = op.get("id", "doc_id")
@@ -396,22 +401,29 @@ def _apply_op(
             .withColumn("__mx", F.max("__raw").over(wall))
             .select(
                 "__s",
-                (F.lit(100.0) * F.col("__raw") / F.col("__mx")).alias("__rate"),
+                (F.col("__raw") / F.col("__mx")).alias("__rate"),
             )
         )
-        out = df.join(F.broadcast(rates), df[strat] == rates["__s"], "left")
-        keep = hash_bucket(
-            F.col(id_col), 100, str(op.get("salt", "mix"))
-        ) < F.coalesce(F.col("__rate"), F.lit(100.0))
+        out = df.join(F.broadcast(rates), df[strat].eqNullSafe(rates["__s"]), "left")
+        keep = hash_uniform(
+            F.col(id_col), str(op.get("salt", "mix"))
+        ) < F.col("__rate")  # null rate (zero-weight stratum) drops
         return out.where(keep).drop("__s", "__rate")
     if t == "unimax_mix":
-        # UniMax (arXiv:2304.09151) realized as deterministic
-        # subsampling: compute per-stratum water-filled budgets at
-        # total_budget/max_epochs, then keep budget/cap of each stratum
-        # by md5 hash_bucket — epoch-capped strata keep 100%
+        # UniMax (arXiv:2304.09151) realized in ONE pass: compute
+        # per-stratum water-filled budgets (total_budget tokens, each
+        # stratum capped at max_epochs passes), then realize each
+        # stratum's budget/n_s epochs-per-document as floor(r) exact
+        # copies plus one more with probability frac(r) — the 52-bit md5
+        # uniform decides, so realized token mass is total_budget (not
+        # total_budget/max_epochs: an epoch-capped stratum's docs are
+        # DUPLICATED max_epochs times, which is what an E-epoch budget
+        # means realized as rows). With max_epochs=1 this reduces to
+        # plain subsampling (r ≤ 1, no duplication). Null-safe stratum
+        # join; zero-weight strata carry no budget and are dropped.
         from pyspark.sql import functions as F
 
-        from etl_poc_spark.operators.curation import hash_bucket, unimax_budgets
+        from etl_poc_spark.operators.curation import hash_uniform, unimax_budgets
 
         strat = op.get("stratify_key", "source")
         id_col = op.get("id", "doc_id")
@@ -435,17 +447,23 @@ def _apply_op(
             totals, "__s", "__n",
             int(op["total_budget"]), int(op.get("max_epochs", 1)),
         )
+        # r = epochs each doc of the stratum is seen, in [0, max_epochs]
         rates = budgets.select(
             "__s",
-            (F.lit(100.0) * F.col("budget") / F.col("cap").cast("double")).alias(
-                "__rate"
-            ),
+            (F.col("budget") / F.col("__n").cast("double")).alias("__rate"),
         )
-        out = df.join(F.broadcast(rates), df[strat] == rates["__s"], "left")
-        keep = hash_bucket(
-            F.col(id_col), 100, str(op.get("salt", "unimax"))
-        ) < F.coalesce(F.col("__rate"), F.lit(100.0))
-        return out.where(keep).drop("__s", "__rate")
+        out = df.join(F.broadcast(rates), df[strat].eqNullSafe(rates["__s"]), "left")
+        u = hash_uniform(F.col(id_col), str(op.get("salt", "unimax")))
+        copies = (
+            F.floor(F.col("__rate")).cast("int")
+            + F.when(u < F.col("__rate") - F.floor(F.col("__rate")), 1).otherwise(0)
+        )
+        return (
+            out.withColumn("__c", F.coalesce(copies, F.lit(0)))
+            .where(F.col("__c") >= 1)
+            .withColumn("__e", F.explode(F.sequence(F.lit(1), F.col("__c"))))
+            .drop("__s", "__rate", "__c", "__e")
+        )
     if t == "pii_redact":
         from pyspark.sql import functions as F
 

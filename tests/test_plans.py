@@ -1113,3 +1113,69 @@ def test_yaml_unimax_mix_realizes_budgets(spark):
     assert 60 <= len(big) <= 180                 # ~20% of 600, hash noise
     kept2 = {r["doc_id"] for r in _apply_op(docs, op, StubProvider()).collect()}
     assert kept2 == kept
+
+
+def test_yaml_mix_subpercent_rates_and_null_strata(spark):
+    """ADVICE r12 fixes: (1) keep decisions use the 52-bit md5 uniform,
+    so sub-percent keep-rates realize faithfully instead of flooring to
+    the whole-percent bucket grid (where ANY positive rate kept ~1%);
+    (2) the rate join is null-safe, so a null stratify key mixes like
+    any other stratum; (3) strata with no positive total weight carry no
+    sampling mass and are DROPPED, not passed through at 100%."""
+    from etl_poc_spark.llm.provider import StubProvider
+    from etl_poc_spark.plans.yaml_pipeline import _apply_op
+
+    # tau=0.25: big (4000 docs) vs small (2): rate_big = (4000/2)^-0.75
+    #         = ~0.34% — far below one percent-bucket
+    docs = spark.createDataFrame(
+        [(i, "big", 1) for i in range(4000)]
+        + [(90001, "small", 1), (90002, "small", 1)]
+        + [(90003, None, 1), (90004, None, 1)]       # null stratum, n=2
+        + [(90005, "zero", 0), (90006, "zero", None)],  # no positive mass
+        "doc_id long, source string, w long",
+    )
+    op = {
+        "name": "mix", "type": "temperature_mix", "stratify_key": "source",
+        "weight_key": "w", "tau": 0.25,
+    }
+    kept = {r["doc_id"] for r in _apply_op(docs, op, StubProvider()).collect()}
+    big = {i for i in kept if i < 4000}
+    # ~0.34% of 4000 = ~13.5 expected; the old percent grid kept ~40.
+    # Bound generously for hash noise but strictly below the 1% floor.
+    assert 2 <= len(big) <= 30, len(big)
+    assert {90001, 90002} <= kept                # most-boosted keeps all
+    assert {90003, 90004} <= kept                # null stratum: same rate as small
+    assert not kept & {90005, 90006}             # zero-mass stratum dropped
+
+
+def test_yaml_unimax_mix_epochs_duplicate_to_full_budget(spark):
+    """ADVICE r12: with max_epochs=E the one-pass realization DUPLICATES
+    epoch-capped strata E times, so realized token mass tracks
+    total_budget itself — not total_budget/E as the old budget/cap
+    keep-rate did."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.llm.provider import StubProvider
+    from etl_poc_spark.plans.yaml_pipeline import _apply_op
+
+    docs = spark.createDataFrame(
+        [(i, "small", 10) for i in range(30)]
+        + [(1000 + i, "big", 10) for i in range(600)],
+        "doc_id long, source string, w long",
+    )
+    # E=2: caps small 600, big 12000; T=2000: small capped (600*2=1200<=2000),
+    # big water-fills 2000-600=1400 tokens -> r_big = 1400/6000 epochs
+    op = {
+        "name": "um", "type": "unimax_mix", "stratify_key": "source",
+        "weight_key": "w", "total_budget": 2000, "max_epochs": 2,
+    }
+    out = _apply_op(docs, op, StubProvider())
+    mass = out.agg(F.sum("w")).collect()[0][0]
+    # realized mass ~= T = 2000 (small contributes exactly 600 = 30*10*2
+    # duplicated copies; big ~1400 +- hash noise), NOT T/E = 1000
+    small_rows = out.where(F.col("source") == "small").count()
+    assert small_rows == 60                       # every small doc twice
+    assert 1700 <= mass <= 2300, mass
+    # deterministic
+    mass2 = _apply_op(docs, op, StubProvider()).agg(F.sum("w")).collect()[0][0]
+    assert mass2 == mass

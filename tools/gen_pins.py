@@ -143,11 +143,11 @@ def main() -> int:
     unstable = sorted(set(normal) - set(stable))
     for n in unstable:
         print(f"UNSTABLE (not pinned): {n}")
-    if args.hash_only:
+    def _to_hash_only(full: dict) -> dict:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from check_oracle import _pin_digest
 
-        stable = {
+        return {
             n: {
                 sf: {
                     "columns": v["columns"],
@@ -156,10 +156,23 @@ def main() -> int:
                 }
                 for sf, v in by_sf.items()
             }
-            for n, by_sf in stable.items()
+            for n, by_sf in full.items()
         }
+
+    if args.hash_only:
+        stable = _to_hash_only(stable)
     if args.verify:
         current = json.load(open(args.out))
+        # infer the pin format from the loaded file (ADVICE r12): a
+        # digest pin file (sha256 keys) must be compared against the
+        # hashed form of the fresh run even without --hash-only, or
+        # bit-identical values would always report DIFFER
+        if not args.hash_only and any(
+            "sha256" in v
+            for by_sf in current.values()
+            for v in by_sf.values()
+        ):
+            stable = _to_hash_only(stable)
         ok = current == stable
         print("pins", "match" if ok else "DIFFER from", "a fresh stable run")
         return 0 if ok else 1
