@@ -190,32 +190,49 @@ def _hfs(spark: SparkSession, path: str):
     return fs, jvm.org.apache.hadoop.fs.Path
 
 
-def _list_commits(spark: SparkSession, target_dir: str) -> list[dict]:
-    """Finalized commits in sequence order. Unfinalized work is invisible
-    by construction (the manifest only appears via the final rename)."""
-    import json
-
+def _commit_names(spark: SparkSession, target_dir: str) -> list[str]:
+    """Finalized slot file names in sequence order, via ONE py4j round
+    trip regardless of history length (FileUtil.stat2Paths + a single
+    Arrays.toString instead of 2 gateway calls per FileStatus) — the
+    claim loop runs this per attempt, so it must stay O(1) in gateway
+    traffic even at thousands of commits."""
     cdir = _join(target_dir, _COMMITS)
     fs, P = _hfs(spark, cdir)
     if not fs.exists(P(cdir)):
         return []
-    names = sorted(
-        st.getPath().getName()
-        for st in fs.listStatus(P(cdir))
-        if not st.isDirectory()
-    )
     jvm = spark._jvm
-    out = []
-    for name in names:
-        if name.startswith(".") or not name.endswith(".json"):
+    paths = jvm.org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(P(cdir)))
+    joined = jvm.java.util.Arrays.toString(paths)
+    names = []
+    for tok in joined[1:-1].split(", "):
+        name = tok.rsplit("/", 1)[-1]
+        if not name or name.startswith(".") or not name.endswith(".json"):
             continue
-        stream = fs.open(P(_join(cdir, name)))
-        try:
-            body = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        finally:
-            stream.close()
-        out.append(json.loads(body))
-    return out
+        names.append(name)
+    return sorted(names)
+
+
+def _read_commit(fs, P, jvm, path: str) -> dict:
+    import json
+
+    stream = fs.open(P(path))
+    try:
+        body = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(body)
+
+
+def _list_commits(spark: SparkSession, target_dir: str) -> list[dict]:
+    """Finalized commits in sequence order. Unfinalized work is invisible
+    by construction (the manifest only appears via the final claim)."""
+    cdir = _join(target_dir, _COMMITS)
+    fs, P = _hfs(spark, cdir)
+    jvm = spark._jvm
+    return [
+        _read_commit(fs, P, jvm, _join(cdir, name))
+        for name in _commit_names(spark, target_dir)
+    ]
 
 
 def _resolution(commits: list[dict], target_dir: str) -> dict[str, str]:
@@ -306,7 +323,7 @@ def _finalize_commit(
     partitions: list[str],
     base_count: int = 0,
     max_attempts: int = 16,
-) -> None:
+) -> int:
     """Phase 2: publish. One small JSON staged under a dot-temp name,
     then claimed onto a sequence slot — the atomic visibility switch.
     The claim primitive is per-filesystem (module comment): HDFS rename
@@ -318,7 +335,10 @@ def _finalize_commit(
     retried claim instead of a silently lost manifest. On losing a slot
     this re-lists, raises ConcurrentWriteError if any commit past
     `base_count` (the table state the merge was computed against)
-    overlaps our partitions, and otherwise claims the next slot."""
+    overlaps our partitions, and otherwise claims the next slot.
+    Returns the number of claim attempts used (1 = no contention) — the
+    contention-throughput smoke (tools/scale_smoke.py --commit-contention)
+    measures this so max_attempts is a measured constant, not a guess."""
     import json
 
     cdir = _join(target_dir, _COMMITS)
@@ -342,16 +362,21 @@ def _finalize_commit(
     is_local = fs.getScheme() == "file"
     ours = set(partitions)
     try:
-        for _ in range(max_attempts):
-            commits = _list_commits(spark, target_dir)
-            for c in commits[base_count:]:
+        for attempt in range(1, max_attempts + 1):
+            # a claim attempt needs the slot COUNT plus the bodies of
+            # commits past base_count only — reading every manifest body
+            # per attempt would make the protocol O(history) per claim
+            # and O(history^2) over a table's life
+            names = _commit_names(spark, target_dir)
+            for name in names[base_count:]:
+                c = _read_commit(fs, P, jvm, _join(cdir, name))
                 if ours & set(c["partitions"]):
                     raise ConcurrentWriteError(
                         f"commit {c['commit_id']} finalized partitions "
                         f"{sorted(ours & set(c['partitions']))} after this "
                         "merge's base was resolved; re-run the upsert"
                     )
-            seq = len(commits) + 1
+            seq = len(names) + 1
             # the slot name is a pure function of seq — including the
             # commit id here would give racing writers distinct filenames
             # and let both claims "succeed" on the same slot
@@ -372,7 +397,7 @@ def _finalize_commit(
                 if _read_back_commit_id(fs, P, jvm, dst_str) == commit_id:
                     if fs.exists(tmp):  # link path leaves tmp behind
                         fs.delete(tmp, False)
-                    return
+                    return attempt
                 if not fs.exists(tmp):  # rename path consumed it
                     stage_tmp()
             # slot already claimed by a disjoint concurrent writer —

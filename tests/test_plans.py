@@ -1179,3 +1179,75 @@ def test_yaml_unimax_mix_epochs_duplicate_to_full_budget(spark):
     # deterministic
     mass2 = _apply_op(docs, op, StubProvider()).agg(F.sum("w")).collect()[0][0]
     assert mass2 == mass
+
+
+def test_yaml_unimax_mix_composes_with_maintained_stores(spark, tmp_path):
+    """r12 verdict ask #6: unimax_mix composes with the persisted-store
+    selection path the way temperature_mix and dsir_select do — a
+    batched (incremental-store-backed) pipeline realizes the SAME kept
+    multiset as the one-shot pipeline over the union corpus, because
+    both the DSIR weights (exact-integer store fold) and the mix
+    decision (pure function of stratum totals + id hash) are
+    batch-slicing-independent."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.llm.provider import StubProvider
+    from etl_poc_spark.operators.dsir import incremental_dsir_ingest
+    from etl_poc_spark.plans.yaml_pipeline import _apply_op
+
+    rows = [
+        (i, "en", "the cat sat on the mat rug dog " * 3 + f"tail{i}")
+        for i in range(40)
+    ] + [
+        (100 + i, "fr", "le chat noir dort sur le tapis " * 3 + f"fin{i}")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    tgt = docs.where(F.col("lang") == "en")
+
+    # maintain the store INCREMENTALLY in two tagged batches (the
+    # streaming discipline), vs one-shot ingestion
+    inc_store = str(tmp_path / "inc")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    B = 64
+    incremental_dsir_ingest(spark, b1, inc_store, role="raw", n_buckets=B, batch_tag="b1")
+    incremental_dsir_ingest(spark, b2, inc_store, role="raw", n_buckets=B, batch_tag="b2")
+    incremental_dsir_ingest(spark, tgt, inc_store, role="target", n_buckets=B)
+
+    one_store = str(tmp_path / "one")
+    incremental_dsir_ingest(spark, docs, one_store, role="raw", n_buckets=B)
+    incremental_dsir_ingest(spark, tgt, one_store, role="target", n_buckets=B)
+
+    def run(store):
+        # k = full corpus: the selection stage still scores every doc
+        # against the persisted store (weights bit-equal regardless of
+        # slicing) while keeping the downstream strata deterministic for
+        # the epoch-cap arithmetic below
+        sel = _apply_op(
+            docs,
+            {"name": "sel", "type": "dsir_select", "store_dir": store,
+             "n_buckets": B, "k": 48},
+            StubProvider(),
+        )
+        # tokens: en 40x25=1000, fr 8x22=176; E=2 caps: fr 352, en 2000.
+        # T=800: f(1)=352*2=704<=800 -> fr epoch-capped; en water-fills
+        # 800-352=448 tokens -> r_en = 0.448 subsample
+        mixed = _apply_op(
+            sel,
+            {"name": "um", "type": "unimax_mix", "stratify_key": "lang",
+             "total_budget": 800, "max_epochs": 2},
+            StubProvider(),
+        )
+        return sorted(r["doc_id"] for r in mixed.collect())
+
+    got_inc = run(inc_store)
+    got_one = run(one_store)
+    assert got_inc == got_one            # store slicing never changes the mix
+    from collections import Counter
+
+    c = Counter(got_inc)
+    fr_counts = {i: n for i, n in c.items() if i >= 100}
+    assert len(fr_counts) == 8 and all(n == 2 for n in fr_counts.values())
+    en_kept = {i for i in c if i < 100}
+    assert 0 < len(en_kept) < 40         # en genuinely subsampled at ~44.8%

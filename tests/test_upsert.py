@@ -306,15 +306,15 @@ def test_versioned_finalize_rename_race_retries_next_slot(
         target, ["k"], "seq", "day",
     )
 
-    real_list = U._list_commits
+    real_names = U._commit_names
     calls = {"n": 0}
 
     def stale_once(sp, td):
-        commits = real_list(sp, td)
+        names = real_names(sp, td)
         calls["n"] += 1
         if calls["n"] == 1:
-            return commits[:-1]  # pretend the latest commit isn't visible yet
-        return commits
+            return names[:-1]  # pretend the latest commit isn't visible yet
+        return names
 
     merged = U.latest_by_key(
         _rows(spark, [(3, "d3", "c", 1)]).withColumn("__is_update", F.lit(1)),
@@ -322,7 +322,7 @@ def test_versioned_finalize_rename_race_retries_next_slot(
     )
     cid = "feedfeedfeed"
     U._write_commit_data(merged, target, "day", cid)
-    monkeypatch.setattr(U, "_list_commits", stale_once)
+    monkeypatch.setattr(U, "_commit_names", stale_once)
     U._finalize_commit(spark, target, cid, ["d3"], base_count=0)
     monkeypatch.undo()
 

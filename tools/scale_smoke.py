@@ -47,6 +47,10 @@ SMOKE_QUERIES = [
     "doc_dsir_log_weights",
     "doc_dsir_target_affinity",
     "dsir_gumbel_sample",
+    # r13: UniMax water-filling — the budgets window runs over the
+    # ≤k-strata frame (bounded by construction); this turns that claim
+    # into a 10/30/100x measurement, the DSIR pattern
+    "unimax_lang_budgets",
 ]
 
 # per-table key columns to offset per copy so the scaled table has
@@ -68,18 +72,19 @@ SCALED_TABLES = list(KEY_COLS)
 DIM_TABLES = ["region", "nation"]
 
 
-def build(spark, src_sf: str, scratch: str, copies: int) -> None:
+def build(spark, src_sf: str, scratch: str, copies: int, only: list[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     from etl_poc_spark.io import load_table
 
     os.makedirs(scratch, exist_ok=True)
+    scaled = [t for t in SCALED_TABLES if only is None or t in only]
     for name in DIM_TABLES:
         load_table(spark, src_sf, name).write.mode("overwrite").parquet(
             os.path.join(scratch, f"{name}.parquet")
         )
         print(f"built {name} (dim, 1 copy)", flush=True)
-    for name in SCALED_TABLES:
+    for name in scaled:
         base = load_table(spark, src_sf, name)
         out = None
         for i in range(copies):
@@ -399,6 +404,75 @@ def asof_whale_measure(spark, src_sf: str, copies: int, whale_share: float = 0.5
     return out
 
 
+def commit_contention_measure(
+    spark, n_writers: int = 32, histories: tuple[int, ...] = (100, 300, 1000)
+) -> dict:
+    """Multi-writer commit throughput for the versioned-table protocol
+    (VERDICT r12 ask #7): `n_writers` disjoint barrier-started writers
+    race _finalize_commit against tables pre-seeded with C finalized
+    commits, C = 100/300/1000 (the history axis — the claim loop's
+    listStatus cost is what grows with table age; the parquet data write
+    scales with batch size, not contention, so it is excluded). Records
+    per-writer claim latency p50/p99/max, attempts used (run with 64
+    headroom so the observed max is a MEASUREMENT against the default
+    max_attempts=16 bound), and aggregate commits/sec. Every trial also
+    asserts no manifest was lost — the r12 double-win regression check
+    at throughput scale."""
+    import json as _j
+    import tempfile
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    import etl_poc_spark.operators.upsert as U
+
+    out: dict = {"n_writers": n_writers, "default_max_attempts": 16, "histories": {}}
+    for C in histories:
+        target = tempfile.mkdtemp(prefix=f"commit-contention-{C}-")
+        cdir = os.path.join(target, "_commits")
+        os.makedirs(cdir, exist_ok=True)
+        for s in range(1, C + 1):
+            with open(os.path.join(cdir, f"{s:08d}.json"), "w") as fh:
+                fh.write(_j.dumps(
+                    {"commit_id": f"seed{s}", "partitions": [f"seed{s}"]}
+                ))
+        barrier = threading.Barrier(n_writers)
+
+        def writer(i, target=target, barrier=barrier, C=C):
+            barrier.wait()
+            t0 = time.perf_counter()
+            attempts = U._finalize_commit(
+                spark, target, f"w{i}", [f"w{i}"],
+                base_count=C, max_attempts=64,
+            )
+            return time.perf_counter() - t0, attempts
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=n_writers) as ex:
+            res = list(ex.map(writer, range(n_writers)))
+        wall = time.perf_counter() - t0
+        names = [
+            f for f in os.listdir(cdir)
+            if f.endswith(".json") and not f.startswith(".")
+        ]
+        assert len(names) == C + n_writers, (
+            f"manifest lost at C={C}: {len(names)} != {C + n_writers}"
+        )
+        lats = sorted(r[0] for r in res)
+        atts = [r[1] for r in res]
+        out["histories"][str(C)] = {
+            "pre_commits": C,
+            "wall_s": round(wall, 2),
+            "commits_per_sec": round(n_writers / wall, 1),
+            "claim_p50_s": round(lats[len(lats) // 2], 3),
+            "claim_p99_s": round(lats[min(len(lats) - 1, int(len(lats) * 0.99))], 3),
+            "claim_max_s": round(lats[-1], 3),
+            "attempts_mean": round(sum(atts) / len(atts), 2),
+            "attempts_max": max(atts),
+        }
+        print(_j.dumps({f"C={C}": out["histories"][str(C)]}), flush=True)
+    return out
+
+
 def _jvm_peak_rss_mb() -> int | None:
     """Peak RSS (VmHWM) of the local-mode JVM — the number that actually
     bounds whether a stage fits, since executors live inside it. Scans
@@ -444,6 +518,19 @@ def main() -> int:
         help="skewed-events as-of measurement: plain window vs bucketed, "
         "wall + max-task, ~50%% of rows on one user",
     )
+    ap.add_argument(
+        "--commit-contention",
+        action="store_true",
+        help="multi-writer versioned-commit throughput: 32 disjoint "
+        "barrier-started writers vs 100/300/1000-commit histories; "
+        "p50/p99 claim latency + attempts vs the max_attempts bound",
+    )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to build (default: all); "
+        "e.g. --tables documents for the unimax/dsir text tier",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -452,6 +539,11 @@ def main() -> int:
     from etl_poc_spark.session import get_spark
 
     registry.load_all()
+    if args.commit_contention:
+        spark = get_spark("scale_smoke")
+        report = commit_contention_measure(spark)
+        print(json.dumps({"commit_contention": report}))
+        return 0
     if args.asof_whale:
         spark = get_spark(
             "scale_smoke", extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"}
@@ -472,7 +564,8 @@ def main() -> int:
         print(json.dumps({"semdedup_realistic_phase_split": report}))
         return 0
     if not args.skip_build:
-        build(spark, args.src, args.scratch, args.copies)
+        only = args.tables.split(",") if args.tables else None
+        build(spark, args.src, args.scratch, args.copies, only=only)
 
     def semdedup_adaptive(spark, sf_dir):
         # the gate query is oracle-locked to 64 centroids; this variant
