@@ -57,34 +57,51 @@ BENCH_ALL_REGISTERED = True
 RUNS_PER_QUERY = 3
 
 
-def _calibration(spark) -> float:
-    """Host-noise canary: a fixed data-independent workload (8M-row range
-    scan-agg, pure JVM codegen) timed as a 3-run median. Recorded at the
-    START and END of the sweep so a reader can normalize uniform
-    wall-clock drift (r10 +41s, r11 +26s were both host contention —
-    each needed a quiet-host rerun to prove it; this field removes that
-    bisection)."""
+# interleave a single-run canary every N queries: the session-level
+# start/end canary (r12) proves drift exists but can't localize it — the
+# per-window readings let a reader attribute a per-query spike to the
+# window's host noise instead of re-timing by hand (r12 verdict ask #4)
+CANARY_EVERY = 25
+
+# re-time any query whose fresh median exceeds its previous-round median
+# by >1.5x (and by >0.5s absolute — micro-queries are all noise) once
+# more before publishing; keep the min of the two medians and record
+# both, so no >1.5x artifact outlier ships that an isolated re-run
+# contradicts
+RETIME_RATIO = 1.5
+RETIME_FLOOR_SEC = 0.5
+
+
+def _canary_once(spark) -> float:
+    """One run of the fixed data-independent workload (8M-row range
+    scan-agg, pure JVM codegen)."""
     import time as _time
 
     from pyspark.sql import functions as F
 
-    runs = []
-    for _ in range(3):
-        t0 = _time.perf_counter()
-        (
-            spark.range(0, 8_000_000)
-            .select(
-                (F.col("id") % 1000).alias("k"),
-                ((F.col("id") * 2654435761) % 2147483647).alias("v"),
-            )
-            .groupBy("k")
-            .agg(F.sum("v").alias("s"), F.avg("v").alias("a"), F.count("*").alias("c"))
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
+    t0 = _time.perf_counter()
+    (
+        spark.range(0, 8_000_000)
+        .select(
+            (F.col("id") % 1000).alias("k"),
+            ((F.col("id") * 2654435761) % 2147483647).alias("v"),
         )
-        runs.append(_time.perf_counter() - t0)
-    return round(sorted(runs)[1], 3)
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.avg("v").alias("a"), F.count("*").alias("c"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return _time.perf_counter() - t0
+
+
+def _calibration(spark) -> float:
+    """Host-noise canary: 3-run median of the fixed workload. Recorded at
+    the START and END of the sweep so a reader can normalize uniform
+    wall-clock drift (r10 +41s, r11 +26s were both host contention —
+    each needed a quiet-host rerun to prove it; this field removes that
+    bisection)."""
+    return round(sorted(_canary_once(spark) for _ in range(3))[1], 3)
 
 
 def main() -> None:
@@ -99,23 +116,45 @@ def main() -> None:
     registry.QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     cal_start = _calibration(spark)
 
+    # previous round's committed artifact (BENCH_GATE.json before this
+    # run overwrites it) — the baseline for the outlier re-time pass
+    prev_timings: dict[str, float] = {}
+    prev_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_PREV",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_GATE.json"),
+    )
+    try:
+        with open(prev_path) as fh:
+            prev_timings = json.load(fh).get("timings", {}) or {}
+    except (OSError, ValueError):
+        pass
+
     names = list(BENCH_QUERIES)
     if BENCH_ALL_REGISTERED:
         names += sorted(set(registry.QUERIES) - set(BENCH_QUERIES))
+
+    def time_query(fn) -> float:
+        runs: list[float] = []
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[len(runs) // 2], 3)
+
     # fault-isolated per query: one broken query records an {"err": ...}
     # entry and the sweep continues — a single analysis error must never
     # erase the whole round's perf signal (round 4 lost its bench this way)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
+    canary_windows: list[dict] = []
+    for i, name in enumerate(names):
+        if i % CANARY_EVERY == 0:
+            canary_windows.append(
+                {"at_query": i, "sec": round(_canary_once(spark), 3)}
+            )
         fn = registry.QUERIES[name]
-        runs: list[float] = []
         try:
-            for _ in range(RUNS_PER_QUERY):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
-            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+            timings[name] = time_query(fn)
         except Exception as exc:  # noqa: BLE001 — record and keep sweeping
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         # drop persisted frames the query pinned (dedup/similarity stage
@@ -123,6 +162,27 @@ def main() -> None:
         # later timings with memory pressure
         release_pins()
         spark.catalog.clearCache()
+
+    # outlier re-time pass (r12 verdict ask #4): any query >1.5x its
+    # previous-round median gets one more isolated 3-run median; keep the
+    # MIN (a transient spike can only inflate a median, not deflate it)
+    # and record both readings so the artifact explains itself
+    retimed: dict[str, dict] = {}
+    for name, sec in sorted(timings.items()):
+        prev = prev_timings.get(name)
+        if (
+            isinstance(prev, (int, float))
+            and sec > RETIME_RATIO * prev
+            and sec - prev > RETIME_FLOOR_SEC
+        ):
+            try:
+                again = time_query(registry.QUERIES[name])
+            except Exception:  # noqa: BLE001 — keep the first reading
+                continue
+            retimed[name] = {"first": sec, "retimed": again, "prev_round": prev}
+            timings[name] = min(sec, again)
+            release_pins()
+            spark.catalog.clearCache()
 
     # `value` stays the HEADLINE subtotal (the PINNED 22-query set rounds 1
     # and 2 both recorded) so the metric is comparable round over round even
@@ -174,7 +234,12 @@ def main() -> None:
         "headline_incomplete": bool(headline_errs),
         "n_errors": len(errors),
         "sf": float(sf) if sf else sf_dir,
-        "calibration": {"start_sec": cal_start, "end_sec": cal_end},
+        "calibration": {
+            "start_sec": cal_start,
+            "end_sec": cal_end,
+            "windows": canary_windows,
+        },
+        "retimed_outliers": retimed,
         "timings": timings,
         "query_errors": {n: e[:200] for n, e in errors.items()},
     }

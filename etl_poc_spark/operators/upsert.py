@@ -191,22 +191,33 @@ def _hfs(spark: SparkSession, path: str):
 
 
 def _commit_names(spark: SparkSession, target_dir: str) -> list[str]:
-    """Finalized slot file names in sequence order, via ONE py4j round
-    trip regardless of history length (FileUtil.stat2Paths + a single
-    Arrays.toString instead of 2 gateway calls per FileStatus) — the
-    claim loop runs this per attempt, so it must stay O(1) in gateway
-    traffic even at thousands of commits."""
+    """Finalized slot file names in sequence order. The claim loop runs
+    this per attempt, so gateway traffic matters: on the local scheme the
+    listing is a direct os.listdir — ZERO py4j round trips regardless of
+    history length; on remote filesystems it falls back to Hadoop
+    listStatus (one RPC + one gateway call per entry — at thousand-commit
+    histories, compact the manifest log via vacuum_versioned, the same
+    checkpointing discipline every table format applies to its log)."""
+    import os as _os
+
     cdir = _join(target_dir, _COMMITS)
     fs, P = _hfs(spark, cdir)
+    if fs.getScheme() == "file":
+        local = cdir[len("file:"):] if cdir.startswith("file:") else cdir
+        try:
+            entries = _os.listdir(local)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            n for n in entries
+            if n.endswith(".json") and not n.startswith(".")
+        )
     if not fs.exists(P(cdir)):
         return []
-    jvm = spark._jvm
-    paths = jvm.org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(P(cdir)))
-    joined = jvm.java.util.Arrays.toString(paths)
     names = []
-    for tok in joined[1:-1].split(", "):
-        name = tok.rsplit("/", 1)[-1]
-        if not name or name.startswith(".") or not name.endswith(".json"):
+    for st in fs.listStatus(P(cdir)):
+        name = st.getPath().getName()
+        if name.startswith(".") or not name.endswith(".json"):
             continue
         names.append(name)
     return sorted(names)
@@ -322,7 +333,7 @@ def _finalize_commit(
     commit_id: str,
     partitions: list[str],
     base_count: int = 0,
-    max_attempts: int = 16,
+    max_attempts: int = 64,
 ) -> int:
     """Phase 2: publish. One small JSON staged under a dot-temp name,
     then claimed onto a sequence slot — the atomic visibility switch.
@@ -336,10 +347,19 @@ def _finalize_commit(
     this re-lists, raises ConcurrentWriteError if any commit past
     `base_count` (the table state the merge was computed against)
     overlaps our partitions, and otherwise claims the next slot.
-    Returns the number of claim attempts used (1 = no contention) — the
-    contention-throughput smoke (tools/scale_smoke.py --commit-contention)
-    measures this so max_attempts is a measured constant, not a guess."""
+    Returns the number of claim attempts used (1 = no contention).
+
+    max_attempts must EXCEED the peak number of simultaneously-racing
+    writers: under full contention the last writer to land needs about
+    one attempt per competitor (measured: attempts_max ~= n_writers at
+    a 32-writer barrier, tools/scale_smoke.py --commit-contention), so
+    the default 64 carries a 2x margin over a 32-writer fleet. Commit
+    bodies are immutable once finalized, so each new commit's overlap
+    check runs ONCE per writer (the checked-set), keeping total body
+    reads O(new commits), not O(attempts x new commits)."""
+    import hashlib
     import json
+    import time as _time
 
     cdir = _join(target_dir, _COMMITS)
     fs, P = _hfs(spark, cdir)
@@ -361,15 +381,25 @@ def _finalize_commit(
     stage_tmp()
     is_local = fs.getScheme() == "file"
     ours = set(partitions)
+    checked: set[str] = set()
+    # deterministic per-writer jitter (from the commit id) de-synchronizes
+    # the thundering herd: without it every loser re-lists and re-claims
+    # the SAME next slot in lockstep
+    jitter = int(hashlib.md5(commit_id.encode()).hexdigest()[:4], 16) / 0xFFFF
     try:
         for attempt in range(1, max_attempts + 1):
             # a claim attempt needs the slot COUNT plus the bodies of
             # commits past base_count only — reading every manifest body
             # per attempt would make the protocol O(history) per claim
-            # and O(history^2) over a table's life
+            # and O(history^2) over a table's life; the checked-set also
+            # makes repeat attempts O(newer-still), since finalized
+            # bodies are immutable
             names = _commit_names(spark, target_dir)
             for name in names[base_count:]:
+                if name in checked:
+                    continue
                 c = _read_commit(fs, P, jvm, _join(cdir, name))
+                checked.add(name)
                 if ours & set(c["partitions"]):
                     raise ConcurrentWriteError(
                         f"commit {c['commit_id']} finalized partitions "
@@ -401,7 +431,9 @@ def _finalize_commit(
                 if not fs.exists(tmp):  # rename path consumed it
                     stage_tmp()
             # slot already claimed by a disjoint concurrent writer —
-            # loop re-lists (now including the winner) and tries the next
+            # back off briefly (capped exponential + per-writer jitter),
+            # then re-list (now including the winner) and try the next
+            _time.sleep(min(0.05, 0.002 * attempt) * (0.5 + jitter))
         raise ConcurrentWriteError(
             f"could not claim a commit sequence slot in {max_attempts} attempts"
         )

@@ -22,6 +22,17 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Queries whose DuckDB oracle is CAPACITY-infeasible at large scales (not
+# wrong — too expensive for the oracle engine): at any non-default scale
+# tag, if an adversarial-session digest pin exists for the (query, scale),
+# the gate checks the pin INSTEAD of running the oracle. At the default
+# sf0.001/sf0.01 scales the oracle always runs — this never weakens the
+# hash-exact gate, it closes the sf1 blind spot the r12 verdict flagged
+# (the 16-subspace unrolled-Lloyd PQ oracle spills >80 GB at sf1 while
+# the Spark side runs fine).
+ORACLE_CAPACITY_PINS = {"embedding_pq_topk", "embedding_ivfpq_topk"}
+ORACLE_SCALES = ("sf0.001", "sf0.01")
+
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
@@ -184,7 +195,13 @@ def main() -> int:
             release_pins()
             spark.catalog.clearCache()
         t_spark = time.perf_counter() - t0
-        if name not in registry.ORACLES:
+        capacity_pin = (
+            name in ORACLE_CAPACITY_PINS
+            and sf_tag not in ORACLE_SCALES
+            and pins.get(name, {}).get(sf_tag) is not None
+        )
+        if name not in registry.ORACLES or capacity_pin:
+            reason = "oracle-capacity pin" if capacity_pin else "no SQL oracle"
             pin = pins.get(name, {}).get(sf_tag)
             if pin is not None:
                 got_rows = _pin_rows(spark_pdf)
@@ -206,7 +223,7 @@ def main() -> int:
                         )
                     else:
                         print(
-                            f"pin   {name}: no SQL oracle; matches pinned digest "
+                            f"pin   {name}: {reason}; matches pinned digest "
                             f"— {len(spark_pdf)} rows, {t_spark:.1f}s"
                         )
                     continue
@@ -221,7 +238,7 @@ def main() -> int:
                     )
                 else:
                     print(
-                        f"pin   {name}: no SQL oracle; matches pinned exact output "
+                        f"pin   {name}: {reason}; matches pinned exact output "
                         f"— {len(spark_pdf)} rows, {t_spark:.1f}s"
                     )
                 continue

@@ -83,14 +83,14 @@ print("PINJSON:" + json.dumps(out, sort_keys=True))
 """
 
 
-def _run(master: str, conf: list[tuple[str, str]], sf_dirs: list[str]) -> dict:
+def _run(master: str, conf: list[tuple[str, str]], sf_dirs: list[str], names: list[str] | None = None) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = _CHILD % {
         "repo": repo,
         "tools": os.path.join(repo, "tools"),
         "master": master,
         "conf": conf,
-        "names": CANDIDATES,
+        "names": names or CANDIDATES,
         "sf_dirs": sf_dirs,
     }
     res = subprocess.run(
@@ -121,6 +121,13 @@ def main() -> int:
         help="pin file to write (check_oracle merges tools/pinned_expected*.json)",
     )
     ap.add_argument(
+        "--queries", default=None,
+        help="comma-separated query names to pin instead of the default "
+        "CANDIDATES list — e.g. the sf1 oracle-capacity exclusions "
+        "(embedding_pq_topk,embedding_ivfpq_topk), whose DuckDB oracle "
+        "can't run at sf1 but whose Spark output pins fine",
+    )
+    ap.add_argument(
         "--hash-only", action="store_true",
         help="store {columns, n_rows, sha256} instead of full rows — for "
         "large scales where the row dump is tens of MB; stability is "
@@ -132,12 +139,14 @@ def main() -> int:
     # fresh-JVM children default to a 1g driver — fine at sf0.01, OOM at
     # sf1; match the engine session's sizing
     mem = ("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-    normal = _run("local[32]", [("spark.sql.shuffle.partitions", "32"), mem], sf_dirs)
+    names = args.queries.split(",") if args.queries else None
+    normal = _run("local[32]", [("spark.sql.shuffle.partitions", "32"), mem], sf_dirs, names)
     advers = _run(
         "local[3]",
         [("spark.sql.shuffle.partitions", "7"),
          ("spark.sql.adaptive.enabled", "false"), mem],
         sf_dirs,
+        names,
     )
     stable = {n: v for n, v in normal.items() if advers.get(n) == v}
     unstable = sorted(set(normal) - set(stable))
