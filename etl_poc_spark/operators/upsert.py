@@ -167,6 +167,7 @@ def upsert_parquet(
 # string and the escaped directory name.
 
 _COMMITS = "_commits"
+_CHECKPOINTS = "_checkpoints"
 _DATA = "_data"
 
 _SAFE_PART = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._\-]*$")
@@ -234,16 +235,99 @@ def _read_commit(fs, P, jvm, path: str) -> dict:
     return json.loads(body)
 
 
+def _load_checkpoint(spark: SparkSession, target_dir: str) -> tuple[int, list[dict]]:
+    """(as_of, commit-list prefix) of the newest log checkpoint, or
+    (0, []). The checkpoint stores the COMMIT LIST itself (not a folded
+    resolution), so every read-path semantic — time travel included —
+    is byte-identical with or without it; it only collapses O(history)
+    manifest body reads into one file read."""
+    import json
+    import os as _os
+
+    ckdir = _join(target_dir, _CHECKPOINTS)
+    fs, P = _hfs(spark, ckdir)
+    if fs.getScheme() == "file":
+        local = ckdir[len("file:"):] if ckdir.startswith("file:") else ckdir
+        try:
+            entries = _os.listdir(local)
+        except FileNotFoundError:
+            return 0, []
+        names = sorted(
+            n for n in entries if n.endswith(".json") and not n.startswith(".")
+        )
+    else:
+        if not fs.exists(P(ckdir)):
+            return 0, []
+        names = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(P(ckdir))
+            if st.getPath().getName().endswith(".json")
+            and not st.getPath().getName().startswith(".")
+        )
+    if not names:
+        return 0, []
+    jvm = spark._jvm
+    ck = _read_commit(fs, P, jvm, _join(ckdir, names[-1]))
+    return int(ck["as_of"]), list(ck["commits"])
+
+
 def _list_commits(spark: SparkSession, target_dir: str) -> list[dict]:
     """Finalized commits in sequence order. Unfinalized work is invisible
-    by construction (the manifest only appears via the final claim)."""
+    by construction (the manifest only appears via the final claim).
+    With a log checkpoint (checkpoint_versioned), only the TAIL past the
+    checkpoint reads individual manifest bodies."""
     cdir = _join(target_dir, _COMMITS)
     fs, P = _hfs(spark, cdir)
     jvm = spark._jvm
-    return [
+    names = _commit_names(spark, target_dir)
+    ck_seq, prefix = _load_checkpoint(spark, target_dir)
+    if ck_seq > len(names):  # checkpoint from a foreign/corrupt state
+        ck_seq, prefix = 0, []
+    return prefix + [
         _read_commit(fs, P, jvm, _join(cdir, name))
-        for name in _commit_names(spark, target_dir)
+        for name in names[ck_seq:]
     ]
+
+
+def checkpoint_versioned(spark: SparkSession, target_dir: str) -> int:
+    """Fold the finalized commit log into ONE checkpoint file —
+    `_checkpoints/<n:08d>.json` holding {"as_of": n, "commits": [...the
+    first n commit manifests...]} — the log-checkpoint discipline every
+    table format applies (Delta checkpoints its JSON log the same way).
+    Slot files are NOT removed (the claim loop derives sequence numbers
+    from their count), so writers are unaffected; readers collapse the
+    prefix's O(n) manifest body reads into one file read and only read
+    tail bodies individually. Idempotent and concurrency-safe: a
+    checkpoint is a pure function of the immutable prefix, so two
+    writers checkpointing at the same seq write identical bytes, and
+    readers always pick the NEWEST checkpoint. Returns n (0 = empty
+    log, nothing written)."""
+    import json
+
+    commits = _list_commits(spark, target_dir)
+    if not commits:
+        return 0
+    n = len(commits)
+    ckdir = _join(target_dir, _CHECKPOINTS)
+    fs, P = _hfs(spark, ckdir)
+    fs.mkdirs(P(ckdir))
+    tmp = P(_join(ckdir, f".tmp_{n:08d}.json"))
+    out = fs.create(tmp, True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps({"as_of": n, "commits": commits}).encode("utf-8")
+            )
+        )
+    finally:
+        out.close()
+    dst = P(_join(ckdir, f"{n:08d}.json"))
+    if fs.exists(dst):  # identical bytes by construction — keep theirs
+        fs.delete(tmp, False)
+        return n
+    if not fs.rename(tmp, dst):
+        fs.delete(tmp, False)  # racer published the identical checkpoint
+    return n
 
 
 def _resolution(commits: list[dict], target_dir: str) -> dict[str, str]:

@@ -837,3 +837,61 @@ def test_finalize_commit_barrier_race_no_manifest_lost(spark, tmp_path):
         assert on_disk == ids, f"trial {trial}: lost {ids - on_disk}"
         # no stray staged manifests left behind
         assert not [f for f in os.listdir(cdir) if f.startswith(".tmp_")]
+
+
+def test_checkpoint_versioned_preserves_all_read_semantics(spark, tmp_path):
+    """Log checkpoint (the Delta-style discipline): fold the commit list
+    into one file — reads, time travel, CDF inputs, vacuum, and further
+    writes are all byte-identical with or without it; only the prefix's
+    per-manifest body reads collapse. Newer commits after the checkpoint
+    stack on top, and a re-checkpoint at a higher seq supersedes."""
+    import os
+
+    import etl_poc_spark.operators.upsert as U
+
+    target = str(tmp_path / "vt")
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "a", 1), (2, "d2", "b", 1)]),
+        target, ["k"], "seq", "day",
+    )
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "a2", 2)]), target, ["k"], "seq", "day"
+    )
+    before = {
+        v: sorted(
+            (r["k"], r["v"]) for r in
+            U.read_versioned(spark, target, as_of=v).collect()
+        )
+        for v in (1, 2)
+    }
+
+    n = U.checkpoint_versioned(spark, target)
+    assert n == 2
+    assert os.path.exists(os.path.join(target, "_checkpoints", "00000002.json"))
+    # identical re-checkpoint is a no-op (idempotent, keep-theirs)
+    assert U.checkpoint_versioned(spark, target) == 2
+
+    for v in (1, 2):
+        got = sorted(
+            (r["k"], r["v"]) for r in
+            U.read_versioned(spark, target, as_of=v).collect()
+        )
+        assert got == before[v]
+
+    # commits after the checkpoint stack on the prefix
+    U.upsert_versioned(
+        spark, _rows(spark, [(3, "d3", "c", 1)]), target, ["k"], "seq", "day"
+    )
+    assert _vread(spark, target) == {
+        1: ("d1", "a2", 2), 2: ("d2", "b", 1), 3: ("d3", "c", 1)
+    }
+    assert len(U._list_commits(spark, target)) == 3
+    # a higher checkpoint supersedes and reads stay identical
+    assert U.checkpoint_versioned(spark, target) == 3
+    assert _vread(spark, target)[3] == ("d3", "c", 1)
+    # vacuum still resolves correctly through the checkpointed log
+    removed = U.vacuum_versioned(spark, target)
+    assert removed >= 1
+    assert _vread(spark, target) == {
+        1: ("d1", "a2", 2), 2: ("d2", "b", 1), 3: ("d3", "c", 1)
+    }

@@ -425,7 +425,18 @@ def commit_contention_measure(
 
     import etl_poc_spark.operators.upsert as U
 
-    out: dict = {"n_writers": n_writers, "default_max_attempts": 16, "histories": {}}
+    import inspect
+
+    import etl_poc_spark.operators.upsert as _u
+
+    default_bound = inspect.signature(_u._finalize_commit).parameters[
+        "max_attempts"
+    ].default
+    out: dict = {
+        "n_writers": n_writers,
+        "default_max_attempts": default_bound,
+        "histories": {},
+    }
     for C in histories:
         target = tempfile.mkdtemp(prefix=f"commit-contention-{C}-")
         cdir = os.path.join(target, "_commits")
