@@ -48,9 +48,10 @@ def hash_uniform(col: Column, salt: str = "") -> Column:
     hash_bucket(x, 100) < rate wherever the keep-rate is a real number:
     the bucket form quantizes every rate to whole percents (any positive
     rate keeps ≥1% — bucket 0 always passes), a large relative error at
-    small strata or extreme temperatures. DuckDB equivalent:
-    CAST(('0x' || substr(md5(salt || CAST(x AS VARCHAR)), 1, 13)) AS
-    UBIGINT) / 4503599627370496.0."""
+    small strata or extreme temperatures. DuckDB equivalent (hash-exact,
+    gate query `subpercent_uniform_sample`):
+    CAST(CAST('0x' || substr(md5(salt || CAST(x AS VARCHAR)), 1, 13) AS
+    BIGINT) AS DOUBLE) / 4503599627370496.0."""
     h = F.md5(F.concat(F.lit(salt), col.cast("string")))
     return F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(
         float(2**52)

@@ -19,6 +19,7 @@ from etl_poc_spark.operators.curation import (
     GOPHER_STOPWORDS,
     PII_PATTERNS,
     contamination_check,
+    hash_uniform,
     pack_sequences_greedy,
     pack_stream_cut,
     redact_pii,
@@ -408,6 +409,53 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIX_RATES = {"src0": 100, "src1": 50, "src2": 25, "src3": 10}
+
+# 52-bit md5 uniform (curation.hash_uniform): first 13 hex digits / 2^52,
+# exact in a double — engine-portable to the bit
+_U13_SQL = (
+    "(CAST(CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 13) "
+    "AS BIGINT) AS DOUBLE) / 4503599627370496.0)"
+)
+_SUBPCT_RATES = {"src0": 0.08, "src1": 0.0137, "src2": 0.30, "src3": 0.006}
+_SUBPCT_DEFAULT = 0.009  # sub-percent catch-all for every other source
+
+
+@query(
+    "subpercent_uniform_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT source, {_U13_SQL.format(salt='u13')} AS u FROM documents
+    ), kept AS (
+      SELECT source, u FROM u
+      WHERE u < CASE source WHEN 'src0' THEN 0.08 WHEN 'src1' THEN 0.0137
+                            WHEN 'src2' THEN 0.30 WHEN 'src3' THEN 0.006
+                            ELSE 0.009 END
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(FLOOR(u * 1000000000.0)) AS BIGINT) AS u_checksum
+    FROM kept GROUP BY source
+    """,
+)
+def subpercent_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-percent deterministic sampling via the 52-bit md5 uniform
+    (curation.hash_uniform) — the r13 replacement for the percent-grid
+    hash_bucket decision in the mix ops (ADVICE r12, where any positive
+    rate kept >=1%): keep-rates of 0.2-5% realize faithfully, verified
+    hash-exact against DuckDB's rendering of the same draw. The checksum
+    folds floor(u*1e9) per kept row — every addend is an integer under
+    2^53, so the double SUM is exact in any fold order."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_SUBPCT_DEFAULT)
+    for src, r in _SUBPCT_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    u = hash_uniform(F.col("doc_id"), "u13")
+    kept = d.select("source", u.alias("u")).where(F.col("u") < rate)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.floor(F.col("u") * F.lit(1000000000.0))).cast("bigint").alias(
+            "u_checksum"
+        ),
+    )
 
 
 @query(
