@@ -289,6 +289,63 @@ def mixture_resample(
 
 GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
+# phrases that mark a line as web boilerplate (public rule sets: C4,
+# Raffel et al. 2020 §2.2; RefinedWeb; Dolma) — matched lowercased
+C4_BOILERPLATE = (
+    "lorem ipsum",
+    "javascript",
+    "cookie policy",
+    "terms of use",
+    "privacy policy",
+)
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 2,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, unified to
+    line granularity the way RefinedWeb/Dolma apply it): keep a line iff
+    it ends in terminal punctuation (.!?"'), has >= min_words_per_line
+    words, contains no curly brace (code/markup tell), and no
+    boilerplate phrase (C4_BOILERPLATE, lowercased); drop the DOCUMENT
+    if fewer than min_lines lines survive. Appends n_lines /
+    n_kept_lines / clean_text (survivors re-joined with newlines).
+
+    Scale shape: pure higher-order array expressions (split → filter →
+    array_join) — zero UDFs, zero shuffles, whole-stage codegen; the
+    filter runs where the scan runs, so at 100 TB this is a map-only
+    pass with full predicate/column pushdown intact."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _good(line: Column) -> Column:
+        words = F.filter(
+            F.split(F.trim(line), r"\s+"), lambda w: w != ""
+        )
+        ok = (
+            line.rlike("[.!?\"']\\s*$")
+            & (F.size(words) >= F.lit(int(min_words_per_line)))
+            & ~line.contains("{")
+            & ~line.contains("}")
+        )
+        low = F.lower(line)
+        for phrase in C4_BOILERPLATE:
+            ok = ok & ~low.contains(phrase)
+        return ok
+
+    kept = F.filter(lines, _good)
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("__kept", kept)
+        .withColumn("n_kept_lines", F.size("__kept"))
+        .withColumn("clean_text", F.array_join("__kept", "\n"))
+        .where(F.col("n_kept_lines") >= int(min_lines))
+        .drop("__kept")
+    )
+
 
 def gopher_flags(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style word-level quality flags per row (Rae et al. 2021,

@@ -280,6 +280,25 @@ def _apply_op(
             F.col("keep")
         ).select(id_col)
         return df.join(keep_ids, id_col, "left_semi")
+    if t == "c4_filter":
+        # C4-style line-level cleaning (curation.c4_line_filter): the
+        # text column is REPLACED by the surviving lines and documents
+        # with too few survivors drop — a map-only pass, no shuffle
+        from etl_poc_spark.operators.curation import c4_line_filter
+
+        text_col = op.get("text_key", "text")
+        out = c4_line_filter(
+            df,
+            id_col=op.get("id", "doc_id"),
+            text_col=text_col,
+            min_words_per_line=int(op.get("min_words_per_line", 5)),
+            min_lines=int(op.get("min_lines", 2)),
+        )
+        from pyspark.sql import functions as F
+
+        return out.withColumn(text_col, F.col("clean_text")).drop(
+            "clean_text", "n_lines", "n_kept_lines"
+        )
     if t == "lm_perplexity":
         # CCNet-style LM quality gate (operators/ngram_lm.py): train the
         # bigram LM on the incoming frame itself, score every document;

@@ -18,6 +18,7 @@ from etl_poc_spark.io import load_table
 from etl_poc_spark.operators.curation import (
     GOPHER_STOPWORDS,
     PII_PATTERNS,
+    c4_line_filter,
     contamination_check,
     hash_uniform,
     pack_sequences_greedy,
@@ -409,6 +410,76 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIX_RATES = {"src0": 100, "src1": 50, "src2": 25, "src3": 10}
+
+@query(
+    "c4_line_filter_stats",
+    oracle="""
+    WITH built AS (
+      SELECT doc_id,
+        'this document number ' || CAST(doc_id AS VARCHAR)
+          || ' has some useful words inside.' AS l0,
+        CASE WHEN doc_id % 3 = 0 THEN NULL
+             ELSE 'another informative sentence number '
+                  || CAST(doc_id AS VARCHAR)
+                  || ' with enough words present.' END AS l2,
+        CASE WHEN doc_id % 5 = 0 THEN NULL
+             WHEN doc_id % 2 = 1 THEN NULL
+             ELSE 'final closing sentence with plenty of words to pass!'
+             END AS l3
+      FROM documents
+    ), agg AS (
+      SELECT doc_id,
+        4 AS n_lines,
+        1 + CASE WHEN l2 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END AS n_kept_lines,
+        length(l0)
+          + CASE WHEN l2 IS NULL THEN 0 ELSE length(l2) + 1 END
+          + CASE WHEN l3 IS NULL THEN 0 ELSE length(l3) + 1 END AS clean_len
+      FROM built
+    )
+    SELECT doc_id, n_lines, n_kept_lines, CAST(clean_len AS BIGINT) AS clean_len
+    FROM agg WHERE n_kept_lines >= 2
+    """,
+)
+def c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (curation.c4_line_filter) over
+    deterministically synthesized multi-line documents — the corpus is
+    single-line word soup, so lines are built the way pii_redaction
+    builds PII: line 0 always survives (words+period); line 1 is always
+    dropped (3 words, no punctuation); line 2 is boilerplate for
+    doc_id%3==0 ('javascript'/'cookie policy'); line 3 carries curly
+    braces for %5==0 and lacks terminal punctuation for odd ids. The
+    oracle re-derives survival ANALYTICALLY from the id arithmetic —
+    an independent formulation, so a rule regression in the operator's
+    array-lambda filter cannot cancel out."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = F.col("doc_id")
+    l0 = F.concat(
+        F.lit("this document number "), n.cast("string"),
+        F.lit(" has some useful words inside."),
+    )
+    l1 = F.lit("too short line")
+    l2 = F.when(
+        n % 3 == 0,
+        F.lit("please enable javascript and accept our cookie policy terms."),
+    ).otherwise(
+        F.concat(
+            F.lit("another informative sentence number "), n.cast("string"),
+            F.lit(" with enough words present."),
+        )
+    )
+    l3 = (
+        F.when(n % 5 == 0, F.lit("var x = { y: 1 }; done."))
+        .when(n % 2 == 1, F.lit("final line without punctuation and enough words here"))
+        .otherwise(F.lit("final closing sentence with plenty of words to pass!"))
+    )
+    docs = d.select("doc_id", F.concat_ws("\n", l0, l1, l2, l3).alias("text"))
+    out = c4_line_filter(docs, min_words_per_line=5, min_lines=2)
+    return out.select(
+        "doc_id", "n_lines", "n_kept_lines",
+        F.length("clean_text").cast("long").alias("clean_len"),
+    )
+
 
 # 52-bit md5 uniform (curation.hash_uniform): first 13 hex digits / 2^52,
 # exact in a double — engine-portable to the bit

@@ -1251,3 +1251,46 @@ def test_yaml_unimax_mix_composes_with_maintained_stores(spark, tmp_path):
     assert len(fr_counts) == 8 and all(n == 2 for n in fr_counts.values())
     en_kept = {i for i in c if i < 100}
     assert 0 < len(en_kept) < 40         # en genuinely subsampled at ~44.8%
+
+
+def test_c4_line_filter_rules_and_yaml_op(spark):
+    """Each C4 line rule exercised by hand-built lines: terminal
+    punctuation, min words, curly braces, boilerplate phrases; the
+    document drops when fewer than min_lines survive; the yaml op
+    replaces text with the survivors."""
+    from etl_poc_spark.llm.provider import StubProvider
+    from etl_poc_spark.operators.curation import c4_line_filter
+    from etl_poc_spark.plans.yaml_pipeline import _apply_op
+
+    good1 = "this sentence has plenty of words and ends properly."
+    good2 = "another proper sentence with enough words to pass!"
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([good1, "too few words.", good2])),
+            (2, "\n".join([good1, "no terminal punctuation but many words here today",
+                           "Please accept our Cookie Policy before continuing."])),
+            (3, "\n".join(["function f() { return 1; } and other words too.",
+                           "lorem ipsum dolor sit amet consectetur adipiscing elit.",
+                           good2])),
+            (4, "one short line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = c4_line_filter(docs, min_words_per_line=5, min_lines=2)
+    got = {r["doc_id"]: (r["n_lines"], r["n_kept_lines"], r["clean_text"])
+           for r in out.collect()}
+    # doc 1: good1 + good2 survive ("too few words." has 3 words)
+    assert got[1] == (3, 2, good1 + "\n" + good2)
+    # doc 2: only good1 survives (no-punct line, boilerplate line) -> doc dropped
+    # doc 3: only good2 survives (braces line, lorem ipsum line) -> doc dropped
+    # doc 4: nothing survives -> dropped
+    assert set(got) == {1}
+
+    mixed = _apply_op(
+        docs, {"name": "c4", "type": "c4_filter", "min_lines": 1}, StubProvider()
+    )
+    rows = {r["doc_id"]: r["text"] for r in mixed.collect()}
+    assert set(rows) == {1, 2, 3}              # min_lines=1 keeps 1-survivor docs
+    assert rows[2] == good1                    # text replaced by survivors
+    assert rows[3] == good2
+    assert set(mixed.columns) == {"doc_id", "text"}
