@@ -224,6 +224,76 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ngram_containment_pairs",
+    oracle=NEAR_DUP_CORPUS_CTE + """
+    , w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM corpus
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] || ' ' || words[i + 4] || ' ' || words[i + 5] AS shingle
+      FROM (SELECT doc_id, words, unnest(range(0, len(words) - 4)) AS i FROM w)
+    ), rare AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50
+    ), sh2 AS (
+      SELECT sh.* FROM sh JOIN rare USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)
+             AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 10 >= 9 * LEAST(sa.n_sh, sb.n_sh)
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT dedup (Broder's containment, the doc-in-doc
+    signal symmetric Jaccard under-scores: a short doc fully embedded in
+    a long one has Jaccard |A|/|B| but containment 1.0): pairs where
+    |A∩B| / min(|A|,|B|) >= 0.9 over the same DF-capped inverted shingle
+    index as ngram_jaccard_pairs — only docs sharing a rare shingle ever
+    meet, never an O(n^2) cross join, and the 0.9 gate is an integer
+    comparison (no float boundary). On the near-dup corpus the
+    drop-first-word perturbations are exact subsets: containment pins at
+    1.0 where their Jaccard is (n-5)/(n-4)."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sh_all = shingle_docs(corpus, "doc_id", "text", shingle_words=5)
+    rare = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= 50)
+        .drop("__df")
+    )
+    sh = pin(sh_all.join(rare, "shingle", "left_semi"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    least = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .filter(F.col("n_inter") * 10 >= 9 * least)
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter").cast("double") / least.cast("double")).alias("containment"),
+        )
+    )
+
+
 from etl_poc_spark.registry import ORACLES as _ORACLES
 
 
