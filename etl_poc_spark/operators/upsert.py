@@ -874,4 +874,15 @@ def vacuum_versioned(
                     removed += 1
         if kept == 0:
             fs.delete(P(cpath), True)
+    # prune superseded log checkpoints: only the NEWEST is ever read
+    # (_load_checkpoint picks max), so older ones are dead weight
+    ckdir = _join(target_dir, _CHECKPOINTS)
+    if fs.exists(P(ckdir)):
+        names = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(P(ckdir))
+            if st.getPath().getName().endswith(".json")
+        )
+        for name in names[:-1]:
+            fs.delete(P(_join(ckdir, name)), False)
     return removed

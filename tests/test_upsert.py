@@ -895,3 +895,26 @@ def test_checkpoint_versioned_preserves_all_read_semantics(spark, tmp_path):
     assert _vread(spark, target) == {
         1: ("d1", "a2", 2), 2: ("d2", "b", 1), 3: ("d3", "c", 1)
     }
+
+
+def test_vacuum_prunes_superseded_checkpoints(spark, tmp_path):
+    """Only the newest log checkpoint is ever read (_load_checkpoint picks
+    max); vacuum deletes the older ones and reads stay identical."""
+    import os
+
+    import etl_poc_spark.operators.upsert as U
+
+    target = str(tmp_path / "vt")
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "a", 1)]), target, ["k"], "seq", "day"
+    )
+    U.checkpoint_versioned(spark, target)
+    U.upsert_versioned(
+        spark, _rows(spark, [(2, "d2", "b", 1)]), target, ["k"], "seq", "day"
+    )
+    U.checkpoint_versioned(spark, target)
+    ckdir = os.path.join(target, "_checkpoints")
+    assert len(os.listdir(ckdir)) == 2
+    U.vacuum_versioned(spark, target)
+    assert os.listdir(ckdir) == ["00000002.json"]
+    assert _vread(spark, target) == {1: ("d1", "a", 1), 2: ("d2", "b", 1)}
