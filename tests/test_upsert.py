@@ -914,7 +914,8 @@ def test_vacuum_prunes_superseded_checkpoints(spark, tmp_path):
     )
     U.checkpoint_versioned(spark, target)
     ckdir = os.path.join(target, "_checkpoints")
-    assert len(os.listdir(ckdir)) == 2
+    jsons = lambda: sorted(f for f in os.listdir(ckdir) if f.endswith(".json"))
+    assert jsons() == ["00000001.json", "00000002.json"]
     U.vacuum_versioned(spark, target)
-    assert os.listdir(ckdir) == ["00000002.json"]
+    assert jsons() == ["00000002.json"]
     assert _vread(spark, target) == {1: ("d1", "a", 1), 2: ("d2", "b", 1)}
