@@ -697,6 +697,7 @@ def streaming_versioned_ingest(
     key_cols: list[str],
     seq_col: str,
     partition_col: str,
+    log_checkpoint_every: int | None = None,
 ):
     """Structured Streaming front-end for the versioned MERGE: each
     micro-batch folds via upsert_versioned, so readers only ever see
@@ -705,15 +706,24 @@ def streaming_versioned_ingest(
     batch boundaries, and re-merging an identical batch is a semantic
     no-op (latest_by_key keeps the same rows; the extra commit is
     vacuumable). Returns a configured DataStreamWriter — call
-    .trigger(...).start() (same convention as streaming/rollup.py)."""
+    .trigger(...).start() (same convention as streaming/rollup.py).
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+    `log_checkpoint_every=N` folds the manifest log with
+    checkpoint_versioned after every Nth micro-batch — a continuously
+    ingesting table grows one manifest per batch, so without this the
+    read path degrades O(batches) (measured 2.95s at 1000 commits vs
+    0.06s checkpointed, SCALE_SMOKE_r13.json). Safe under replay:
+    a checkpoint is a pure function of the immutable log prefix."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         upsert_versioned(
             batch_df.sparkSession, batch_df, target_dir,
             key_cols, seq_col, partition_col,
         )
+        if log_checkpoint_every and (batch_id + 1) % log_checkpoint_every == 0:
+            checkpoint_versioned(batch_df.sparkSession, target_dir)
 
     return stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -919,3 +919,56 @@ def test_vacuum_prunes_superseded_checkpoints(spark, tmp_path):
     U.vacuum_versioned(spark, target)
     assert jsons() == ["00000002.json"]
     assert _vread(spark, target) == {1: ("d1", "a", 1), 2: ("d2", "b", 1)}
+
+
+def test_streaming_versioned_ingest_auto_log_checkpoint(spark, tmp_path):
+    """log_checkpoint_every=2: the streaming ingest folds the manifest
+    log after every 2nd micro-batch; reads stay identical and the
+    newest checkpoint covers the committed prefix."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import etl_poc_spark.operators.upsert as U
+
+    in_dir = tmp_path / "vin"
+    in_dir.mkdir()
+    schema = pa.schema([
+        ("k", pa.int64()), ("day", pa.string()),
+        ("v", pa.string()), ("seq", pa.int64()),
+    ])
+    batches = [
+        [(1, "d1", "a", 1)], [(2, "d2", "b", 1)],
+        [(3, "d3", "c", 1)], [(1, "d1", "A", 2)],
+    ]
+    for i, b in enumerate(batches):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(b, columns=["k", "day", "v", "seq"]), schema=schema
+            ),
+            str(in_dir / f"b{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("k long, day string, v string, seq long")
+        .format("parquet").option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    target = str(tmp_path / "vt")
+    q = U.streaming_versioned_ingest(
+        stream, target, str(tmp_path / "ck"), ["k"], "seq", "day",
+        log_checkpoint_every=2,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    assert _vread(spark, target) == {
+        1: ("d1", "A", 2), 2: ("d2", "b", 1), 3: ("d3", "c", 1),
+    }
+    cks = sorted(
+        f for f in os.listdir(os.path.join(target, "_checkpoints"))
+        if f.endswith(".json")
+    )
+    assert cks == ["00000002.json", "00000004.json"]  # after batches 2 and 4
+    ck_seq, prefix = U._load_checkpoint(spark, target)
+    assert ck_seq == 4 and len(prefix) == 4
