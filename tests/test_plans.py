@@ -1294,3 +1294,60 @@ def test_c4_line_filter_rules_and_yaml_op(spark):
     assert rows[2] == good1                    # text replaced by survivors
     assert rows[3] == good2
     assert set(mixed.columns) == {"doc_id", "text"}
+
+
+def test_yaml_full_curation_pipeline_e2e(spark):
+    """The complete modern curation vocabulary composes declaratively:
+    c4_filter (line rules) -> quality_filter (gopher doc rules) ->
+    exact_dedup -> dsir_select (target affinity) -> unimax_mix
+    (water-filled budgets). Deterministic end to end."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    def mk(i, lang, base):
+        lines = [
+            f"{base} sentence number {i} with plenty of useful words inside.",
+            "too few words.",
+            f"another {base} line number {i} that carries enough words to survive!",
+        ]
+        if i % 7 == 0:
+            lines.append("please accept our cookie policy and enable javascript now.")
+        return (i, lang, "\n".join(lines))
+
+    rows = [mk(i, "en", "the quick brown fox jumps over lazy dogs in") for i in range(60)] + [
+        mk(100 + i, "fr", "le renard brun rapide saute par dessus les chiens") for i in range(12)
+    ]
+    # exact duplicates to be removed by the dedup stage
+    rows += [(200 + i, "en", rows[i][2]) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    config = {
+        "default_model": "stub",
+        "datasets": {"docs": {"path": "injected.json"}},
+        "operations": [
+            {"name": "c4", "type": "c4_filter", "min_lines": 2},
+            {"name": "quality", "type": "quality_filter"},
+            {"name": "exact", "type": "exact_dedup", "keys": ["text"], "id": "doc_id"},
+            {"name": "select", "type": "dsir_select", "target_where": "lang = 'en'", "k": 60},
+            {"name": "mix", "type": "unimax_mix", "stratify_key": "lang",
+             "total_budget": 1200, "max_epochs": 1},
+        ],
+        "pipeline": {"steps": [
+            {"name": "curate", "input": "docs",
+             "operations": ["c4", "quality", "exact", "select", "mix"]},
+        ]},
+    }
+    out = run_pipeline(spark, config, datasets={"docs": docs})["__final__"]
+    kept = [r for r in out.collect()]
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == sorted(set(ids))               # E=1: no duplication
+    assert len(ids) > 0
+    # the 5 exact duplicates never both survive (dedup keeps min doc_id)
+    assert not ({200 + i for i in range(5)} & set(ids))
+    # boilerplate lines never reach the output text
+    assert all("javascript" not in r["text"] for r in kept)
+    assert all("too few words." not in r["text"] for r in kept)
+    # deterministic rerun
+    out2 = run_pipeline(spark, config, datasets={"docs": docs})["__final__"]
+    assert sorted(r["doc_id"] for r in out2.collect()) == ids
