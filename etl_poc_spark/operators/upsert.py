@@ -372,6 +372,17 @@ def _write_commit_data(
     )
 
 
+# set after the first createLink failure that signals missing hard-link
+# support (some network mounts present a file: scheme without link(2));
+# from then on local claims fall back to rename + the read-back
+# verification in _finalize_commit — degraded but never silently lossy
+_LINK_UNSUPPORTED = False
+
+
+class _LinkUnsupported(Exception):
+    pass
+
+
 def _local_claim_by_link(jvm, tmp_str: str, dst_str: str) -> bool:
     """Atomic no-overwrite slot claim on a local filesystem: hard-link
     the staged manifest onto the slot name. link(2) fails with EEXIST if
@@ -379,7 +390,8 @@ def _local_claim_by_link(jvm, tmp_str: str, dst_str: str) -> bool:
     check-then-act window, unlike RawLocalFileSystem.rename (an exists
     check followed by POSIX rename(2), which overwrites). Returns True
     iff this writer claimed the slot; the staged tmp survives either way
-    (the caller deletes it after a confirmed claim)."""
+    (the caller deletes it after a confirmed claim). Raises
+    _LinkUnsupported when the mount has no hard-link support."""
     from py4j.protocol import Py4JJavaError
 
     def nio(s: str):
@@ -391,8 +403,14 @@ def _local_claim_by_link(jvm, tmp_str: str, dst_str: str) -> bool:
         jvm.java.nio.file.Files.createLink(nio(dst_str), nio(tmp_str))
         return True
     except Py4JJavaError as e:
-        if "FileAlreadyExistsException" in str(e.java_exception):
+        cls = str(e.java_exception)
+        if "FileAlreadyExistsException" in cls:
             return False
+        if "UnsupportedOperationException" in cls or (
+            "FileSystemException" in cls
+            and ("not permitted" in cls or "not supported" in cls)
+        ):
+            raise _LinkUnsupported(cls) from e
         raise
 
 
@@ -495,8 +513,16 @@ def _finalize_commit(
             # commit id here would give racing writers distinct filenames
             # and let both claims "succeed" on the same slot
             dst_str = _join(cdir, f"{seq:08d}.json")
-            if is_local:
-                claimed = _local_claim_by_link(jvm, tmp_str, dst_str)
+            global _LINK_UNSUPPORTED
+            if is_local and not _LINK_UNSUPPORTED:
+                try:
+                    claimed = _local_claim_by_link(jvm, tmp_str, dst_str)
+                except _LinkUnsupported:
+                    # mount without link(2) (some network filesystems
+                    # behind file:): degrade to rename + read-back — the
+                    # verification below still catches any double-win
+                    _LINK_UNSUPPORTED = True
+                    claimed = bool(fs.rename(tmp, P(dst_str)))
             else:
                 # HDFS: the NameNode refuses an existing destination
                 # atomically; rename consumes tmp on success

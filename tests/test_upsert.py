@@ -972,3 +972,26 @@ def test_streaming_versioned_ingest_auto_log_checkpoint(spark, tmp_path):
     assert cks == ["00000002.json", "00000004.json"]  # after batches 2 and 4
     ck_seq, prefix = U._load_checkpoint(spark, target)
     assert ck_seq == 4 and len(prefix) == 4
+
+
+def test_claim_falls_back_to_rename_when_links_unsupported(spark, tmp_path, monkeypatch):
+    """A file:-scheme mount without hard-link support (some network
+    filesystems) must degrade to rename + read-back verification, not
+    fail the upsert."""
+    import etl_poc_spark.operators.upsert as U
+
+    def no_links(jvm, tmp_str, dst_str):
+        raise U._LinkUnsupported("java.nio.file.FileSystemException: not supported")
+
+    monkeypatch.setattr(U, "_local_claim_by_link", no_links)
+    monkeypatch.setattr(U, "_LINK_UNSUPPORTED", False)
+    target = str(tmp_path / "vt")
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "a", 1)]), target, ["k"], "seq", "day"
+    )
+    assert U._LINK_UNSUPPORTED is True          # sticky fallback engaged
+    U.upsert_versioned(                         # subsequent commits keep working
+        spark, _rows(spark, [(2, "d2", "b", 1)]), target, ["k"], "seq", "day"
+    )
+    assert _vread(spark, target) == {1: ("d1", "a", 1), 2: ("d2", "b", 1)}
+    monkeypatch.setattr(U, "_LINK_UNSUPPORTED", False)
