@@ -97,15 +97,18 @@ def test_lm_store_same_tag_damage_heals_on_replay(spark, tmp_path):
     raced = str(tmp_path / "raced")
     incremental_bigram_lm_ingest(spark, _docs(spark, [(0, "seed words here")]),
                                  raced, batch_tag="b0")
+    def _try_ingest(d):
+        # out-of-contract by design: one concurrent same-tag writer may
+        # ERROR (Spark's overwrite is delete-then-commit; the other
+        # writer can delete its staging mid-commit). Any outcome —
+        # either wins, both partially land, one raises — must heal below.
+        try:
+            incremental_bigram_lm_ingest(spark, d, raced, batch_tag="b1")
+        except Exception:  # noqa: BLE001
+            pass
+
     with ThreadPoolExecutor(max_workers=2) as ex:  # same tag, concurrent
-        list(
-            ex.map(
-                lambda d: incremental_bigram_lm_ingest(
-                    spark, d, raced, batch_tag="b1"
-                ),
-                [a, b],
-            )
-        )
+        list(ex.map(_try_ingest, [a, b]))
     # the heal: replay tag b1 once, sequentially (streaming restart)
     incremental_bigram_lm_ingest(spark, b, raced, batch_tag="b1")
 
