@@ -523,6 +523,33 @@ def connected_components(
     return labels
 
 
+def dup_aware_weights(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-aware DOWN-WEIGHTING (soft dedup, the SlimPajama/
+    FineWeb-adjacent alternative to dropping): every document in an
+    n-member near-duplicate cluster carries training weight 1/n, so a
+    cluster's total mass equals one copy — duplication bias is removed
+    while content coverage is preserved (hard dedup discards the
+    evidence that duplicated content is popular). Docs outside any
+    cluster keep weight 1. Appends (n_members, weight).
+
+    Scale shape: components over the PAIR graph only (near-dup members,
+    a tiny fraction of the corpus), one size aggregation, one broadcast-
+    friendly left join back to the corpus — the corpus itself never
+    enters the transitive closure."""
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    labeled = comps.join(sizes, "component").withColumnRenamed("id", id_col)
+    return (
+        corpus.join(labeled.select(id_col, "n_members"), id_col, "left")
+        .withColumn("n_members", F.coalesce("n_members", F.lit(1)))
+        .withColumn("weight", F.lit(1.0) / F.col("n_members").cast("double"))
+    )
+
+
 def dedup_representatives(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -329,3 +329,51 @@ def near_dup_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
     return dedup_representatives(pairs)
+
+
+@query(
+    "dup_aware_doc_weights",
+    oracle="WITH RECURSIVE pairs_q AS (" + _ORACLES["minhash_lsh_pairs"] + """
+    ), corpus_ids AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id FROM documents
+      WHERE doc_id % 10 = 0
+        AND len(string_split_regex(trim(text), '\\s+')) >= 5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs_q
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs_q
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT component, COUNT(*) AS n FROM comp GROUP BY component
+    ), labeled AS (
+      SELECT comp.id, sizes.n FROM comp JOIN sizes USING (component)
+    )
+    SELECT c.doc_id,
+           CAST(COALESCE(l.n, 1) AS BIGINT) AS n_members,
+           1.0 / CAST(COALESCE(l.n, 1) AS DOUBLE) AS weight
+    FROM corpus_ids c LEFT JOIN labeled l ON l.id = c.doc_id
+    """,
+)
+def dup_aware_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: per-document training weight 1/n over the MinHash-LSH
+    near-dup clusters' transitive closure (operators/dedup.py::
+    dup_aware_weights) — a cluster's total mass equals one copy, so
+    duplication bias is removed without discarding the popularity signal
+    hard dedup throws away. The weight 1.0/n is one IEEE double division
+    — bit-equal across engines, hash-exact against the recursive-CTE
+    oracle."""
+    from etl_poc_spark.operators.dedup import dup_aware_weights
+
+    corpus = _near_dup_corpus(spark, sf_dir).select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    out = dup_aware_weights(corpus, pairs, "doc_id")
+    return out.select("doc_id", F.col("n_members").cast("long").alias("n_members"), "weight")
