@@ -41,7 +41,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Static broadcasts stay at Spark's conservative 10MB — the static
+        # threshold acts on Catalyst's SIZE ESTIMATES, and a misestimated
+        # corpus-scaled frame (e.g. the LSH candidate-pair subplan at 100x,
+        # SCALE_SMOKE_r13) can "fit" a 64MB estimate while exploding to GBs
+        # in the driver's broadcast build. AQE re-plans shuffle joins to
+        # broadcasts at RUNTIME using REAL shuffle sizes, so the generous
+        # threshold lives there: small frames still broadcast, misestimates
+        # can no longer OOM the build.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # events.parquet has shipped as TIMESTAMP(NANOS) in past rounds,
