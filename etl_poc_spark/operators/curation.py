@@ -483,3 +483,121 @@ def unimax_budgets(
         .otherwise(level)
         .alias("budget"),
     )
+
+
+def doremi_domain_weights(
+    excess: DataFrame,
+    domain_col: str,
+    excess_col: str,
+    n_steps: int = 4,
+    eta_shift: int = 10,
+    smoothing_shift: int = 6,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429):
+    given per-example EXCESS losses (proxy-model loss minus reference-model
+    loss — the signal a proxy run produces), run T multiplicative-weights
+    steps over the domains and return the step-averaged mixture weights
+    ᾱ_d. Domains with persistently positive excess loss (hardest for the
+    proxy, most headroom) are up-weighted; the smoothing floor ε/k keeps
+    every domain sampled.
+
+    Deterministic linearized variant (engine-portable, hash-exact):
+    - per-example excess is clipped at 0 (as in the paper) and should be
+      INTEGER-SCALED (e.g. milli-nats) so the per-domain fold is an exact
+      BIGINT sum; λ_d = floor(Σ excess⁺ / count) — one exact division.
+    - the paper's exp(η·λ) step is linearized to g_d = 1 + η·λ_d with
+      η = 2^-eta_shift, i.e. g_d = (2^s + λ_d) / 2^s: the per-step weight
+      w_d^(t) = g_d^t has the exact integer numerator m_d^t = (2^s+λ_d)^t,
+      carried in DECIMAL(38,0) (the DSIR cross-multiplication discipline,
+      operators/dsir.py) so the cross-domain normalizer Σ_d m_d^t is an
+      ORDER-INDEPENDENT exact sum — no float fold anywhere.
+    - α_d^(t) = (1−ε)·m_d^t/Σm^t + ε/k with ε = 2^-smoothing_shift;
+      output ᾱ_d = (Σ_t α^(t))/T folded in fixed t-order per row.
+
+    Overflow bound (caller's contract): (2^eta_shift + max λ)^n_steps · k
+    must fit DECIMAL(38,0) — with the defaults (s=10, T=4) any λ ≤ ~10^8
+    is safe.
+
+    Output: (domain_col, n_examples, lambda_floor, alpha). Σα = 1 up to
+    float rounding.
+
+    Scale shape: ONE map-side-combined groupBy(domain) over the corpus;
+    every later step is windows over the ≤k-domain frame (the bounded-
+    model-frame class — same as unimax_budgets / the DSIR model frames).
+
+    Reference parity note: the reference repo has no mixing tier at all
+    (its pipeline is Airflow orchestration, docetl/config/*.yaml); this
+    op belongs to the mandated large-scale training-data vocabulary
+    alongside temperature_mix / unimax_mix / dsir_select."""
+    lam = (
+        excess.select(
+            F.col(domain_col),
+            F.greatest(F.col(excess_col).cast("bigint"), F.lit(0)).alias("__e"),
+        )
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n_examples"), F.sum("__e").alias("__sum_ex"))
+    )
+    return doremi_weights_from_stats(
+        lam,
+        domain_col,
+        sum_col="__sum_ex",
+        count_col="n_examples",
+        n_steps=n_steps,
+        eta_shift=eta_shift,
+        smoothing_shift=smoothing_shift,
+    )
+
+
+def doremi_weights_from_stats(
+    stats: DataFrame,
+    domain_col: str,
+    sum_col: str = "sum_excess",
+    count_col: str = "n_examples",
+    n_steps: int = 4,
+    eta_shift: int = 10,
+    smoothing_shift: int = 6,
+) -> DataFrame:
+    """DoReMi solver over PRE-AGGREGATED per-domain stats (Σ clipped
+    excess, example count) — the entry point for incrementally-maintained
+    inputs: (sum, count) are additive, so a delta-log store or
+    `maintain_agg_view_versioned` view folds new batches exactly and the
+    solve over the maintained frame is bit-equal to a one-shot solve over
+    the union (equivalence pytest). Same recurrence and output columns
+    as `doremi_domain_weights`, minus the corpus aggregation."""
+    if n_steps < 1:
+        raise ValueError("n_steps must be >= 1")
+    base = 1 << int(eta_shift)
+    eps = 1.0 / float(1 << int(smoothing_shift))
+    lam = stats.select(
+        F.col(domain_col),
+        F.col(count_col).cast("bigint").alias("n_examples"),
+        F.floor(
+            F.col(sum_col).cast("double") / F.col(count_col).cast("double")
+        )
+        .cast("bigint")
+        .alias("lambda_floor"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d38 = "decimal(38,0)"
+    out = lam.withColumn(
+        "__m1", (F.lit(base) + F.col("lambda_floor")).cast(d38)
+    ).withColumn("__k", F.count(F.lit(1)).over(w_all))
+    alpha = None
+    prev = "__m1"
+    for t in range(1, n_steps + 1):
+        mt = f"__m{t}"
+        if t > 1:
+            out = out.withColumn(mt, (F.col(prev) * F.col("__m1")).cast(d38))
+            prev = mt
+        out = out.withColumn(f"__S{t}", F.sum(mt).over(w_all))
+        u_t = F.col(mt).cast("double") / F.col(f"__S{t}").cast("double")
+        a_t = F.lit(1.0 - eps) * u_t + F.lit(eps) / F.col("__k").cast("double")
+        alpha = a_t if alpha is None else alpha + a_t
+    return out.select(
+        domain_col,
+        "n_examples",
+        "lambda_floor",
+        (alpha / F.lit(float(n_steps))).alias("alpha"),
+    )

@@ -984,3 +984,111 @@ def semdedup(
             F.coalesce(F.col("__d"), F.lit(False)).alias("is_dropped"),
         )
     )
+
+
+def sq8_train_bounds(
+    base: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) bounds for SQ8 scalar quantization,
+    computed as ONE map-side-combined aggregation of 2·dim expressions —
+    a single 1-row reduce, no explode, no shuffle of the vectors
+    (the bounded-by-construction collect class: exactly one row).
+
+    min/max over floats are exact (no rounding), so the bounds are
+    deterministic in any fold order."""
+    aggs = []
+    for i in range(dim):
+        e = F.element_at(F.col(vec_col), i + 1).cast("double")
+        aggs.append(F.min(e).alias(f"mn{i}"))
+        aggs.append(F.max(e).alias(f"mx{i}"))
+    row = base.agg(*aggs).collect()[0]
+    mn = [float(row[f"mn{i}"]) for i in range(dim)]
+    mx = [float(row[f"mx{i}"]) for i in range(dim)]
+    return mn, mx
+
+
+def sq8_quantize_expr(
+    vec_col: str, mn: list[float], mx: list[float]
+) -> F.Column:
+    """8-bit scalar-quantization codes for a vector column against the
+    trained per-dimension bounds: c_i = clamp(floor((v_i − mn_i)·255 /
+    (mx_i − mn_i)), 0, 255); degenerate dimensions (mx == mn) code to 0.
+
+    The bounds ride as ARRAY LITERALS — the quantization is pure map-side
+    whole-stage-codegen arithmetic, no join, no UDF. Every float op is a
+    fixed-order IEEE sequence, so the codes are engine-portable
+    (hash-exact DuckDB oracle: gate query `embedding_sq8_topk`)."""
+    mn_lit = F.array(*[F.lit(v) for v in mn])
+    rng_lit = F.array(*[F.lit(b - a) for a, b in zip(mn, mx)])
+    return F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.get(rng_lit, i) > 0.0,
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (x.cast("double") - F.get(mn_lit, i))
+                        * F.lit(255.0)
+                        / F.get(rng_lit, i)
+                    ).cast("int"),
+                ),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bounds: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """SQ8 approximate top-k by symmetric quantized dot product — the
+    scalar-quantization tier of the FAISS family (IVF / PQ / IVF-PQ are
+    `ivf_cosine_topk` / `pq_adc_topk` / `ivfpq_topk`): vectors compress
+    4× vs float32 (8× vs double) into uint8 codes; similarity is the
+    EXACT INTEGER dot product of the codes (≤ 255²·dim, overflow-free in
+    BIGINT), so scoring is deterministic to the bit — the asymmetric
+    float-ADC variant trades that determinism for a little recall.
+
+    Output: (query_id, neighbor_id, rank, score) — ties broken by
+    neighbor_id, ranking total and deterministic.
+
+    Scale shape: bounds are ONE 1-row aggregation; quantization is
+    map-only literal arithmetic; the candidate space here is brute-force
+    (queries broadcast over the base scan — right for ≤ thousands of
+    queries); at billions of base rows compose with the IVF bucket join
+    (quantize within `ivf_cosine_topk`'s bucketed candidates) — the
+    memory win is what makes the in-partition scan feasible there."""
+    if bounds is None:
+        bounds = sq8_train_bounds(base, vec_col, dim)
+    mn, mx = bounds
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        sq8_quantize_expr(vec_col, mn, mx).alias("__qc"),
+    )
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_quantize_expr(vec_col, mn, mx).alias("__bc"),
+    )
+    hint_q = F.broadcast if _provably_small(queries) else (lambda df: df)
+    scored = hint_q(q).crossJoin(b).select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(F.col("__qc"), F.col("__bc"), lambda a, c: (a * c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

@@ -35,6 +35,9 @@ docetl/config/article_pipeline.yaml.j2):
       # unimax_mix {stratify_key, total_budget, max_epochs, id,
       #   text_key|weight_key, salt} — UniMax water-filled budgets
       #   realized as per-stratum keep-rates (epoch-capped strata keep all)
+      # doremi_mix {stratify_key, excess_key, id, n_steps, eta_shift,
+      #   smoothing_shift, salt} — DoReMi MW domain weights from a
+      #   per-example excess-loss column, realized as keep-rates ∝ α_d/n_d
       # analytics vocabulary (engine extension, round 9):
       # profile {columns}, attribution {entity_key, state_key, ts_key,
       #   conversion_type, within_seconds}, rfm {entity_key, ts_key,
@@ -483,6 +486,53 @@ def _apply_op(
             .withColumn("__e", F.explode(F.sequence(F.lit(1), F.col("__c"))))
             .drop("__s", "__rate", "__c", "__e")
         )
+    if t == "doremi_mix":
+        # DoReMi mixing (arXiv:2305.10429): solve step-averaged domain
+        # weights α_d from a per-example excess-loss column (the caller's
+        # proxy−reference loss, integer-scaled), then realize the mixture
+        # by per-stratum keep-rates r_d ∝ α_d / n_d normalized so the
+        # most-boosted stratum keeps 100% (one-pass subsampling cannot
+        # upsample — the temperature_mix discipline). Realized example
+        # counts track α_d; the 52-bit md5 hash_uniform decides, so
+        # realized fractions follow the computed rates to double
+        # precision. Null-safe stratum join; strata absent from the
+        # solved frame carry no rate and are dropped.
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.curation import (
+            doremi_domain_weights,
+            hash_uniform,
+        )
+
+        strat = op.get("stratify_key", "source")
+        id_col = op.get("id", "doc_id")
+        excess_key = op.get("excess_key")
+        if not excess_key:
+            raise PipelineConfigError("doremi_mix requires 'excess_key'")
+        weights = doremi_domain_weights(
+            df.select(F.col(strat).alias("__s"), F.col(excess_key).alias("__e")),
+            "__s",
+            "__e",
+            n_steps=int(op.get("n_steps", 4)),
+            eta_shift=int(op.get("eta_shift", 10)),
+            smoothing_shift=int(op.get("smoothing_shift", 6)),
+        )
+        wall = Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        rates = (
+            weights.withColumn(
+                "__raw", F.col("alpha") / F.col("n_examples").cast("double")
+            )
+            .withColumn("__mx", F.max("__raw").over(wall))
+            .select("__s", (F.col("__raw") / F.col("__mx")).alias("__rate"))
+        )
+        out = df.join(F.broadcast(rates), df[strat].eqNullSafe(rates["__s"]), "left")
+        keep = hash_uniform(F.col(id_col), str(op.get("salt", "doremi"))) < F.col(
+            "__rate"
+        )
+        return out.where(keep).drop("__s", "__rate")
     if t == "pii_redact":
         from pyspark.sql import functions as F
 

@@ -800,3 +800,67 @@ def unimax_lang_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens")
     )
     return unimax_budgets(t, "lang", "n_tokens", 18000, 1).orderBy("lang")
+
+
+@query(
+    "doremi_domain_weights",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(FLOOR(CAST(1000 AS DOUBLE) * n_chars
+                        / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               - 5500 AS ex
+      FROM documents
+    ), t AS (
+      SELECT source, COUNT(*) AS n_examples,
+             CAST(FLOOR(CAST(SUM(GREATEST(ex, 0)) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS lambda_floor
+      FROM per_doc GROUP BY source
+    ), m AS (
+      SELECT *, CAST(256 + lambda_floor AS HUGEINT) AS m1,
+             COUNT(*) OVER () AS k
+      FROM t
+    ), p AS (
+      SELECT *, m1*m1 AS m2, (m1*m1)*m1 AS m3, ((m1*m1)*m1)*m1 AS m4 FROM m
+    ), s AS (
+      SELECT *, SUM(m1) OVER () AS s1, SUM(m2) OVER () AS s2,
+             SUM(m3) OVER () AS s3, SUM(m4) OVER () AS s4 FROM p
+    )
+    SELECT source, n_examples, lambda_floor,
+      (((((CAST(0.984375 AS DOUBLE) * (CAST(m1 AS DOUBLE) / CAST(s1 AS DOUBLE)))
+            + (CAST(0.015625 AS DOUBLE) / CAST(k AS DOUBLE)))
+        + ((CAST(0.984375 AS DOUBLE) * (CAST(m2 AS DOUBLE) / CAST(s2 AS DOUBLE)))
+            + (CAST(0.015625 AS DOUBLE) / CAST(k AS DOUBLE))))
+       + ((CAST(0.984375 AS DOUBLE) * (CAST(m3 AS DOUBLE) / CAST(s3 AS DOUBLE)))
+            + (CAST(0.015625 AS DOUBLE) / CAST(k AS DOUBLE))))
+      + ((CAST(0.984375 AS DOUBLE) * (CAST(m4 AS DOUBLE) / CAST(s4 AS DOUBLE)))
+            + (CAST(0.015625 AS DOUBLE) / CAST(k AS DOUBLE))))
+      / CAST(4 AS DOUBLE) AS alpha
+    FROM s ORDER BY source
+    """,
+)
+def doremi_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain reweighting (arXiv:2305.10429) over the documents
+    table with source as the domain: the per-example excess loss is a
+    deterministic integer proxy — milli-bytes-per-token above a 5500
+    baseline (a real deployment feeds the proxy−reference loss column a
+    training run logged; the solver is loss-source-agnostic). T=4
+    multiplicative-weights steps at η=2^-8, smoothing ε=2^-6;
+    every cross-domain fold is an exact integer sum (HUGEINT in the
+    oracle, DECIMAL(38,0) in Spark), so the weights are hash-exact
+    across engines — the same no-float-fold discipline as
+    unimax_lang_budgets and the DSIR affinity oracle.
+
+    Plan: one scan + one map-side-combined groupBy(source); the T-step
+    recurrence runs as windows over the ≤20-domain frame."""
+    from etl_poc_spark.operators.curation import doremi_domain_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpt = F.floor(
+        F.lit(1000.0) * F.col("n_chars") / n_tok.cast("double")
+    ).cast("bigint")
+    per_doc = d.select(F.col("source"), (bpt - F.lit(5500)).alias("ex"))
+    return doremi_domain_weights(
+        per_doc, "source", "ex", n_steps=4, eta_shift=8, smoothing_shift=6
+    ).orderBy("source")

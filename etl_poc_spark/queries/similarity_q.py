@@ -807,3 +807,60 @@ def semdedup_flags_two_level_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign="two_level",
         probe_superclusters=2,
     )
+
+
+@query(
+    "embedding_sq8_topk",
+    oracle="""
+    WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 4),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4),
+    stats AS (
+      SELECT i, MIN(CAST(v AS DOUBLE)) AS mn, MAX(CAST(v AS DOUBLE)) AS mx
+      FROM (SELECT unnest(embedding) AS v, unnest(range(1, 65)) AS i FROM b)
+      GROUP BY i
+    ), bz AS (
+      SELECT t.vec_id, t.i,
+             CASE WHEN s.mx > s.mn THEN LEAST(255, GREATEST(0,
+               CAST(FLOOR((CAST(t.v AS DOUBLE) - s.mn) * CAST(255 AS DOUBLE)
+                          / (s.mx - s.mn)) AS INTEGER)))
+             ELSE 0 END AS c
+      FROM (SELECT vec_id, unnest(embedding) AS v, unnest(range(1, 65)) AS i
+            FROM b) t
+      JOIN stats s USING (i)
+    ), qz AS (
+      SELECT t.vec_id, t.i,
+             CASE WHEN s.mx > s.mn THEN LEAST(255, GREATEST(0,
+               CAST(FLOOR((CAST(t.v AS DOUBLE) - s.mn) * CAST(255 AS DOUBLE)
+                          / (s.mx - s.mn)) AS INTEGER)))
+             ELSE 0 END AS c
+      FROM (SELECT vec_id, unnest(embedding) AS v, unnest(range(1, 65)) AS i
+            FROM q) t
+      JOIN stats s USING (i)
+    ), scores AS (
+      SELECT qz.vec_id AS query_id, bz.vec_id AS neighbor_id,
+             CAST(SUM(qz.c * bz.c) AS BIGINT) AS score
+      FROM qz JOIN bz USING (i)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scores
+    )
+    SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= 10
+    """,
+)
+def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-10 (the remaining member of the FAISS
+    quantization family next to embedding_ivf/pq/ivfpq_topk): per-dim
+    min/max bounds trained on the base side as one 1-row aggregation,
+    uint8 codes via map-only literal arithmetic (4× memory vs float32),
+    symmetric INTEGER dot-product scoring — exact BIGINT, so the whole
+    query is hash-exact against the DuckDB re-derivation, quantizer
+    included. 4 query vectors against the rest."""
+    from etl_poc_spark.operators.similarity import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    b = emb.filter(F.col("vec_id") >= 4)
+    return sq8_topk(q, b, k=10)

