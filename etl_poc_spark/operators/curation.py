@@ -601,3 +601,131 @@ def doremi_weights_from_stats(
         "lambda_floor",
         (alpha / F.lit(float(n_steps))).alias("alpha"),
     )
+
+
+def incremental_doremi_ingest(
+    spark,
+    batch: DataFrame,
+    store_dir: str,
+    *,
+    domain_col: str = "source",
+    excess_col: str = "excess",
+    batch_tag: str | None = None,
+) -> None:
+    """Fold a batch of per-example excess losses into a DoReMi stats
+    store: an append-only delta log of per-domain (n, s) partials —
+    clipped-excess sums and example counts are ADDITIVE, so the folded
+    store equals the one-shot aggregation over the union of every batch
+    in any slicing (exact BIGINTs; equivalence pytest).
+
+    Idempotency/replay: a stable `batch_tag` slots the delta under
+    tag=<tag> with overwrite semantics (at-least-once replay replaces its
+    own slot — the ngram_lm/dsir delta-log discipline). Concurrency
+    contract: single writer per tag (tests/test_store_concurrency.py
+    class)."""
+    from etl_poc_spark.operators.ngram_lm import _safe_tag
+
+    deltas = (
+        batch.select(
+            F.col(domain_col).alias("domain"),
+            F.greatest(F.col(excess_col).cast("bigint"), F.lit(0)).alias("__e"),
+        )
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__e").alias("s"))
+    )
+    if batch_tag is not None:
+        deltas.write.mode("overwrite").parquet(
+            f"{store_dir}/tag={_safe_tag(batch_tag)}"
+        )
+    else:
+        deltas.write.mode("append").parquet(store_dir)
+
+
+def read_doremi_store(
+    spark, store_dir: str, *, exclude_tag: str | None = None
+) -> DataFrame:
+    """Fold the delta log to the current per-domain stats frame
+    (domain, n_examples, sum_excess) — ≤ k rows. `exclude_tag` drops
+    that batch's slot (the replay seam)."""
+    from etl_poc_spark.operators.ngram_lm import _safe_tag
+
+    df = spark.read.option("recursiveFileLookup", "true").parquet(store_dir)
+    if exclude_tag is not None:
+        df = df.where(
+            ~F.input_file_name().contains(f"tag={_safe_tag(exclude_tag)}/")
+        )
+    return df.groupBy("domain").agg(
+        F.sum("n").alias("n_examples"), F.sum("s").alias("sum_excess")
+    )
+
+
+def doremi_store_weights(
+    spark,
+    store_dir: str,
+    *,
+    n_steps: int = 4,
+    eta_shift: int = 10,
+    smoothing_shift: int = 6,
+) -> DataFrame:
+    """Solve the CURRENT mixture weights from a maintained store — the
+    live view a training-data sampler reads while ingest continues.
+    Bit-equal to a one-shot `doremi_domain_weights` over the union of
+    all ingested batches (additive stats + the exact-integer solver)."""
+    return doremi_weights_from_stats(
+        read_doremi_store(spark, store_dir),
+        "domain",
+        sum_col="sum_excess",
+        count_col="n_examples",
+        n_steps=n_steps,
+        eta_shift=eta_shift,
+        smoothing_shift=smoothing_shift,
+    )
+
+
+def doremi_handle_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    domain_col: str = "source",
+    excess_col: str = "excess",
+) -> None:
+    """foreachBatch body for streaming DoReMi stats maintenance —
+    batch id = tag slot, so at-least-once delivery folds exactly once."""
+    incremental_doremi_ingest(
+        batch_df.sparkSession,
+        batch_df,
+        store_dir,
+        domain_col=domain_col,
+        excess_col=excess_col,
+        batch_tag=f"batch-{batch_id}",
+    )
+
+
+def streaming_doremi_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    domain_col: str = "source",
+    excess_col: str = "excess",
+):
+    """Continuous DoReMi stats maintenance over a stream of per-example
+    excess losses (e.g. a training job's eval log landing zone): each
+    micro-batch folds its per-domain partials into the store
+    exactly-once. Returns a configured DataStreamWriter — call
+    .trigger(...).start(); read the live weights any time with
+    doremi_store_weights."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        doremi_handle_batch(
+            batch_df,
+            batch_id,
+            store_dir=store_dir,
+            domain_col=domain_col,
+            excess_col=excess_col,
+        )
+
+    return stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )

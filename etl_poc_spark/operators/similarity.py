@@ -1092,3 +1092,52 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def ivf_sq8_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+    dim: int = 64,
+    bounds: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """IVF + SQ8: the composed scale path the SQ8 docstring promises —
+    the sign-bit coarse quantizer shrinks the candidate space ~2^n_bits
+    (an equi-join on bucket, never a cross join), and candidates are
+    scored by the symmetric INTEGER dot of their uint8 codes (4× less
+    memory scanned per candidate than float32). Both halves are
+    deterministic, so the whole query is hash-exact cross-engine.
+
+    Output: (query_id, neighbor_id, rank, score), ties by neighbor_id."""
+    if bounds is None:
+        bounds = sq8_train_bounds(base, vec_col, dim)
+    mn, mx = bounds
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        sign_bucket_expr(vec_col, n_bits).alias("bucket"),
+        sq8_quantize_expr(vec_col, mn, mx).alias("__qc"),
+    )
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        sign_bucket_expr(vec_col, n_bits).alias("bucket"),
+        sq8_quantize_expr(vec_col, mn, mx).alias("__bc"),
+    )
+    hint_q = F.broadcast if _provably_small(queries) else (lambda df: df)
+    scored = hint_q(q).join(b, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(F.col("__qc"), F.col("__bc"), lambda a, c: (a * c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

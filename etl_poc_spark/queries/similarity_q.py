@@ -864,3 +864,68 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 4)
     b = emb.filter(F.col("vec_id") >= 4)
     return sq8_topk(q, b, k=10)
+
+
+@query(
+    "embedding_ivf_sq8_topk",
+    oracle="""
+    WITH tagged AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, embedding, bucket FROM tagged WHERE vec_id >= 10),
+    q AS (SELECT vec_id, embedding, bucket FROM tagged WHERE vec_id < 10),
+    stats AS (
+      SELECT i, MIN(CAST(v AS DOUBLE)) AS mn, MAX(CAST(v AS DOUBLE)) AS mx
+      FROM (SELECT unnest(embedding) AS v, unnest(range(1, 65)) AS i FROM b)
+      GROUP BY i
+    ), bz AS (
+      SELECT t.vec_id, t.bucket, t.i,
+             CASE WHEN s.mx > s.mn THEN LEAST(255, GREATEST(0,
+               CAST(FLOOR((CAST(t.v AS DOUBLE) - s.mn) * CAST(255 AS DOUBLE)
+                          / (s.mx - s.mn)) AS INTEGER)))
+             ELSE 0 END AS c
+      FROM (SELECT vec_id, bucket, unnest(embedding) AS v,
+                   unnest(range(1, 65)) AS i FROM b) t
+      JOIN stats s USING (i)
+    ), qz AS (
+      SELECT t.vec_id, t.bucket, t.i,
+             CASE WHEN s.mx > s.mn THEN LEAST(255, GREATEST(0,
+               CAST(FLOOR((CAST(t.v AS DOUBLE) - s.mn) * CAST(255 AS DOUBLE)
+                          / (s.mx - s.mn)) AS INTEGER)))
+             ELSE 0 END AS c
+      FROM (SELECT vec_id, bucket, unnest(embedding) AS v,
+                   unnest(range(1, 65)) AS i FROM q) t
+      JOIN stats s USING (i)
+    ), scores AS (
+      SELECT qz.vec_id AS query_id, bz.vec_id AS neighbor_id,
+             CAST(SUM(qz.c * bz.c) AS BIGINT) AS score
+      FROM qz JOIN bz ON qz.bucket = bz.bucket AND qz.i = bz.i
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scores
+    )
+    SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF bucketing + SQ8 integer scoring composed (the billion-row ANN
+    shape: equi-join candidate generation, 4×-compressed candidate scan):
+    10 query vectors probe their own sign-bit bucket; candidates score by
+    the quantized integer dot. Hash-exact — coarse quantizer, bounds,
+    codes, and ranking all re-derived by the oracle."""
+    from etl_poc_spark.operators.similarity import ivf_sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    b = emb.filter(F.col("vec_id") >= 10)
+    return ivf_sq8_topk(q, b, k=5)

@@ -383,3 +383,45 @@ def test_doremi_weights_from_stats_incremental_equivalence(spark):
     assert sorted(map(tuple, inc.collect())) == sorted(
         map(tuple, one_shot.collect())
     )
+
+
+def test_doremi_store_streaming_equivalence_and_replay(spark, tmp_path):
+    """The maintained DoReMi store equals the one-shot solve over the
+    union of every ingested batch (additive exact-integer stats), and an
+    at-least-once replay of a tagged batch folds exactly once (tag-slot
+    overwrite — the ngram_lm/dsir delta-log discipline)."""
+    from etl_poc_spark.operators.curation import (
+        doremi_domain_weights,
+        doremi_handle_batch,
+        doremi_store_weights,
+        read_doremi_store,
+    )
+
+    store = str(tmp_path / "doremi_store")
+    b1 = spark.createDataFrame(
+        [("a", 120), ("a", -3), ("b", 40)], "source string, excess long"
+    )
+    b2 = spark.createDataFrame(
+        [("b", 60), ("c", 0), ("c", 10)], "source string, excess long"
+    )
+    doremi_handle_batch(b1, 0, store_dir=store)
+    doremi_handle_batch(b2, 1, store_dir=store)
+    # replay batch 1 (at-least-once delivery): overwrites its own slot
+    doremi_handle_batch(b2, 1, store_dir=store)
+
+    stats = {
+        r["domain"]: (r["n_examples"], r["sum_excess"])
+        for r in read_doremi_store(spark, store).collect()
+    }
+    assert stats == {"a": (2, 120), "b": (2, 100), "c": (2, 10)}
+
+    live = sorted(map(tuple, doremi_store_weights(spark, store).collect()))
+    one_shot = sorted(
+        map(
+            tuple,
+            doremi_domain_weights(
+                b1.unionByName(b2), "source", "excess"
+            ).withColumnRenamed("source", "domain").collect(),
+        )
+    )
+    assert live == one_shot

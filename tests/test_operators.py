@@ -1592,3 +1592,44 @@ def test_sq8_quantized_topk(spark):
         )
     )
     assert a == c
+
+
+def test_ivf_sq8_topk_bucket_confinement(spark):
+    """ivf_sq8_topk: every returned neighbor shares the query's sign-bit
+    coarse bucket (candidate generation is the equi-join, never a
+    cross join), and the integer scores match the brute-force sq8_topk
+    scores for the same (query, neighbor) pairs."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.similarity import (
+        ivf_sq8_topk,
+        sign_bucket_expr,
+        sq8_topk,
+        sq8_train_bounds,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 5)
+    b = df.filter(F.col("vec_id") >= 5)
+    bounds = sq8_train_bounds(b, dim=8)
+    out = ivf_sq8_topk(q, b, k=3, n_bits=4, dim=8, bounds=bounds).collect()
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in df.select("vec_id", sign_bucket_expr("embedding", 4).alias("bucket")).collect()
+    }
+    assert out, "some bucket must be non-empty"
+    for r in out:
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+    # scores agree with the brute-force quantized dot for the same pairs
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in sq8_topk(q, b, k=1000, dim=8, bounds=bounds).collect()
+    }
+    for r in out:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["score"]
