@@ -1141,3 +1141,104 @@ def ivf_sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 1.0,
+    pairs: DataFrame | None = None,
+    mode: str = "exact",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER/
+    CCMatrix primitive): score every (src, tgt) candidate by the RATIO
+    margin — cos(x,y) divided by the mean of the two sides' average
+    top-k similarities — which cancels the hubness that makes raw cosine
+    unreliable for cross-lingual retrieval, then keep each src row's
+    best-margin tgt above `threshold`, flagging mutual best pairs
+    (forward-backward consistency).
+
+    Determinism discipline: cosines come from the exact decimal scorer
+    (`_pair_cosine`, round-7); the top-k sums are DECIMAL(18,7)
+    accumulations (order-independent), each average is one decimal→double
+    cast + one division, and the margin is a fixed-order IEEE sequence
+    rounded to 7 — hash-exact cross-engine (gate query
+    `bitext_margin_pairs`). Ties break by id, so the mined set is total.
+
+    Scale shape: pass `pairs` to bound candidates (e.g. the IVF sign-
+    bucket join or an SQ8 prefilter) — the default all-pairs grid is for
+    a bounded src side (broadcast) only; the margin statistics are then
+    computed WITHIN the candidate set, as in blocked CCMatrix mining.
+    mode='float' swaps in the Arrow-batched numpy scorer
+    (`_pair_cosine_float`, ~10-40× less work per pair — the semdedup
+    verify discipline) for production mining; 'exact' keeps the decimal
+    bit-stable scorer the oracle gate checks.
+
+    Output: (src_id, tgt_id, cos_sim, margin, mutual_best)."""
+    if pairs is None:
+        pairs = (
+            src.select(F.col(id_col).alias("query_id"))
+            .crossJoin(tgt.select(F.col(id_col).alias("neighbor_id")))
+        )
+    if mode == "exact":
+        scored = _pair_cosine(src, tgt, pairs, id_col, vec_col)
+    elif mode == "float":
+        scored = _pair_cosine_float(src, tgt, pairs, id_col, vec_col)
+    else:
+        raise ValueError(f"mode must be 'exact' or 'float', got {mode!r}")
+    scored = scored.select("query_id", "neighbor_id", "cos_sim")
+    d187 = "decimal(18,7)"
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    w_n = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("cos_sim"), F.asc("query_id")
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_q).alias("__rq"),
+        F.row_number().over(w_n).alias("__rn"),
+    )
+    wq_all = Window.partitionBy("query_id")
+    wn_all = Window.partitionBy("neighbor_id")
+    topk_q = F.when(F.col("__rq") <= k, F.col("cos_sim").cast(d187))
+    topk_n = F.when(F.col("__rn") <= k, F.col("cos_sim").cast(d187))
+    stats = ranked.select(
+        "*",
+        F.sum(topk_q).over(wq_all).alias("__sq"),
+        F.sum(F.when(F.col("__rq") <= k, 1)).over(wq_all).alias("__cq"),
+        F.sum(topk_n).over(wn_all).alias("__sn"),
+        F.sum(F.when(F.col("__rn") <= k, 1)).over(wn_all).alias("__cn"),
+    )
+    a_q = F.col("__sq").cast("double") / F.col("__cq").cast("double")
+    a_n = F.col("__sn").cast("double") / F.col("__cn").cast("double")
+    margins = stats.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.round(F.col("cos_sim") / ((a_q + a_n) / F.lit(2.0)), 7).alias("margin"),
+    )
+    w_best_f = Window.partitionBy("query_id").orderBy(
+        F.desc("margin"), F.asc("neighbor_id")
+    )
+    w_best_b = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("margin"), F.asc("query_id")
+    )
+    best = margins.select(
+        "*",
+        F.row_number().over(w_best_f).alias("__bf"),
+        F.row_number().over(w_best_b).alias("__bb"),
+    )
+    return (
+        best.filter((F.col("__bf") == 1) & (F.col("margin") >= F.lit(threshold)))
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+            "cos_sim",
+            "margin",
+            (F.col("__bb") == 1).alias("mutual_best"),
+        )
+    )

@@ -929,3 +929,75 @@ def embedding_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10)
     b = emb.filter(F.col("vec_id") >= 10)
     return ivf_sq8_topk(q, b, k=5)
+
+
+@query(
+    "bitext_margin_pairs",
+    oracle="""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings
+               WHERE label % 2 = 0 AND vec_id < 40),
+    t AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+    expanded AS (
+      SELECT s.vec_id AS query_id, t.vec_id AS neighbor_id,
+             s.embedding AS qv, t.embedding AS bv,
+             unnest(range(1, 65)) AS i
+      FROM s CROSS JOIN t
+    ), dots AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS qn2,
+             CAST(SUM(CAST(CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE) AS DECIMAL(25,15))) AS DOUBLE) AS bn2
+      FROM expanded GROUP BY 1, 2
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (sqrt(qn2) * sqrt(bn2)), 7) AS cos_sim
+      FROM dots
+    ), ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rq,
+        row_number() OVER (PARTITION BY neighbor_id
+                           ORDER BY cos_sim DESC, query_id) AS rn
+      FROM scored
+    ), stats AS (
+      SELECT *,
+        SUM(CASE WHEN rq <= 4 THEN CAST(cos_sim AS DECIMAL(18,7)) END)
+          OVER (PARTITION BY query_id) AS sq,
+        SUM(CASE WHEN rq <= 4 THEN 1 END) OVER (PARTITION BY query_id) AS cq,
+        SUM(CASE WHEN rn <= 4 THEN CAST(cos_sim AS DECIMAL(18,7)) END)
+          OVER (PARTITION BY neighbor_id) AS sn,
+        SUM(CASE WHEN rn <= 4 THEN 1 END) OVER (PARTITION BY neighbor_id) AS cn
+      FROM ranked
+    ), margins AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             round(cos_sim / ((CAST(sq AS DOUBLE) / CAST(cq AS DOUBLE)
+                               + CAST(sn AS DOUBLE) / CAST(cn AS DOUBLE))
+                              / CAST(2 AS DOUBLE)), 7) AS margin
+      FROM stats
+    ), best AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY margin DESC, neighbor_id) AS bf,
+        row_number() OVER (PARTITION BY neighbor_id
+                           ORDER BY margin DESC, query_id) AS bb
+      FROM margins
+    )
+    SELECT query_id AS src_id, neighbor_id AS tgt_id, cos_sim, margin,
+           (bb = 1) AS mutual_best
+    FROM best WHERE bf = 1 AND margin >= CAST(1 AS DOUBLE)
+    """,
+)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 / CCMatrix)
+    over the embeddings table with the label parity as the two
+    'languages': 40 bounded src vectors mine their best-ratio-margin tgt
+    (k=4 neighborhood averages, mutual-best flagged). Decimal-accumulated
+    cosines and top-k sums keep every fold order-independent — the whole
+    mining pipeline incl. margins is hash-exact vs the DuckDB
+    re-derivation."""
+    from etl_poc_spark.operators.similarity import bitext_margin_mine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter((F.col("label") % 2 == 0) & (F.col("vec_id") < 40))
+    tgt = emb.filter(F.col("label") % 2 == 1)
+    return bitext_margin_mine(src, tgt, k=4, threshold=1.0)

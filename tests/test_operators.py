@@ -1633,3 +1633,61 @@ def test_ivf_sq8_topk_bucket_confinement(spark):
     }
     for r in out:
         assert brute[(r["query_id"], r["neighbor_id"])] == r["score"]
+
+
+def test_bitext_margin_mine_corrects_hubness(spark):
+    """Ratio-margin mining (Artetxe & Schwenk 2019): a hub target that
+    raw cosine would pick for src 0 loses on margin (its neighborhood
+    average is inflated by being close to EVERY src), so the true
+    translation is mined instead; mutual_best flags forward-backward
+    consistent pairs; each src yields at most one pair; rerun is
+    bit-identical under repartitioning."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.similarity import bitext_margin_mine
+
+    eps, delta = (0.2, 0.5, 0.8), 0.3
+    rows = [(i, [1.0, e, 0.0, 0.0]) for i, e in zip((0, 1, 2), eps)]
+    rows += [(100 + i, [1.0, e, delta, 0.0]) for i, e in zip((0, 1, 2), eps)]
+    rows.append((199, [1.0, 0.35, 0.0, 0.0]))  # hub near the cluster center
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = df.filter(F.col("vec_id") < 100)
+    tgt = df.filter(F.col("vec_id") >= 100)
+
+    # raw cosine argmax for src 0 IS the hub — the failure mode
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    vecs = dict(rows)
+    raw_best_0 = max((t for t in vecs if t >= 100), key=lambda t: cos(vecs[0], vecs[t]))
+    assert raw_best_0 == 199
+
+    out = bitext_margin_mine(src, tgt, k=4, threshold=0.0)
+    mined = {r["src_id"]: r for r in out.collect()}
+    assert set(mined) == {0, 1, 2}          # one pair per src
+    assert mined[0]["tgt_id"] == 100        # margin rescues the true pair
+    assert mined[2]["tgt_id"] == 102
+    # forward-backward consistency: mutual_best iff the tgt's best src
+    # (by margin) is this src — src 2 <-> 102 is mutual by construction
+    assert mined[2]["mutual_best"]
+    # determinism under repartitioning
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            bitext_margin_mine(
+                src.repartition(3), tgt.repartition(5), k=4, threshold=0.0
+            ).collect(),
+        )
+    )
+    assert a == b
+    # the production float scorer mines the same pairs (margins agree to
+    # float64 rounding; decisions identical on a separated corpus)
+    flt = {
+        r["src_id"]: r["tgt_id"]
+        for r in bitext_margin_mine(src, tgt, k=4, threshold=0.0, mode="float").collect()
+    }
+    assert flt == {s: mined[s]["tgt_id"] for s in mined}

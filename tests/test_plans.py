@@ -190,6 +190,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "embedding_topk",       # exact baseline: bounded query side (10 vectors) x base
         "embedding_pq_topk",    # ADC sweep: same bounded query side x decoded candidates
         "embedding_sq8_topk",   # SQ8 sweep: bounded query side (4 vectors) x quantized base
+        "bitext_margin_pairs",  # margin mining: bounded src side (40 vectors) x tgt scan; scale path passes explicit pairs
         "hll_sketch_union_users",  # 1-row sketch-union scalar join
         "kmv_distinct_users",   # 1-row sketch x 1-row exact-count scalar join
         "price_quantiles_histogram",  # 5-literal-row quantile probe x <=1000-bin frame
