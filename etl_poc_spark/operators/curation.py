@@ -729,3 +729,93 @@ def streaming_doremi_ingest(
     return stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def _dyadic_pow(col: Column, num: int, denom_log2: int) -> Column:
+    """col ** (num / 2^denom_log2) as a FIXED-ORDER chain of IEEE sqrt,
+    multiply, and (for negative exponents) one reciprocal — every step is
+    correctly rounded in any IEEE-754 engine, so the result is
+    engine-portable to the bit (unlike pow(), whose libm implementations
+    disagree in the last ulps; same reason bm25 uses a log-free idf)."""
+    r = col
+    for _ in range(denom_log2):
+        r = F.sqrt(r)
+    p = abs(int(num))
+    if p == 0:
+        return F.lit(1.0)
+    acc = r
+    for _ in range(p - 1):
+        acc = acc * r
+    return F.lit(1.0) / acc if num < 0 else acc
+
+
+def temperature_schedule(
+    counts: DataFrame,
+    stratum_col: str,
+    n_col: str,
+    taus: list[float],
+) -> DataFrame:
+    """Curriculum mixing schedule: one temperature-flattened mixture per
+    training phase, annealing across the given taus (e.g. 1.0 → 0.25:
+    start on the natural distribution, end near-uniform — the
+    multilingual-pretraining anneal recipe; DoReMi/UniMax give a single
+    static mixture, this is the phase-indexed generalization of
+    `temperature_mix`'s rate computation).
+
+    Every tau must be a dyadic rational k/2^m (m ≤ 4): the keep-rate
+    n^(tau−1), normalized to the most-boosted stratum per phase, is then
+    computable as a fixed chain of IEEE sqrt/multiply/divide — correctly
+    rounded at every step, hence hash-exact cross-engine (gate query
+    `mixture_anneal_schedule`), where a pow() call would drift in the
+    last ulps between libm builds.
+
+    Output: (phase, tau, stratum_col, n_col, rate) — strata × len(taus)
+    rows; rate ∈ (0, 1], 1 for the most-boosted stratum of each phase.
+
+    Scale shape: the input is the per-stratum counts frame (≤k rows);
+    everything here is windows over that bounded frame — realizing a
+    phase is one broadcast join + hash_uniform filter, exactly as in
+    temperature_mix."""
+    from fractions import Fraction
+
+    rows = []
+    for phase, tau in enumerate(taus):
+        fr = Fraction(tau - 1.0).limit_denominator(16)
+        if float(fr) != tau - 1.0 or fr.denominator not in (1, 2, 4, 8, 16):
+            raise ValueError(
+                f"tau={tau} is not a dyadic rational k/2^m (m<=4); "
+                "pick from e.g. 1.0, 0.875, 0.75, 0.625, 0.5, 0.375, 0.25"
+            )
+        rows.append((phase, float(tau), fr))
+    # ONE pass over the ≤k counts frame: a narrow literal-array explode
+    # fans each stratum into its phases (no join, no per-phase re-scan of
+    # the caller's aggregate), the phase exponent is a CASE chain, and the
+    # per-phase normalizer is one window max.
+    phases = F.array(
+        *[
+            F.struct(F.lit(p).alias("phase"), F.lit(t).alias("tau"))
+            for p, t, _ in rows
+        ]
+    )
+    fanned = counts.select(
+        F.col(stratum_col),
+        F.col(n_col).cast("bigint").alias(n_col),
+        F.explode(phases).alias("__p"),
+    ).select("__p.phase", "__p.tau", stratum_col, n_col)
+    raw = None
+    for phase, _tau, fr in rows:
+        denom_log2 = fr.denominator.bit_length() - 1
+        expr = _dyadic_pow(F.col(n_col).cast("double"), fr.numerator, denom_log2)
+        raw = (
+            F.when(F.col("phase") == phase, expr)
+            if raw is None
+            else raw.when(F.col("phase") == phase, expr)
+        )
+    w_phase = Window.partitionBy("phase").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        fanned.select("*", raw.alias("__raw"))
+        .select("*", (F.col("__raw") / F.max("__raw").over(w_phase)).alias("rate"))
+        .drop("__raw")
+    )

@@ -1235,12 +1235,13 @@ def run_streaming_pipeline(
     Block shape:
         streaming:
           source: {path, format: parquet|jsonl_tail, ddl?, max_files_per_trigger?}
-          op: exact_dedup | lm_counts | lm_perplexity_monitor | dsir_counts | dsir_monitor
+          op: exact_dedup | lm_counts | lm_perplexity_monitor | dsir_counts | dsir_monitor | doremi_stats
           store_dir: ...          # op state store
           checkpoint_dir: ...
           # exact_dedup: keys: [col,...], id: doc_id, kept_dir: ...
           # lm_counts / lm_perplexity_monitor: text_key: text
           # dsir_counts: role: raw|target, text_key, n_buckets
+          # doremi_stats: stratify_key: source, excess_key: excess
           # dsir_monitor: monitor_dir, target: {path, format?, text_key?},
           #   id, text_key, n_buckets -> score-then-fold drift series
           # lm_perplexity_monitor: monitor_dir, id: doc_id, k: 1.0,
@@ -1303,6 +1304,20 @@ def run_streaming_pipeline(
             n_buckets=int(spec.get("n_buckets", DEFAULT_BUCKETS)),
         )
         summary["role"] = role
+    elif op == "doremi_stats":
+        # continuous DoReMi stats maintenance (operators/curation.py):
+        # fold each micro-batch's per-domain (count, clipped-excess-sum)
+        # partials into the store; the live mixture weights are
+        # doremi_store_weights over it at any time
+        from etl_poc_spark.operators.curation import streaming_doremi_ingest
+
+        writer = streaming_doremi_ingest(
+            stream,
+            spec["store_dir"],
+            spec["checkpoint_dir"],
+            domain_col=spec.get("stratify_key", "source"),
+            excess_col=spec.get("excess_key", "excess"),
+        )
     elif op == "dsir_monitor":
         # target-affinity drift monitor: `target:` seeds the reference
         # model once (tag=reference — idempotent overwrite slot, the

@@ -864,3 +864,58 @@ def doremi_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doremi_domain_weights(
         per_doc, "source", "ex", n_steps=4, eta_shift=8, smoothing_shift=6
     ).orderBy("source")
+
+
+@query(
+    "mixture_anneal_schedule",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), p(phase, tau) AS (
+      VALUES (0, CAST(1.0 AS DOUBLE)), (1, CAST(0.75 AS DOUBLE)),
+             (2, CAST(0.5 AS DOUBLE)), (3, CAST(0.25 AS DOUBLE))
+    ), fanned AS (
+      SELECT p.phase, p.tau, t.lang, t.n_tokens,
+             CASE p.phase
+               WHEN 0 THEN CAST(1 AS DOUBLE)
+               WHEN 1 THEN CAST(1 AS DOUBLE)
+                           / sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+               WHEN 2 THEN CAST(1 AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE))
+               ELSE CAST(1 AS DOUBLE)
+                    / ((sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+                        * sqrt(sqrt(CAST(n_tokens AS DOUBLE))))
+                       * sqrt(sqrt(CAST(n_tokens AS DOUBLE))))
+             END AS raw
+      FROM t CROSS JOIN p
+    )
+    SELECT phase, tau, lang, n_tokens,
+           raw / MAX(raw) OVER (PARTITION BY phase) AS rate
+    FROM fanned ORDER BY phase, lang
+    """,
+)
+def mixture_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum anneal schedule over the per-language token masses:
+    four training phases flatten the mixture from the natural
+    distribution (tau=1: every rate 1.0) toward near-uniform (tau=0.25:
+    small languages most boosted). Each phase's keep-rates are
+    n^(tau−1) normalized to the most-boosted stratum, computed as FIXED
+    chains of IEEE sqrt/multiply/divide (dyadic taus — no pow(), whose
+    libm builds disagree in the last ulps), so the whole schedule is
+    hash-exact cross-engine.
+
+    Plan: one scan + one ≤n_langs aggregate; a narrow literal-array
+    explode fans phases (no join), one window max per phase over the
+    ≤4k-row frame."""
+    from etl_poc_spark.operators.curation import temperature_schedule
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    return temperature_schedule(t, "lang", "n_tokens", [1.0, 0.75, 0.5, 0.25]).orderBy(
+        "phase", "lang"
+    )

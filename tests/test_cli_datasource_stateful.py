@@ -529,3 +529,51 @@ def test_cli_streaming_dsir_monitor(spark, tmp_path):
     assert len(scored) >= 2
     # the off-target batch (last) scores strictly below the on-target one
     assert scored[-1]["mean_log_weight"] < scored[0]["mean_log_weight"]
+
+
+def test_cli_streaming_doremi_stats(spark, tmp_path):
+    """Config-declared continuous DoReMi stats maintenance: the streaming
+    block folds a landing dir of per-example excess losses into the
+    per-domain store; the live solved weights equal a one-shot
+    doremi_domain_weights over the same rows."""
+    import yaml as _yaml
+
+    from etl_poc_spark.cli import main
+    from etl_poc_spark.operators.curation import (
+        doremi_domain_weights,
+        doremi_store_weights,
+    )
+
+    land = tmp_path / "in"
+    rows = spark.createDataFrame(
+        [("a", 120), ("a", -3), ("b", 40), ("b", 60), ("c", 0), ("c", 10)],
+        "source string, excess long",
+    )
+    rows.repartition(2).write.mode("overwrite").parquet(str(land))
+    cfg = {
+        "streaming": {
+            "source": {"path": str(land), "format": "parquet",
+                       "max_files_per_trigger": 1},
+            "op": "doremi_stats",
+            "stratify_key": "source",
+            "excess_key": "excess",
+            "store_dir": str(tmp_path / "store"),
+            "checkpoint_dir": str(tmp_path / "ck"),
+        }
+    }
+    p = tmp_path / "doremi.yaml"
+    p.write_text(_yaml.safe_dump(cfg))
+    assert main(["--config", str(p)]) == 0
+
+    live = sorted(
+        map(tuple, doremi_store_weights(spark, str(tmp_path / "store")).collect())
+    )
+    one_shot = sorted(
+        map(
+            tuple,
+            doremi_domain_weights(spark.read.parquet(str(land)), "source", "excess")
+            .withColumnRenamed("source", "domain")
+            .collect(),
+        )
+    )
+    assert live == one_shot

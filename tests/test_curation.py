@@ -425,3 +425,41 @@ def test_doremi_store_streaming_equivalence_and_replay(spark, tmp_path):
         )
     )
     assert live == one_shot
+
+
+def test_temperature_schedule_hand_computed(spark):
+    """Anneal schedule: tau=1 keeps every stratum at rate 1; tau=0.5 is
+    sqrt flattening (rate = sqrt(n_min/n) relative to the smallest
+    stratum); tau=0.25 boosts the small stratum harder; non-dyadic taus
+    are rejected."""
+    import math
+
+    import pytest as _pytest
+
+    from etl_poc_spark.operators.curation import temperature_schedule
+
+    t = spark.createDataFrame(
+        [("small", 100), ("big", 10000)], "lang string, n long"
+    )
+    out = temperature_schedule(t, "lang", "n", [1.0, 0.5, 0.25])
+    rows = {(r["phase"], r["lang"]): r for r in out.collect()}
+    assert len(rows) == 6
+    # phase 0 (tau=1): natural distribution, no downsampling anywhere
+    assert rows[(0, "small")]["rate"] == 1.0
+    assert rows[(0, "big")]["rate"] == 1.0
+    # phase 1 (tau=0.5): rate_big = (1/sqrt(10000)) / (1/sqrt(100)) = 0.1
+    assert rows[(1, "small")]["rate"] == 1.0
+    assert rows[(1, "big")]["rate"] == (1.0 / math.sqrt(10000.0)) / (
+        1.0 / math.sqrt(100.0)
+    )
+    # phase 2 (tau=0.25): harder flattening -> big is kept even less
+    assert rows[(2, "small")]["rate"] == 1.0
+    assert rows[(2, "big")]["rate"] < rows[(1, "big")]["rate"]
+    r = math.sqrt(math.sqrt(10000.0))
+    rs = math.sqrt(math.sqrt(100.0))
+    assert rows[(2, "big")]["rate"] == (1.0 / ((r * r) * r)) / (
+        1.0 / ((rs * rs) * rs)
+    )
+    assert rows[(2, "big")]["tau"] == 0.25
+    with _pytest.raises(ValueError):
+        temperature_schedule(t, "lang", "n", [0.3])
