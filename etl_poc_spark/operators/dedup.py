@@ -19,7 +19,7 @@ hashing, no string churn — identical plan shape, not oracle-hashable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -562,4 +562,108 @@ def dedup_representatives(
     return comps.groupBy("component").agg(
         F.min("id").alias("representative"),
         F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS scheme): hash every word k-gram, slide a window of w
+    consecutive hashes, and select each window's RIGHTMOST MINIMAL hash.
+    The guarantee: any shared run of ≥ w+k−1 words between two documents
+    shares at least one selected fingerprint, while only ~2/(w+1) of all
+    k-gram hashes are kept — a density-bounded substitute for comparing
+    every gram (`duplicate_span_coverage` keeps every hash; winnowing is
+    the sparse index you'd actually ship at 100 TB).
+
+    Single window pass per document: the rightmost-min is the plain MIN
+    of the integer packing hash·2^20 + (2^20−1−pos) — min hash first,
+    then MAX position on hash ties — so both engines compute it with one
+    ordered-frame MIN (no argmin self-join). Hashes are the first 10 hex
+    digits of md5 (40 bits, exact in BIGINT after packing); positions cap
+    at 2^20 grams/doc (enforced).
+
+    Output: distinct (id_col, fp_hash, fp_pos) selected fingerprints."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(0, size(__words) - {k}), "
+        f"i -> concat_ws(' ', slice(__words, i + 1, {k})))"
+    )
+    g = (
+        df.select(F.col(id_col), words.alias("__words"))
+        .filter(F.size("__words") >= k)
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+        .filter(F.col("pos") < (1 << 20))
+        .select(
+            id_col,
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    packed = (F.col("h") * F.lit(1 << 20)) + (
+        F.lit((1 << 20) - 1) - F.col("pos")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        g.select(
+            id_col,
+            "pos",
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("__n"),
+            F.min(packed).over(win).alias("__sel"),
+        )
+        .filter(F.col("pos") <= F.col("__n") - w)  # full windows only
+        .select(
+            id_col,
+            # integer decode of the 60-bit packing: >> and & keep the
+            # arithmetic exact (a float division would round 60-bit values)
+            F.shiftright(F.col("__sel"), 20).alias("fp_hash"),
+            (
+                F.lit((1 << 20) - 1)
+                - F.col("__sel").bitwiseAND(F.lit((1 << 20) - 1))
+            ).alias("fp_pos"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document pairs sharing ≥ min_shared winnowing fingerprints — the
+    MOSS-style overlap detector over the SPARSE fingerprint index (the
+    inverted-index equi-join shape of the other dedup queries; the
+    max_df stop-fingerprint cap bounds fan-out exactly as in
+    ngram_jaccard/containment). Output: (id_a, id_b, n_shared)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        F.col(id_col), "fp_hash"
+    ).distinct()
+    rare = (
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp_hash")
+    )
+    idx = fps.join(rare, "fp_hash")
+    a = idx.select(F.col("fp_hash"), F.col(id_col).alias("id_a"))
+    b = idx.select(F.col("fp_hash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -377,3 +377,51 @@ def dup_aware_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
     out = dup_aware_weights(corpus, pairs, "doc_id")
     return out.select("doc_id", F.col("n_members").cast("long").alias("n_members"), "weight")
+
+
+@query(
+    "winnow_fingerprint_pairs",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, i AS pos,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(words, i + 1, i + 3), ' ')), 1, 10) AS BIGINT) AS h
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\\s+')) >= 3),
+           LATERAL (SELECT unnest(range(0, len(words) - 2)) AS i)
+      WHERE i < 1048576
+    ), sel AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n,
+             MIN(h * 1048576 + (1048575 - pos))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+      FROM g
+    ), fp AS (
+      SELECT DISTINCT doc_id, s >> 20 AS fp_hash
+      FROM sel WHERE pos <= n - 4
+    ), rare AS (
+      SELECT fp_hash FROM fp GROUP BY fp_hash HAVING COUNT(*) <= 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN rare USING (fp_hash) JOIN fp b USING (fp_hash)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap detection (Schleimer et al. 2003, the MOSS
+    scheme) over the documents table: word-3-gram hashes, window w=4,
+    rightmost-minimal selection via one integer-packed ordered-frame MIN
+    (no argmin self-join), then pairs sharing ≥2 selected fingerprints
+    through the DF≤50-capped inverted index. The selected density is
+    ~2/(w+1) of all grams — the sparse fingerprint index that replaces
+    duplicate_span_coverage's keep-every-hash table at 100 TB — while
+    any shared run of ≥ w+k−1 = 6 words still guarantees a shared
+    fingerprint. Integer end to end → hash-exact."""
+    from etl_poc_spark.operators.dedup import winnow_shared_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_shared_pairs(d, "doc_id", "text", k=3, w=4, min_shared=2)

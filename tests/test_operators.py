@@ -1691,3 +1691,41 @@ def test_bitext_margin_mine_corrects_hubness(spark):
         for r in bitext_margin_mine(src, tgt, k=4, threshold=0.0, mode="float").collect()
     }
     assert flt == {s: mined[s]["tgt_id"] for s in mined}
+
+
+def test_winnowing_fingerprints_guarantee_and_density(spark):
+    """Winnowing (Schleimer et al. 2003): (1) any shared run of
+    >= w+k-1 words yields a shared selected fingerprint; (2) selected
+    density is far below 1 (the point of winnowing vs keep-every-gram);
+    (3) rightmost-minimal tie-break and full-window semantics make the
+    selection a pure function of the text (repartition-stable)."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.dedup import winnow_fingerprints, winnow_shared_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one unrelated prefix {shared} and a tail here"),
+            (2, f"{shared} totally different continuation text follows now"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=3, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "6-word shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # density: selected distinct positions << total grams (~2/(w+1))
+    n_grams_1 = len(docs.filter("doc_id=1").collect()[0]["text"].split()) - 2
+    n_sel_1 = fps.filter("doc_id=1").count()
+    assert n_sel_1 < n_grams_1
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_shared_pairs(docs, min_shared=1).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    # repartition stability (pure integer pipeline)
+    a = sorted(map(tuple, fps.collect()))
+    b = sorted(map(tuple, winnow_fingerprints(docs.repartition(5), k=3, w=4).collect()))
+    assert a == b
