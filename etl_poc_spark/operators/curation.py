@@ -819,3 +819,72 @@ def temperature_schedule(
         .select("*", (F.col("__raw") / F.max("__raw").over(w_phase)).alias("rate"))
         .drop("__raw")
     )
+
+
+def pack_sequences_bfd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    cap: int = 2048,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Best-fit-decreasing bin packing per group — the quality tier above
+    `pack_sequences_greedy`'s next-fit walk: docs are placed LONGEST
+    FIRST, each into the fullest open bin that still fits (else a new
+    bin). BFD's classic guarantee is ≤ 11/9·OPT + 4 bins, and on real
+    length distributions it recovers most of the padding next-fit wastes
+    (pytest asserts n_bins_bfd ≤ n_bins_greedy on every tested corpus).
+
+    Deterministic total order: (token_col DESC, id_col) for placement,
+    best-fit ties broken by lowest bin id — the output is a pure function
+    of the group's (id, tokens) multiset. Sequential with bin state, so
+    it runs as applyInPandas per group (the greedy packer's scale
+    contract: strata must fit one task; shard upstream for mega-strata).
+    The open-bin search uses a sorted fill index (O(n log n) per group).
+
+    Output: group_cols + (id_col, token_col, bin_id, bin_fill) where
+    bin_fill is the bin's FINAL fill (same for every member)."""
+    import bisect
+
+    group_cols = group_cols or ["lang"]
+    out_fields = [
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("bin_fill", T.LongType()),
+    ]
+    in_schema = df.select(*group_cols, id_col, token_col).schema
+    out_schema = T.StructType(list(in_schema.fields) + out_fields)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        # sorted (fill, bin_id) index of open bins; best fit = the largest
+        # fill such that fill + tok <= cap, lowest bin_id on fill ties
+        fills: list[int] = []     # sorted ascending by (fill, -bin_id)
+        keys: list[tuple] = []    # parallel sort keys
+        bin_fill: dict[int, int] = {}
+        assignment = []
+        next_bin = 0
+        for tok, _id in zip(pdf[token_col], pdf[id_col]):
+            tok = int(tok)
+            # find rightmost open bin with fill <= cap - tok
+            i = bisect.bisect_right(keys, (cap - tok, float("inf"))) - 1
+            if i >= 0:
+                fill, neg_bid = keys.pop(i)
+                bid, new_fill = -neg_bid, fill + tok
+            else:
+                bid, new_fill = next_bin, tok
+                next_bin += 1
+            bin_fill[bid] = new_fill
+            assignment.append(bid)
+            if new_fill < cap:
+                bisect.insort(keys, (new_fill, -bid))
+        pdf["bin_id"] = pd.Series(assignment, dtype="int64")
+        pdf["bin_fill"] = pdf["bin_id"].map(bin_fill).astype("int64")
+        return pdf
+
+    return (
+        df.select(*group_cols, id_col, token_col)
+        .groupBy(*group_cols)
+        .applyInPandas(pack, schema=out_schema)
+    )

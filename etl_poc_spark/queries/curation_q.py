@@ -919,3 +919,39 @@ def mixture_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_schedule(t, "lang", "n_tokens", [1.0, 0.75, 0.5, 0.25]).orderBy(
         "phase", "lang"
     )
+
+
+@query("pack_sequences_bfd_stats")
+def pack_sequences_bfd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing packing vs the next-fit greedy walk, per
+    language at cap=512 tokens: BFD places longest-first into the fullest
+    fitting bin (≤ 11/9·OPT + 4), so n_bins_bfd ≤ n_bins_greedy on every
+    stratum — the padding saved is visible in the pinned row itself. No
+    SQL oracle (the bin state is inherently sequential); pinned-exact
+    under the adversarial session like the other deterministic
+    rows-only queries (tools/gen_pins.py)."""
+    from etl_poc_spark.operators.curation import (
+        pack_sequences_bfd,
+        pack_sequences_greedy,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    bfd = (
+        pack_sequences_bfd(d, cap=512)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("bin_id").alias("n_bins_bfd"),
+        )
+    )
+    greedy = (
+        pack_sequences_greedy(d, cap=512)
+        .groupBy("lang")
+        .agg(F.countDistinct("bin_id").alias("n_bins_greedy"))
+    )
+    return bfd.join(greedy, "lang").orderBy("lang")

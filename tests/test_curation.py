@@ -463,3 +463,51 @@ def test_temperature_schedule_hand_computed(spark):
     assert rows[(2, "big")]["tau"] == 0.25
     with _pytest.raises(ValueError):
         temperature_schedule(t, "lang", "n", [0.3])
+
+
+def test_pack_sequences_bfd_beats_next_fit(spark):
+    """BFD packing: (1) hand-computed case where best-fit-decreasing uses
+    strictly fewer bins than the next-fit walk; (2) no bin exceeds cap
+    and bin_fill is each bin's exact token sum; (3) placement is a pure
+    function of the (id, tokens) multiset (repartition-stable)."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.curation import (
+        pack_sequences_bfd,
+        pack_sequences_greedy,
+    )
+
+    # cap 10; sizes in id order: 6,4,5,5 -> next-fit: [6,4],[5,5]? No:
+    # 6 then 4 fits (10), 5 opens bin2, 5 fills it -> greedy=2 bins; make
+    # it adversarial for next-fit instead: 6,5,4,5 -> [6],[5,4],[5] = 3
+    # bins; BFD sorts 6,5,5,4 -> [6,4],[5,5] = 2 bins.
+    docs = spark.createDataFrame(
+        [(1, "g", 6), (2, "g", 5), (3, "g", 4), (4, "g", 5)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    bfd = pack_sequences_bfd(docs, cap=10)
+    greedy = pack_sequences_greedy(docs, cap=10)
+    n_bfd = bfd.select("bin_id").distinct().count()
+    n_greedy = greedy.select("bin_id").distinct().count()
+    assert n_bfd == 2 and n_greedy == 3
+    rows = bfd.collect()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for bid, members in by_bin.items():
+        tot = sum(m["n_tokens"] for m in members)
+        assert tot <= 10
+        assert all(m["bin_fill"] == tot for m in members)
+    # pairing: 6 with 4, 5 with 5
+    fills = sorted(sum(m["n_tokens"] for m in ms) for ms in by_bin.values())
+    assert fills == [10, 10]
+    # oversized doc gets its own bin
+    big = spark.createDataFrame(
+        [(1, "g", 25), (2, "g", 3)], "doc_id long, lang string, n_tokens long"
+    )
+    b = {r["doc_id"]: r for r in pack_sequences_bfd(big, cap=10).collect()}
+    assert b[1]["bin_id"] != b[2]["bin_id"] and b[1]["bin_fill"] == 25
+    # repartition stability
+    a = sorted(map(tuple, bfd.collect()))
+    c = sorted(map(tuple, pack_sequences_bfd(docs.repartition(3), cap=10).collect()))
+    assert a == c

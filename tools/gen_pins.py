@@ -185,6 +185,12 @@ def main() -> int:
         ok = current == stable
         print("pins", "match" if ok else "DIFFER from", "a fresh stable run")
         return 0 if ok else 1
+    if names and os.path.exists(args.out):
+        # subset pinning MERGES into the existing file — a --queries run
+        # must never silently drop every other query's pins
+        merged = json.load(open(args.out))
+        merged.update(stable)
+        stable = merged
     with open(args.out, "w") as fh:
         json.dump(stable, fh, indent=0, sort_keys=True)
         fh.write("\n")
