@@ -955,3 +955,105 @@ def pack_sequences_bfd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("bin_id").alias("n_bins_greedy"))
     )
     return bfd.join(greedy, "lang").orderBy("lang")
+
+
+@query(
+    "doremi_resample_counts",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             CAST(FLOOR(CAST(1000 AS DOUBLE) * n_chars
+                        / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               - 5500 AS ex
+      FROM documents
+    ), t AS (
+      SELECT source, COUNT(*) AS n_examples,
+             CAST(FLOOR(CAST(SUM(GREATEST(ex, 0)) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS lambda_floor
+      FROM per_doc GROUP BY source
+    ), m AS (
+      SELECT *, CAST(256 + lambda_floor AS HUGEINT) AS m1,
+             COUNT(*) OVER () AS k
+      FROM t
+    ), p AS (
+      SELECT *, m1*m1 AS m2, (m1*m1)*m1 AS m3, ((m1*m1)*m1)*m1 AS m4 FROM m
+    ), s AS (
+      SELECT *, SUM(m1) OVER () AS s1, SUM(m2) OVER () AS s2,
+             SUM(m3) OVER () AS s3, SUM(m4) OVER () AS s4 FROM p
+    ), alpha AS (
+      SELECT source, n_examples,
+        (((((CAST(0.984375 AS DOUBLE) * (CAST(m1 AS DOUBLE) / CAST(s1 AS DOUBLE)))
+              + (CAST(0.015625 AS DOUBLE) / CAST(k AS DOUBLE)))
+          + ((CAST(0.984375 AS DOUBLE) * (CAST(m2 AS DOUBLE) / CAST(s2 AS DOUBLE)))
+              + (CAST(0.015625 AS DOUBLE) / CAST(k AS DOUBLE))))
+         + ((CAST(0.984375 AS DOUBLE) * (CAST(m3 AS DOUBLE) / CAST(s3 AS DOUBLE)))
+              + (CAST(0.015625 AS DOUBLE) / CAST(k AS DOUBLE))))
+        + ((CAST(0.984375 AS DOUBLE) * (CAST(m4 AS DOUBLE) / CAST(s4 AS DOUBLE)))
+              + (CAST(0.015625 AS DOUBLE) / CAST(k AS DOUBLE))))
+        / CAST(4 AS DOUBLE) AS a
+      FROM s
+    ), rates AS (
+      SELECT source,
+             (a / CAST(n_examples AS DOUBLE))
+               / MAX(a / CAST(n_examples AS DOUBLE)) OVER () AS rate
+      FROM alpha
+    ), kept AS (
+      SELECT d.source,
+             CASE WHEN CAST(CAST('0x' || substr(md5('doremi'
+                    || CAST(d.doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                  / 4503599627370496.0 < r.rate
+                  THEN 1 ELSE 0 END AS keep
+      FROM per_doc d JOIN rates r USING (source)
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(keep) AS BIGINT) AS n_kept
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def doremi_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DoReMi mixing realization (the yaml `doremi_mix` math,
+    driver-signed): solve the exact-integer MW weights from the bpt-proxy
+    excess losses, realize keep-rates ∝ α_d/n_d normalized to the most-
+    boosted stratum, decide each doc by the 52-bit md5 uniform, and count
+    survivors per source. Every stage — solver, rate divisions, uniform
+    draw, counts — is engine-portable, so the whole resample is
+    hash-exact."""
+    from pyspark.sql import Window
+
+    from etl_poc_spark.operators.curation import (
+        doremi_domain_weights,
+        hash_uniform,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpt = F.floor(
+        F.lit(1000.0) * F.col("n_chars") / n_tok.cast("double")
+    ).cast("bigint")
+    per_doc = d.select("doc_id", "source", (bpt - F.lit(5500)).alias("ex"))
+    weights = doremi_domain_weights(
+        per_doc, "source", "ex", n_steps=4, eta_shift=8, smoothing_shift=6
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rates = (
+        weights.withColumn(
+            "__raw", F.col("alpha") / F.col("n_examples").cast("double")
+        )
+        .withColumn("__mx", F.max("__raw").over(wall))
+        .select("source", (F.col("__raw") / F.col("__mx")).alias("__rate"))
+    )
+    keep = (
+        hash_uniform(F.col("doc_id"), "doremi") < F.col("__rate")
+    ).cast("int")
+    return (
+        per_doc.join(F.broadcast(rates), "source")
+        .select("source", keep.alias("__k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("__k").cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
