@@ -1402,3 +1402,60 @@ def test_yaml_doremi_mix_realizes_alpha(spark):
 
     with _pytest.raises(PipelineConfigError):
         _apply_op(docs, {"name": "x", "type": "doremi_mix"}, StubProvider())
+
+
+def test_yaml_doremi_pipeline_composes(spark):
+    """The mixing vocabulary composes declaratively: a `select` step
+    derives the per-example excess column, `doremi_mix` reweights by it,
+    and a downstream `temperature_mix` subsamples the survivors — all in
+    one config, deterministic end to end."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, "hard", "text " * 20, 900) for i in range(200)]
+        + [(1000 + i, "easy", "text " * 20, 0) for i in range(200)],
+        "doc_id long, source string, text string, loss_milli long",
+    )
+    config = {
+        "default_model": "stub",
+        "datasets": {"docs": {"path": "injected.json"}},
+        "operations": [
+            {
+                "name": "derive",
+                "type": "select",
+                "columns": ["*", "loss_milli - 100 AS excess"],
+            },
+            {
+                "name": "dm",
+                "type": "doremi_mix",
+                "stratify_key": "source",
+                "excess_key": "excess",
+                "eta_shift": 10,
+            },
+            {
+                "name": "tm",
+                "type": "temperature_mix",
+                "stratify_key": "source",
+                "text_key": "text",
+                "tau": 1.0,
+            },
+        ],
+        "pipeline": {
+            "steps": [
+                {"name": "mix", "input": "docs",
+                 "operations": ["derive", "dm", "tm"]}
+            ]
+        },
+    }
+    out = run_pipeline(spark, config, datasets={"docs": docs})["__final__"]
+    rows = out.collect()
+    kept_hard = sum(r["source"] == "hard" for r in rows)
+    kept_easy = sum(r["source"] == "easy" for r in rows)
+    # doremi up-weights the high-excess domain; tau=1 temperature pass is
+    # proportional (keeps everything with positive weight)
+    assert kept_hard == 200
+    assert 0 < kept_easy < 200
+    rows2 = run_pipeline(spark, config, datasets={"docs": docs})["__final__"].collect()
+    assert {r["doc_id"] for r in rows2} == {r["doc_id"] for r in rows}
