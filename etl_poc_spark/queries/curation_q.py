@@ -1057,3 +1057,131 @@ def doremi_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "per_stratum_fixed_sample",
+    oracle="""
+    WITH u AS (
+      SELECT lang, doc_id,
+             CAST(CAST('0x' || substr(md5('psample' || CAST(doc_id AS VARCHAR)), 1, 13)
+                  AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS uu
+      FROM documents
+    ), ranked AS (
+      SELECT lang, doc_id, uu,
+             row_number() OVER (PARTITION BY lang ORDER BY uu, doc_id) AS rnk
+      FROM u
+    )
+    SELECT lang, doc_id, rnk AS sample_rank FROM ranked WHERE rnk <= 10
+    ORDER BY lang, sample_rank
+    """,
+)
+def per_stratum_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k-per-stratum deterministic sample (fixed-size eval/dev
+    sets per language): rank every doc by its 52-bit md5 uniform within
+    the stratum and keep the k smallest — bottom-k by a stable hash is
+    the distributed, rerun-stable form of reservoir sampling (no state,
+    no RNG seed coordination; a doc's inclusion changes only if corpus
+    membership changes near the threshold). One shuffle on the stratum;
+    TopK-per-group plan. Hash-exact (the draw, the ranking, and the ties
+    are all engine-portable)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = hash_uniform(F.col("doc_id"), "psample")
+    w = Window.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 10)
+        .orderBy("lang", "sample_rank")
+    )
+
+
+@query(
+    "quality_decile_profile",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CAST(FLOOR(CAST(1000 AS DOUBLE) * n_chars
+                        / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS bpt_milli
+      FROM documents
+    ), tiled AS (
+      SELECT *, ntile(10) OVER (ORDER BY bpt_milli, doc_id) AS decile FROM feat
+    )
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(bpt_milli) AS min_bpt, MAX(bpt_milli) AS max_bpt,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+             AS chars_per_token
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+)
+def quality_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score decile profiling (the FineWeb-edu threshold-sweep
+    shape: before picking a classifier cutoff, look at what each score
+    decile holds): docs tiled into 10 equal buckets by the
+    bytes-per-token proxy, per-decile doc/token mass and the exact
+    chars-per-token ratio (one int/int double division). Hash-exact —
+    the oracle is a plain global ntile.
+
+    Scale shape (the reason this is NOT `ntile() OVER (ORDER BY ...)`,
+    which is a single-task global sort): the global row number
+    decomposes as cum_count(smaller values) + rank within the value
+    group — the value histogram is a BOUNDED frame (bpt_milli has at
+    most ~100k distinct values by construction), its cumulative counts
+    broadcast back, and the within-value window partitions by value.
+    The ntile bucket then comes from the closed-form rule
+    (first N%10 tiles hold ceil(N/10) rows) — bit-identical to ntile,
+    no global sort anywhere."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    feat = d.select(
+        "doc_id",
+        "n_chars",
+        n_tok.cast("long").alias("n_tokens"),
+        F.floor(F.lit(1000.0) * F.col("n_chars") / n_tok.cast("double"))
+        .cast("bigint")
+        .alias("bpt_milli"),
+    )
+    vals = feat.groupBy("bpt_milli").agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = Window.orderBy("bpt_milli").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "bpt_milli",
+        F.coalesce(F.sum("__c").over(w_cum), F.lit(0)).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__N"),
+    )
+    w_val = Window.partitionBy("bpt_milli").orderBy("doc_id")
+    rn = (F.col("__cum") + F.row_number().over(w_val)).alias("__rn")
+    ranked = feat.join(F.broadcast(cum), "bpt_milli").select("*", rn)
+    # ntile(10): r = N % 10 big tiles of size ceil(N/10), then size floor
+    size = (F.col("__N") / F.lit(10)).cast("bigint")
+    r = F.col("__N") % F.lit(10)
+    big_span = r * (size + 1)
+    decile = F.when(
+        F.col("__rn") <= big_span,
+        ((F.col("__rn") - 1) / (size + 1)).cast("bigint") + 1,
+    ).otherwise(
+        r + ((F.col("__rn") - 1 - big_span) / size).cast("bigint") + 1
+    )
+    return (
+        ranked.select("*", decile.cast("int").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("bpt_milli").alias("min_bpt"),
+            F.max("bpt_milli").alias("max_bpt"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("decile")
+    )

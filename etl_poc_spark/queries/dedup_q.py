@@ -425,3 +425,44 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return winnow_shared_pairs(d, "doc_id", "text", k=3, w=4, min_shared=2)
+
+
+@query(
+    "normalized_exact_dedup_groups",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT fp, MIN(doc_id) AS min_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM norm GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def normalized_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (the Falcon/RefinedWeb 'exact
+    dedup after normalization' pass): lowercase, strip punctuation,
+    collapse whitespace, THEN fingerprint — catches trivially-reformatted
+    copies plain exact dedup misses while staying one md5-groupBy (never
+    shuffling document bodies). Output: duplicate groups only
+    (fingerprint, surviving min doc_id, copy count). Hash-exact — the
+    normalization chain is the same regex sequence in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("min_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -511,3 +511,62 @@ def test_pack_sequences_bfd_beats_next_fit(spark):
     a = sorted(map(tuple, bfd.collect()))
     c = sorted(map(tuple, pack_sequences_bfd(docs.repartition(3), cap=10).collect()))
     assert a == c
+
+
+def test_scalable_ntile_decomposition_matches_ntile(spark):
+    """quality_decile_profile's decile rule (bounded value-frame cum
+    counts + per-value rank + the closed-form ntile bucket formula) is
+    bit-identical to a plain global ntile — including the N % k
+    remainder tiles and the N < k degenerate case."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def deciles_via_decomposition(df, k=10):
+        vals = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+        w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        w_all = Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = vals.select(
+            "v",
+            F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("cum"),
+            F.sum("c").over(w_all).alias("N"),
+        )
+        w_val = Window.partitionBy("v").orderBy("id")
+        rn = (F.col("cum") + F.row_number().over(w_val)).alias("rn")
+        ranked = df.join(F.broadcast(cum), "v").select("*", rn)
+        size = (F.col("N") / F.lit(k)).cast("bigint")
+        r = F.col("N") % F.lit(k)
+        big = r * (size + 1)
+        tile = F.when(
+            F.col("rn") <= big, ((F.col("rn") - 1) / (size + 1)).cast("bigint") + 1
+        ).otherwise(r + ((F.col("rn") - 1 - big) / size).cast("bigint") + 1)
+        return {x["id"]: x["t"] for x in ranked.select("id", tile.cast("int").alias("t")).collect()}
+
+    import random
+
+    rng = random.Random(11)
+    for n in (7, 10, 23, 100):  # incl. N < k and N % k != 0
+        rows = [(i, rng.randint(0, 5)) for i in range(n)]  # heavy value ties
+        df = spark.createDataFrame(rows, "id long, v long")
+        w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+        want = {
+            x["id"]: x["t"]
+            for x in df.select("id", F.ntile(10).over(w).alias("t")).collect()
+        }
+        assert deciles_via_decomposition(df) == want, n
+
+
+def test_per_stratum_fixed_sample_exact_k(spark, sf_dir):
+    """Exactly min(k, stratum size) rows per language, ranks dense from
+    1, and rerun-stable (pure function of doc ids)."""
+    from etl_poc_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["per_stratum_fixed_sample"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    for lang, ranks in by_lang.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10
