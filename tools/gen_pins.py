@@ -33,6 +33,7 @@ CANDIDATES = [
     "bpe_segmentation_stats",
     "bpe_trained_merges",
     "doc_compression_quality",
+    "pack_sequences_bfd_stats",   # sequential bin state (BFD), deterministic
     "doc_dsir_log_weights",       # transcendental log-ratios but fixed fold
                                   # order (bucket-sorted aggregate) + round(9)
     "doc_lm_perplexity",          # transcendental logs but fixed fold order
