@@ -116,13 +116,23 @@ def main() -> None:
     registry.QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     cal_start = _calibration(spark)
 
-    # previous round's committed artifact (BENCH_GATE.json before this
-    # run overwrites it) — the baseline for the outlier re-time pass
+    # previous ROUND's committed artifact — the baseline for the outlier
+    # re-time pass. Default to the newest BENCH_GATE_r{N}.json in the repo,
+    # NOT the in-place-overwritten BENCH_GATE.json: the first intra-round
+    # bench refresh overwrites the latter, silently resetting the ">1.5x
+    # previous-round median" rule's baseline to *this round's own* numbers
+    # (r13 verdict "What's wrong #1": audio_feature_stats shipped at 1.59x
+    # its r12 value with no re-time entry because of exactly this).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_path = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    if not prev_path:
+        import glob as _glob
+
+        committed = sorted(_glob.glob(os.path.join(repo_dir, "BENCH_GATE_r*.json")))
+        prev_path = committed[-1] if committed else os.path.join(
+            repo_dir, "BENCH_GATE.json"
+        )
     prev_timings: dict[str, float] = {}
-    prev_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_PREV",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_GATE.json"),
-    )
     try:
         with open(prev_path) as fh:
             prev_timings = json.load(fh).get("timings", {}) or {}
@@ -239,6 +249,9 @@ def main() -> None:
             "end_sec": cal_end,
             "windows": canary_windows,
         },
+        # provenance of the re-time baseline, so a reader can verify the
+        # outlier pass ran against the previous round's COMMITTED timings
+        "prev_artifact": os.path.basename(prev_path),
         "retimed_outliers": retimed,
         "timings": timings,
         "query_errors": {n: e[:200] for n, e in errors.items()},

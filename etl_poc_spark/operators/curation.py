@@ -571,8 +571,12 @@ def doremi_weights_from_stats(
     lam = stats.select(
         F.col(domain_col),
         F.col(count_col).cast("bigint").alias("n_examples"),
-        F.floor(
-            F.col(sum_col).cast("double") / F.col(count_col).cast("double")
+        # TRUE integer division (Spark `div`), not a double quotient: for
+        # per-domain sums above 2^53 the floored double can differ from
+        # the exact integer quotient — the "one exact division" claim
+        # only holds if the division itself is integral (ADVICE r13).
+        F.expr(
+            f"CAST(`{sum_col}` AS BIGINT) div CAST(`{count_col}` AS BIGINT)"
         )
         .cast("bigint")
         .alias("lambda_floor"),

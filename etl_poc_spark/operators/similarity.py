@@ -1002,6 +1002,13 @@ def sq8_train_bounds(
         aggs.append(F.min(e).alias(f"mn{i}"))
         aggs.append(F.max(e).alias(f"mx{i}"))
     row = base.agg(*aggs).collect()[0]
+    for i in range(dim):
+        if row[f"mn{i}"] is None or row[f"mx{i}"] is None:
+            raise ValueError(
+                f"sq8_train_bounds: empty base frame or all-null dimension "
+                f"{i} — MIN/MAX aggregated to NULL; train bounds on a "
+                f"non-empty base with populated vectors"
+            )
     mn = [float(row[f"mn{i}"]) for i in range(dim)]
     mx = [float(row[f"mx{i}"]) for i in range(dim)]
     return mn, mx
@@ -1024,17 +1031,22 @@ def sq8_quantize_expr(
         F.col(vec_col),
         lambda x, i: F.when(
             F.get(rng_lit, i) > 0.0,
+            # clamp in LONG first, THEN narrow: floor() yields LONG, and a
+            # far-out-of-range query vector would wrap in a non-ANSI
+            # long->int cast before a post-cast clamp could saturate it
+            # (ADVICE r13) — clamping the LONG guarantees saturation at
+            # 0/255 for any finite input
             F.least(
-                F.lit(255),
+                F.lit(255).cast("bigint"),
                 F.greatest(
-                    F.lit(0),
+                    F.lit(0).cast("bigint"),
                     F.floor(
                         (x.cast("double") - F.get(mn_lit, i))
                         * F.lit(255.0)
                         / F.get(rng_lit, i)
-                    ).cast("int"),
+                    ),
                 ),
-            ),
+            ).cast("int"),
         ).otherwise(F.lit(0)),
     )
 

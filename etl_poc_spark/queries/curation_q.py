@@ -813,7 +813,7 @@ def unimax_lang_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), t AS (
       SELECT source, COUNT(*) AS n_examples,
-             CAST(FLOOR(CAST(SUM(GREATEST(ex, 0)) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             CAST(SUM(GREATEST(ex, 0)) AS BIGINT) // COUNT(*)
                AS lambda_floor
       FROM per_doc GROUP BY source
     ), m AS (
@@ -968,7 +968,7 @@ def pack_sequences_bfd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), t AS (
       SELECT source, COUNT(*) AS n_examples,
-             CAST(FLOOR(CAST(SUM(GREATEST(ex, 0)) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             CAST(SUM(GREATEST(ex, 0)) AS BIGINT) // COUNT(*)
                AS lambda_floor
       FROM per_doc GROUP BY source
     ), m AS (

@@ -70,7 +70,14 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("price_quantiles_approx")
+@query(
+    "price_quantiles_approx",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           TRUE AS median_bound_ok, TRUE AS p90_bound_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile scale twin of price_quantiles: Greenwald-Khanna
     sketch at accuracy 10000 (rank error <= n/10000) keeps O(accuracy)
@@ -78,22 +85,60 @@ def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffering, so a hot l_returnflag group cannot OOM an executor at
     100x.
 
-    Rows-only is the CEILING for this query, by measurement (r11):
-    the GK sketch has no engine-portable value (DuckDB's approx_quantile
-    is t-digest), and the Spark value itself is partition-dependent —
-    at sf0.01 the group-A median reads 52832.76 under both the normal
-    AND the adversarial gate sessions but 52826.91 after repartition(13),
-    so a pin would pass gen_pins' bit-stability check and still be a
-    false invariant (the sketch merge is rank-approximate; any rounding
-    coarse enough to absorb a ~1e-4 relative swing would gut the value).
-    The within-bound guarantee versus the exact query is what the sketch
-    actually promises, and that is pytest-asserted instead
-    (test_scale_techniques)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("median_price_approx"),
-        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_price_approx"),
-        F.count(F.lit(1)).alias("n_rows"),
+    The sketch VALUE is partition-dependent by measurement (r11: the
+    group-A sf0.01 median reads 52832.76 under the normal and adversarial
+    sessions but 52826.91 after repartition(13)), so neither an oracle nor
+    a pin can check it directly. What the sketch actually PROMISES is the
+    rank-error bound — so this query emits that claim as an exact boolean
+    (r13 verdict ask #3): a second map-side-combined pass counts, per
+    group, how many values fall <=/< the sketch's answer (its exact rank
+    interval [rank_lt+1, rank_le]), and `*_bound_ok` asserts that interval
+    intersects [(q-eps)n - 1, (q+eps)n + 1] (eps = 1/accuracy; +-1 for
+    floor/ceil slack at group boundaries). The estimator stays
+    approximate; the claim about it is deterministic — TRUE under any
+    partitioning iff the GK guarantee holds — and the DuckDB oracle
+    asserts the same booleans from the guarantee side, making the row
+    hash-exact. The second pass broadcasts the 3-row sketch frame: two
+    sequential scans, zero value buffering — the scale posture is
+    unchanged."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("__m"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("__p"),
+    )
+    eps = 1.0 / 10000.0
+    agg = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("__m"), 1).otherwise(0)
+            ).alias("__m_le"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("__m"), 1).otherwise(0)
+            ).alias("__m_lt"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("__p"), 1).otherwise(0)
+            ).alias("__p_le"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("__p"), 1).otherwise(0)
+            ).alias("__p_lt"),
+        )
+    )
+
+    def _bound_ok(le: str, lt: str, q: float) -> F.Column:
+        lo = F.floor((F.lit(q) - F.lit(eps)) * F.col("n_rows")) - F.lit(1)
+        hi = F.ceil((F.lit(q) + F.lit(eps)) * F.col("n_rows")) + F.lit(1)
+        return (F.col(le) >= lo) & ((F.col(lt) + F.lit(1)) <= hi)
+
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        _bound_ok("__m_le", "__m_lt", 0.5).alias("median_bound_ok"),
+        _bound_ok("__p_le", "__p_lt", 0.9).alias("p90_bound_ok"),
     )
 
 

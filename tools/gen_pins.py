@@ -25,8 +25,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Deterministic rows-only queries. Excluded on purpose:
-#   price_quantiles_approx     approx_percentile merge order sensitivity
+# Deterministic rows-only queries. (price_quantiles_approx — formerly the
+# lone excluded row for approx_percentile merge-order sensitivity — now
+# ships exact rank-error-bound BOOLEANS instead of the sketch values and is
+# oracle-checked, r14.)
 CANDIDATES = [
     "approx_distinct_parts",
     "audio_feature_stats",
