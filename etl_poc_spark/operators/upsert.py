@@ -146,12 +146,22 @@ def upsert_parquet(
 #     double-wins under a thread barrier on this stack). So on `file:`
 #     the claim uses a HARD LINK instead: link(2) atomically fails with
 #     EEXIST if the slot is taken, with no check-then-act window.
+#   - local FS WITHOUT link(2) (some network mounts behind `file:`): an
+#     exclusive LOCK-FILE creation (open(2) O_CREAT|O_EXCL via
+#     File.createNewFile — kernel-atomic refusal) claims the slot and
+#     only the lock winner renames its manifest onto the slot name, so
+#     the overwriting rename is never contended. Bare rename+read-back
+#     (the pre-r14 degraded path) had an ABA window: A renames and
+#     verifies, then B overwrites the same slot and ALSO verifies — A's
+#     acknowledged commit silently lost.
 #   - any other FS: after a claim apparently succeeds, the slot is read
 #     BACK and its commit_id compared to ours; a mismatch is treated as
 #     a lost race (the manifest is re-staged and the loop claims the
-#     next slot). On S3 the FileSystem-contract rename is copy+delete
-#     (not atomic even with read-back); front this operator with a table
-#     format or an external lock there.
+#     next slot). On OBJECT STORES (s3a/gs/abfs/...) the
+#     FileSystem-contract rename is copy+delete — not atomic even with
+#     read-back — so commit writers REFUSE those schemes up front
+#     (UnsupportedCommitFilesystemError): front this operator with a
+#     table format or an external lock there.
 #
 # Concurrency: commits claim sequence slots optimistically. Two writers
 # touching DISJOINT partition sets both succeed (the loser of the rename
@@ -177,6 +187,39 @@ class ConcurrentWriteError(RuntimeError):
     """A concurrent commit touching overlapping partitions finalized after
     this writer's merge base was resolved; the merge is stale. Re-run the
     upsert against the new table state."""
+
+
+# Filesystem schemes whose rename is a non-atomic copy+delete (object
+# stores): the sequence-slot claim CANNOT be made safe there with rename,
+# link, or O_EXCL — two writers can both "win" a slot and one acknowledged
+# commit is lost. The module contract (comment above) says to front the
+# protocol with a table format or an external lock on these; as of r14
+# commit writers REFUSE them at runtime instead of documenting only.
+_OBJECT_STORE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos", "cosn", "swift"}
+)
+
+
+class UnsupportedCommitFilesystemError(RuntimeError):
+    """The versioned-commit protocol was pointed at an object store whose
+    rename is copy+delete (non-atomic): slot claims would be silently
+    lossy. Use HDFS / a POSIX filesystem, or front the table with a table
+    format (Delta/Iceberg) or an external lock service."""
+
+
+def _require_atomic_commit_fs(fs, target_dir: str) -> None:
+    scheme = fs.getScheme()
+    if scheme in _OBJECT_STORE_SCHEMES:
+        raise UnsupportedCommitFilesystemError(
+            f"versioned-commit target {target_dir!r} is on scheme "
+            f"{scheme!r}, whose rename is copy+delete — sequence-slot "
+            "claims are not atomic there and acknowledged commits could "
+            "be silently lost. Supported: hdfs (atomic rename refusal) "
+            "and file/local (hard-link or lock-file claim). For object "
+            "stores, front the table with a table format or an external "
+            "lock (see SCALING.md, 'Versioned tables: supported "
+            "filesystems')."
+        )
 
 
 def _join(*parts: str) -> str:
@@ -414,6 +457,41 @@ def _local_claim_by_link(jvm, tmp_str: str, dst_str: str) -> bool:
         raise
 
 
+def _local_claim_by_lock(jvm, fs, P, tmp, dst_str: str, commit_id: str) -> bool:
+    """Degraded local claim for mounts without link(2): an atomic
+    exclusive LOCK-FILE creation (java.io.File.createNewFile — open(2)
+    with O_CREAT|O_EXCL, a kernel-side refusal like link's EEXIST) claims
+    the slot, and only the lock winner renames its staged manifest onto
+    the slot name — so the overwriting RawLocalFileSystem rename is never
+    contended. This closes the ABA window of the pre-r14 bare
+    rename+read-back degrade: writer A renames and verifies its read-back,
+    then writer B (which listed before A's claim) renames onto the SAME
+    slot and also verifies — A's acknowledged commit silently lost
+    (tests/test_upsert.py::test_finalize_commit_barrier_race_degraded_path
+    races this path directly).
+
+    Locks PERSIST (a reclaimed lock would reopen the slot to a stale
+    writer); they carry the winner's commit_id for diagnostics, cost tens
+    of bytes per commit, and are invisible to readers (_commit_names
+    keeps only `.json`). A writer that crashes between lock and rename
+    leaves a holed slot: reads are unaffected (the crashed writer never
+    got an acknowledgment), but new commits spin on the hole and raise
+    ConcurrentWriteError naming the stale lock — recovery (deleting a
+    lock verified stale out-of-band) is deliberately operator-explicit;
+    auto-reaping would reopen the overwrite race for a paused-not-dead
+    writer."""
+    lock_str = dst_str + ".lock"
+    lock_local = lock_str[len("file:"):] if lock_str.startswith("file:") else lock_str
+    if not jvm.java.io.File(lock_local).createNewFile():
+        return False
+    out = fs.create(P(lock_str), True)
+    try:
+        out.write(bytearray(commit_id.encode("utf-8")))
+    finally:
+        out.close()
+    return bool(fs.rename(tmp, P(dst_str)))
+
+
 def _read_back_commit_id(fs, P, jvm, dst_str: str) -> str | None:
     """commit_id recorded in the slot file, or None if unreadable."""
     import json
@@ -465,6 +543,10 @@ def _finalize_commit(
 
     cdir = _join(target_dir, _COMMITS)
     fs, P = _hfs(spark, cdir)
+    # every commit writer funnels through here (upsert / delete / compact
+    # / streaming ingest / checkpoint): refuse object-store schemes whose
+    # rename is copy+delete — slot claims would be silently lossy there
+    _require_atomic_commit_fs(fs, target_dir)
     jvm = spark._jvm
     fs.mkdirs(P(cdir))
     tmp_str = _join(cdir, f".tmp_{commit_id}.json")
@@ -519,10 +601,15 @@ def _finalize_commit(
                     claimed = _local_claim_by_link(jvm, tmp_str, dst_str)
                 except _LinkUnsupported:
                     # mount without link(2) (some network filesystems
-                    # behind file:): degrade to rename + read-back — the
-                    # verification below still catches any double-win
+                    # behind file:): degrade to the exclusive lock-file
+                    # claim — still kernel-atomic (O_EXCL), never the
+                    # bare overwriting rename
                     _LINK_UNSUPPORTED = True
-                    claimed = bool(fs.rename(tmp, P(dst_str)))
+                    claimed = _local_claim_by_lock(
+                        jvm, fs, P, tmp, dst_str, commit_id
+                    )
+            elif is_local:
+                claimed = _local_claim_by_lock(jvm, fs, P, tmp, dst_str, commit_id)
             else:
                 # HDFS: the NameNode refuses an existing destination
                 # atomically; rename consumes tmp on success
@@ -544,8 +631,27 @@ def _finalize_commit(
             # back off briefly (capped exponential + per-writer jitter),
             # then re-list (now including the winner) and try the next
             _time.sleep(min(0.05, 0.002 * attempt) * (0.5 + jitter))
+        hint = ""
+        if is_local and _LINK_UNSUPPORTED:
+            # lock-claim mode: a slot locked but never published means a
+            # writer crashed between lock and rename — name it so the
+            # operator can verify staleness out-of-band and delete it
+            lock_local = (dst_str + ".lock")
+            if lock_local.startswith("file:"):
+                lock_local = lock_local[len("file:"):]
+            dst_local = dst_str[len("file:"):] if dst_str.startswith("file:") else dst_str
+            import os as _os
+
+            if _os.path.exists(lock_local) and not _os.path.exists(dst_local):
+                hint = (
+                    f"; slot lock {lock_local} exists without a published "
+                    "manifest — a writer likely crashed between lock and "
+                    "publish; verify it is dead, then delete the .lock to "
+                    "recover"
+                )
         raise ConcurrentWriteError(
             f"could not claim a commit sequence slot in {max_attempts} attempts"
+            + hint
         )
     except ConcurrentWriteError:
         fs.delete(tmp, False)  # withdraw the unpublished manifest
@@ -637,6 +743,8 @@ def upsert_versioned(
     evolving commit serves the old schema. Column REMOVAL stays an
     error either way (a dropped column would silently null out history
     — recreate the table instead)."""
+    fs, _ = _hfs(spark, target_dir)
+    _require_atomic_commit_fs(fs, target_dir)  # fail BEFORE the data write
     commit_id = uuid.uuid4().hex[:12]
     upd = updates.withColumn("__is_update", F.lit(1))
     parts = _checked_partition_values(updates, partition_col)
