@@ -302,6 +302,22 @@ def _apply_op(
         return out.withColumn(text_col, F.col("clean_text")).drop(
             "clean_text", "n_lines", "n_kept_lines"
         )
+    if t == "badwords_filter":
+        # C4's document-level badwords drop (curation.c4_badwords_filter):
+        # any document containing a banned word/phrase is removed — the
+        # page-level complement of c4_filter's line cleaning. `badwords`
+        # overrides the neutral placeholder default (production supplies
+        # its own list; the public LDNOOBW content is not bundled).
+        from etl_poc_spark.operators.curation import (
+            C4_BADWORDS_PLACEHOLDER,
+            c4_badwords_filter,
+        )
+
+        return c4_badwords_filter(
+            df,
+            badwords=op.get("badwords", list(C4_BADWORDS_PLACEHOLDER)),
+            text_col=op.get("text_key", "text"),
+        )
     if t == "lm_perplexity":
         # CCNet-style LM quality gate (operators/ngram_lm.py): train the
         # bigram LM on the incoming frame itself, score every document;

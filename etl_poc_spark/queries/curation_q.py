@@ -481,6 +481,56 @@ def c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "c4_badwords_doc_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS hits
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(hits) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN hits = 0 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM t GROUP BY source
+    """,
+)
+def c4_badwords_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's DOCUMENT-level badwords drop (curation.c4_badwords_flags,
+    Raffel 2020 §2.2 — the page-level complement of c4_line_filter_stats'
+    line rules; r13 verdict ask #5) over a deterministically marked
+    corpus: doc_id%7 appends a capitalized single banned word, doc_id%11
+    a cased banned PHRASE, doc_id%13 near-miss superstrings ("badwords",
+    "explicitly") that word-bounded matching must NOT flag. The corpus
+    word-soup vocabulary is disjoint from the placeholder list, so the
+    oracle re-derives the flags ANALYTICALLY from the id arithmetic — an
+    independent formulation: a tokenization or boundary regression in the
+    operator cannot cancel out."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(n % 7 == 0, F.lit(" Badword alert.")).otherwise(F.lit("")),
+        F.when(n % 11 == 0, F.lit(" very NSFW stuff here.")).otherwise(F.lit("")),
+        F.when(n % 13 == 0, F.lit(" badwords explicitly.")).otherwise(F.lit("")),
+    )
+    from etl_poc_spark.operators.curation import c4_badwords_flags
+
+    flagged = c4_badwords_flags(d.select("doc_id", "source", txt.alias("text")))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("has_badwords").cast("int")).cast("bigint").alias("n_flagged"),
+        F.sum("n_badword_hits").cast("bigint").alias("n_hits"),
+        F.sum(F.when(~F.col("has_badwords"), F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    )
+
+
 # 52-bit md5 uniform (curation.hash_uniform): first 13 hex digits / 2^52,
 # exact in a double — engine-portable to the bit
 _U13_SQL = (

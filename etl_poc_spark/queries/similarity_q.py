@@ -556,12 +556,24 @@ _SEMDEDUP_MODELS: dict[tuple, list[list[float]]] = {}
 _SEMDEDUP_K = 64  # coarse clusters: pair work is sum(c^2)/2 per cluster
 _SEMDEDUP_CLUSTER_CAP = 2000  # degenerate-cluster guard (inert at test SFs)
 
+# The oracle-DEMO corpus is bounded to this many base vectors (inert at
+# sf<=0.1, which has <=2000; binds only at sf1+): the demo's fixed k=64
+# quantizer means per-cluster occupancy — and so pair work — grows with
+# corpus size in BOTH engines (the one standing sf1 gate exclusion in
+# r12/r13). The demo row's job is bit-exact cross-engine KERNEL
+# verification (cluster ids, cosines, drop flags), which a bounded corpus
+# serves at every scale; the SCALE posture belongs to the three production
+# configs (adaptive k, minibatch training, float verify), which run the
+# full corpus and are digest-pinned at sf1 (r13 verdict ask #2).
+_SEMDEDUP_DEMO_CAP = 2000
+
 _SEMDEDUP_ORACLE = (
-    """
+    f"""
     WITH emb_d AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
-      FROM embeddings
-    ), b AS (
+      FROM embeddings WHERE vec_id < {_SEMDEDUP_DEMO_CAP}
+    ), b AS ("""
+    + """
       SELECT vec_id, embedding FROM emb_d
       UNION ALL
       SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> x * 1.5) AS embedding
@@ -632,15 +644,24 @@ _SEMDEDUP_ORACLE = (
 )
 
 
-def _semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semdedup_corpus(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
     """Embeddings plus exact-direction duplicates: every vec_id % 10 == 0
     vector reappears at vec_id + 100000 scaled by 1.5 — scaling preserves
     direction, so each copy has cosine 1.0 with its original (well above
     the 0.99 threshold) while the near-uniform synthetic vectors keep all
-    OTHER pairs far below it."""
+    OTHER pairs far below it.
+
+    `cap` bounds the BASE corpus to vec_id < cap — used only by the
+    oracle-demo row (semdedup_flags), whose fixed k=64 quantizer makes
+    within-cluster pair work quadratic in corpus size in BOTH engines;
+    the production configs (adaptive k = n/200) take the full corpus."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
     )
+    if cap is not None:
+        emb = emb.filter(F.col("vec_id") < int(cap))
     dups = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.expr("transform(embedding, x -> x * CAST(1.5 AS DOUBLE))").alias("embedding"),
@@ -676,8 +697,11 @@ def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the corpus feeds MANY driver actions (training collects, broadcast
     # probes, both pair sides, both norm frames) — pin it so the cast+union
-    # runs once; at cluster scale this is the materialized corpus table
-    corpus = pin(_semdedup_corpus(spark, sf_dir))
+    # runs once; at cluster scale this is the materialized corpus table.
+    # DEMO-BOUNDED corpus (see _SEMDEDUP_DEMO_CAP): this row verifies the
+    # kernel bit-for-bit against DuckDB at every scale; the production
+    # configs below carry the scale posture on the full corpus.
+    corpus = pin(_semdedup_corpus(spark, sf_dir, cap=_SEMDEDUP_DEMO_CAP))
     key = _model_key(sf_dir)
     centroids = _SEMDEDUP_MODELS.get(key)
     if centroids is None:

@@ -570,3 +570,73 @@ def test_per_stratum_fixed_sample_exact_k(spark, sf_dir):
     for lang, ranks in by_lang.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 10
+
+
+def test_c4_badwords_rules(spark):
+    """Rule-by-rule contract of the C4 document-level badwords drop
+    (Raffel 2020 §2.2, r13 verdict ask #5): case-insensitive, word-
+    BOUNDED (superstrings never flag), phrases match across any
+    non-alphanumeric separator run, hits count distinct banned words
+    plus phrase occurrences, and the filter form drops flagged docs
+    without changing the schema."""
+    from etl_poc_spark.operators.curation import (
+        c4_badwords_filter,
+        c4_badwords_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "perfectly clean prose with ordinary words"),
+            (2, "contains a BADWORD in capitals"),          # case-insensitive
+            (3, "badwords and explicitly are superstrings"),  # boundary: no flag
+            (4, "phrase match: very NSFW stuff here"),        # phrase
+            (5, "phrase across punctuation nsfw-stuff too"),  # separator run
+            (6, "nsfw alone without its second word"),        # partial phrase: no
+            (7, "badword plus nsfw stuff doubles the hits"),
+            (8, "an obscenity; a slur. all punctuation-bound"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_badword_hits"], r["has_badwords"])
+        for r in c4_badwords_flags(docs).collect()
+    }
+    assert got[1] == (0, False)
+    assert got[2] == (1, True)
+    assert got[3] == (0, False)
+    assert got[4] == (1, True)
+    assert got[5] == (1, True)
+    assert got[6] == (0, False)
+    assert got[7] == (2, True)
+    assert got[8] == (2, True)
+
+    kept = c4_badwords_filter(docs)
+    assert set(kept.columns) == {"doc_id", "text"}   # flag cols internal
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 6]
+
+    # custom list overrides the placeholder entirely
+    custom = c4_badwords_flags(docs, badwords=("prose", "second word"))
+    got2 = {r["doc_id"]: r["has_badwords"] for r in custom.collect()}
+    assert got2[1] is True and got2[6] is True and got2[2] is False
+
+
+def test_c4_badwords_yaml_op(spark):
+    """`badwords_filter` composes in the YAML curation vocabulary beside
+    c4_filter, with a configurable list."""
+    from etl_poc_spark.plans.yaml_pipeline import _apply_op
+    from etl_poc_spark.llm.provider import StubProvider
+
+    docs = spark.createDataFrame(
+        [(1, "clean document"), (2, "has a badword inside"), (3, "totally fine")],
+        "doc_id long, text string",
+    )
+    out = _apply_op(
+        docs, {"name": "bw", "type": "badwords_filter"}, StubProvider()
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    out2 = _apply_op(
+        docs,
+        {"name": "bw", "type": "badwords_filter", "badwords": ["fine"]},
+        StubProvider(),
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2]
