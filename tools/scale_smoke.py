@@ -51,6 +51,13 @@ SMOKE_QUERIES = [
     # ≤k-strata frame (bounded by construction); this turns that claim
     # into a 10/30/100x measurement, the DSIR pattern
     "unimax_lang_budgets",
+    # r14: media decode tier (verdict ask #7) — the render+decode
+    # mapInPandas stages were a 1-task path until the fixed-width
+    # repartition in queries/multimodal_q.py; these time the now-parallel
+    # decode at 10x docs, and main() records the decode task counts so
+    # the multi-task stage is visible in the artifact
+    "audio_feature_stats",
+    "media_feature_neardup_sim",
 ]
 
 # per-table key columns to offset per copy so the scaled table has
@@ -632,6 +639,29 @@ def main() -> int:
     registry.QUERIES.setdefault("semdedup_flags_adaptive", semdedup_adaptive)
     registry.QUERIES.setdefault("kmeans_train_full", _train_probe("full"))
     registry.QUERIES.setdefault("kmeans_train_minibatch", _train_probe("minibatch"))
+    # media decode parallelism (r13 verdict ask #7): count the NON-EMPTY
+    # tasks the audio render/decode stage actually runs — the artifact
+    # proof that the mapInPandas path is no longer single-task
+    media_parallelism = None
+    try:
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.io import load_table
+        from etl_poc_spark.queries.multimodal_q import render_document_audio
+
+        rendered = render_document_audio(load_table(spark, args.scratch, "documents"))
+        media_parallelism = {
+            "render_partitions": rendered.rdd.getNumPartitions(),
+            "nonempty_decode_tasks": rendered.select(
+                F.spark_partition_id().alias("p")
+            )
+            .distinct()
+            .count(),
+        }
+        print(json.dumps({"media_decode_parallelism": media_parallelism}), flush=True)
+    except Exception as exc:  # noqa: BLE001 — diagnostics must not kill the smoke
+        print(f"media parallelism probe failed: {exc}", flush=True)
+
     results = {}
     for name in args.queries or SMOKE_QUERIES + [
         "semdedup_flags_adaptive", "semdedup_flags_adaptive_float",
@@ -658,7 +688,15 @@ def main() -> int:
             row["err"] = err
         results[name] = row
         print(json.dumps(row), flush=True)
-    print(json.dumps({"scale_smoke": results, "copies": args.copies}))
+    print(
+        json.dumps(
+            {
+                "scale_smoke": results,
+                "copies": args.copies,
+                "media_decode_parallelism": media_parallelism,
+            }
+        )
+    )
     return 1 if any("err" in r for r in results.values()) else 0
 
 
