@@ -972,3 +972,117 @@ def pack_sequences_bfd(
         .groupBy(*group_cols)
         .applyInPandas(pack, schema=out_schema)
     )
+
+
+def epoch_shuffle_key(id_col: Column, epoch: int, salt: str = "shuffle") -> Column:
+    """Deterministic per-epoch global shuffle key: md5(salt || epoch || '|'
+    || id). Sorting by this key gives each training epoch an independent,
+    reproducible permutation of the corpus — the data-ordering step every
+    multi-epoch run needs, without a stateful RNG (resharding, retries,
+    and engine changes all reproduce the same order).
+
+    Scale shape: key ASSIGNMENT is map-only. To materialize epoch order at
+    100 TB, range-partition on the key and sortWithinPartitions — Spark's
+    standard total-order sort (one shuffle); shard s then holds rows
+    [s/N, (s+1)/N) of the permutation, which is exactly what a data
+    loader consumes. Never collect the global order; rank materialization
+    belongs in bounded top-k probes (see epoch_shuffle_order).
+
+    DuckDB equivalent: md5('salt' || CAST(e AS VARCHAR) || '|' ||
+    CAST(id AS VARCHAR)) — hash-exact like every md5-keyed decision."""
+    return F.md5(
+        F.concat(
+            F.lit(salt), F.lit(int(epoch)).cast("string"), F.lit("|"),
+            id_col.cast("string"),
+        )
+    )
+
+
+def length_bucket_padding(
+    df: DataFrame,
+    token_col: str,
+    bucket_tokens: int = 64,
+) -> DataFrame:
+    """Dynamic-batching efficiency stats: bucket sequences into fixed-size
+    length bands (band_max = smallest multiple of `bucket_tokens` holding
+    the sequence) and report, per band, the padded token cost of batching
+    within the band versus the tokens actually carried — plus each band's
+    waste under NO bucketing (everything padded to the global max), so the
+    row shows the win length-grouped batching buys. Every number is an
+    exact integer (band arithmetic is `div`-based; no floats), so the
+    output is hash-exact cross-engine.
+
+    Scale shape: one map-side-combined groupBy(band) over the corpus; the
+    global max attaches via a window over the ≤#bands aggregated frame
+    (the bounded-model-frame class), not over corpus rows."""
+    n = F.col(token_col).cast("bigint")
+    # TRUE integer ceil-division (`div`), not a cast-truncated double
+    # quotient — keeps the "no floats anywhere" claim exact for any
+    # bucket size (a power-of-two bucket would be exact either way)
+    band_max = F.expr(
+        f"((CAST(`{token_col}` AS BIGINT) + {int(bucket_tokens) - 1}) div "
+        f"{int(bucket_tokens)}) * {int(bucket_tokens)}"
+    ).cast("bigint")
+    per_band = (
+        df.filter(n > 0)
+        .select(n.alias("__n"), band_max.alias("band_max"))
+        .groupBy("band_max")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("__n").alias("sum_tokens"),
+            F.max("__n").alias("max_tokens"),
+        )
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_band.select(
+        F.col("band_max").cast("bigint").alias("band_max"),
+        F.col("n_seqs").cast("bigint").alias("n_seqs"),
+        F.col("sum_tokens").cast("bigint").alias("sum_tokens"),
+        (F.col("band_max") * F.col("n_seqs") - F.col("sum_tokens"))
+        .cast("bigint")
+        .alias("bucketed_waste"),
+        (F.max("max_tokens").over(w_all) * F.col("n_seqs") - F.col("sum_tokens"))
+        .cast("bigint")
+        .alias("unbucketed_waste"),
+    )
+
+
+def exact_ols_fit(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Exact simple-OLS fit y ~ w0 + w1·x over INTEGER-SCALED observations
+    — the closed-form regression a RegMix-style mixture search runs over
+    its (mixture share → proxy-run loss) observations, and a scaling-law
+    sweep runs over (log-scaled size, loss) pairs. The normal-equation
+    sums fold in DECIMAL(38,0) (exact, order-independent), both
+    coefficients are single ratios of exact determinants
+    (w1 = (nΣxy−ΣxΣy)/D, w0 = (ΣyΣx²−ΣxΣxy)/D with D = nΣx²−(Σx)²),
+    and each ratio is ONE double division of two correctly-rounded
+    operands — bit-stable across engines and partitionings.
+
+    Caller contract: x and y are integers (scale upstream — milli-units
+    etc.); |x|,|y| ≤ ~1e12 with ≤ ~1e9 rows keeps every determinant term
+    within DECIMAL(38,0). Output: one row (n_obs, w0, w1).
+
+    Scale shape: ONE map-side-combined global aggregate (5 sums), then
+    scalar arithmetic on the 1-row frame. Nothing else shuffles."""
+    d38 = "decimal(38,0)"
+    x = F.col(x_col).cast(d38)
+    y = F.col(y_col).cast(d38)
+    s = df.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(x).cast(d38).alias("sx"),
+        F.sum(y).cast(d38).alias("sy"),
+        F.sum((x * x).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((x * y).cast(d38)).cast(d38).alias("sxy"),
+    )
+    det = (F.col("n") * F.col("sxx")).cast(d38) - (F.col("sx") * F.col("sx")).cast(d38)
+    num1 = (F.col("n") * F.col("sxy")).cast(d38) - (F.col("sx") * F.col("sy")).cast(d38)
+    num0 = (F.col("sy") * F.col("sxx")).cast(d38) - (F.col("sx") * F.col("sxy")).cast(d38)
+    return s.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        (num0.cast("double") / det.cast("double")).alias("w0"),
+        (num1.cast("double") / det.cast("double")).alias("w1"),
+    )

@@ -38,6 +38,32 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def keep_best_per_group(
+    df: DataFrame, group_col: str, quality_col: str, id_col: str
+) -> DataFrame:
+    """Quality-aware duplicate retention: keep the HIGHEST-`quality_col`
+    row per duplicate group (ties broken by minimum `id_col` — a total
+    order, so the survivor is deterministic and oracle-checkable).
+    exact_dedup's min-id survivor and SlimPajama's 1/n down-weighting
+    (dup_aware_weights) treat copies as interchangeable; real pipelines
+    (RefinedWeb/FineWeb-style retention) keep the best copy — the longest,
+    highest-scoring, or least-boilerplate one — because near-copies
+    routinely differ in truncation and extraction quality.
+
+    Scale shape: one row_number window partitioned by the group
+    fingerprint — a single shuffle on the group key with tiny per-group
+    frames (duplicate-cluster sizes), the same cost class as the
+    exact-dedup groupBy. No collect, no join back."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
 def shingle_docs(
     df: DataFrame,
     id_col: str = "doc_id",

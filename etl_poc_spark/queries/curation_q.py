@@ -11,7 +11,7 @@ Spark `conv(substr(md5(x),1,6),16,10) % n` == DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_poc_spark.io import load_table
@@ -1235,3 +1235,144 @@ def quality_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "padding_waste_stats",
+    oracle="""
+    WITH t AS (
+      SELECT len(string_split_regex(trim(text), '\\s+')) AS n FROM documents
+    ), b AS (
+      SELECT ((n + 63) // 64) * 64 AS band_max, COUNT(*) AS n_seqs,
+             CAST(SUM(n) AS BIGINT) AS sum_tokens, MAX(n) AS mx
+      FROM t WHERE n > 0 GROUP BY 1
+    )
+    SELECT CAST(band_max AS BIGINT) AS band_max,
+           CAST(n_seqs AS BIGINT) AS n_seqs,
+           sum_tokens,
+           CAST(band_max * n_seqs - sum_tokens AS BIGINT) AS bucketed_waste,
+           CAST((MAX(mx) OVER ()) * n_seqs - sum_tokens AS BIGINT)
+             AS unbucketed_waste
+    FROM b
+    """,
+)
+def padding_waste_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching efficiency dashboard
+    (curation.length_bucket_padding): bucket document token counts into
+    64-token bands and report, per band, the padded-token cost of
+    length-grouped batching versus padding everything to the global max —
+    the number that decides whether a training pipeline buckets by length
+    before batching (it complements the packers: packing concatenates,
+    bucketing pads). Exact integers end to end (`div`-based band
+    arithmetic, no floats), so hash-exact; the global max attaches via a
+    window over the ≤#bands aggregated frame, never corpus rows."""
+    from etl_poc_spark.operators.curation import length_bucket_padding
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return length_bucket_padding(
+        d.select(n_tokens.alias("n_tokens")), "n_tokens", bucket_tokens=64
+    )
+
+
+@query(
+    "epoch_shuffle_order",
+    oracle="""
+    WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1 UNION ALL SELECT 2),
+    k AS (
+      SELECT e.epoch, d.doc_id,
+             md5('shuffle' || CAST(e.epoch AS VARCHAR) || '|'
+                 || CAST(d.doc_id AS VARCHAR)) AS key
+      FROM documents d, e
+    ), r AS (
+      SELECT epoch, doc_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY key) AS pos
+      FROM k
+    )
+    SELECT epoch, CAST(pos AS BIGINT) AS pos, doc_id
+    FROM r WHERE pos <= 20
+    """,
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle
+    (curation.epoch_shuffle_key): every training epoch orders the corpus
+    by md5(salt||epoch||'|'||id) — an independent, reproducible
+    permutation per epoch with no RNG state (retries, resharding, and
+    engine changes reproduce the same order). The probe emits each
+    epoch's first 20 (epoch, position, doc_id) rows; at 100 TB the
+    loader consumes the SAME key via range-partition +
+    sortWithinPartitions (one total-order sort shuffle) — global rank
+    materialization stays in bounded probes like this one."""
+    from etl_poc_spark.operators.curation import epoch_shuffle_key
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    parts = [
+        d.select(
+            F.lit(e).alias("epoch"),
+            "doc_id",
+            epoch_shuffle_key(F.col("doc_id"), e).alias("__k"),
+        )
+        for e in (0, 1, 2)
+    ]
+    keyed = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    w = Window.partitionBy("epoch").orderBy("__k")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= 20)
+        .select("epoch", "pos", "doc_id")
+    )
+
+
+@query(
+    "mixture_loss_regression",
+    oracle="""
+    WITH obs AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS x,
+             CAST(SUM(n_chars % 97) AS BIGINT) AS y
+      FROM documents GROUP BY source
+    ), s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+               AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+               AS sxy
+      FROM obs
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST(CAST(sy * sxx - sx * sxy AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS w0,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS w1
+    FROM s
+    """,
+)
+def mixture_loss_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegMix-style mixture-weight regression (curation.exact_ols_fit):
+    fit loss ~ w0 + w1·x over per-domain observations by EXACT
+    normal-equation OLS — the closed-form step a mixture search runs over
+    its (mixture share → proxy-run loss) observations (Liu et al. 2024),
+    and a scaling-law sweep runs over (size, loss) pairs. Here the ≤k
+    observations are synthesized per source from the corpus itself
+    (x = domain token mass, y = an integer loss proxy); production feeds
+    real proxy-run rows through the same operator.
+
+    Exactness: all five normal-equation sums fold in DECIMAL(38,0); each
+    coefficient is ONE double division of two correctly-rounded exact
+    determinants (the oracle bridges HUGEINT→DOUBLE through VARCHAR —
+    DuckDB's direct wide-integer cast is 1-2 ulp off past 2^53, the
+    SNIPPETS/verify-skill gotcha). Scale shape: one map-side-combined
+    groupBy(source) plus a 1-row global aggregate; nothing else moves."""
+    from etl_poc_spark.operators.curation import exact_ols_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.col("n_chars") % 97).cast("bigint").alias("y"),
+    )
+    return exact_ols_fit(obs, "x", "y")

@@ -9,7 +9,7 @@ oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_poc_spark.io import load_table
@@ -425,6 +425,102 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return winnow_shared_pairs(d, "doc_id", "text", k=3, w=4, min_shared=2)
+
+
+@query(
+    "quality_dedup_keep_best",
+    oracle="""
+    WITH built AS (
+      SELECT doc_id, n_chars, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, n_chars + 3, upper(text) || ' !!'
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, GREATEST(n_chars - 7, 0), text || ' ??'
+      FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+      FROM built
+    ), ranked AS (
+      SELECT doc_id, n_chars, fp,
+             row_number() OVER (PARTITION BY fp
+               ORDER BY n_chars DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+             SUM(doc_id) OVER (PARTITION BY fp) AS id_sum
+      FROM norm
+    )
+    SELECT fp, doc_id AS kept_doc_id,
+           CAST(n_chars AS BIGINT) AS kept_n_chars,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(id_sum - doc_id AS BIGINT) AS dropped_id_sum
+    FROM ranked WHERE rk = 1 AND n_copies > 1
+    """,
+)
+def quality_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate retention (dedup.keep_best_per_group):
+    group by the normalization-aware fingerprint, keep the HIGHEST-quality
+    copy per duplicate group — quality here is n_chars (longest copy wins;
+    truncated extractions lose), ties broken by min doc_id. The retention
+    policy real pipelines (RefinedWeb/FineWeb-style) use instead of
+    exact_dedup's arbitrary min-id survivor: near-copies differ in
+    truncation and extraction quality, and the survivor choice changes
+    the training corpus.
+
+    The word-soup corpus has no natural normalized duplicates at test
+    scales (normalized_exact_dedup_groups reads 0 rows at sf0.01), so the
+    query plants them deterministically the way _semdedup_corpus plants
+    embedding duplicates: doc_id%5 gains an uppercased-plus-punctuation
+    copy at +3 chars (normalizes EQUAL, higher quality — the copy must
+    win), doc_id%10 a second copy at −7 chars (must lose). Output per
+    duplicate group: fingerprint, kept doc, its quality, copy count, and
+    the dropped-id checksum.
+
+    Scale shape: one row_number window partitioned by fingerprint (the
+    exact-dedup shuffle class, tiny per-group frames). Hash-exact: the
+    ordering (bigint DESC, bigint ASC) is a total order in both engines."""
+    from etl_poc_spark.operators.dedup import keep_best_per_group
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    built = (
+        d.unionByName(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                (F.col("n_chars") + 3).alias("n_chars"),
+                F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.greatest(F.col("n_chars") - 7, F.lit(0)).alias("n_chars"),
+                F.concat(F.col("text"), F.lit(" ??")).alias("text"),
+            )
+        )
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    wc = Window.partitionBy("fp")
+    groups = (
+        built.select("doc_id", "n_chars", F.md5(norm).alias("fp"))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .withColumn("id_sum", F.sum("doc_id").over(wc))
+        .filter(F.col("n_copies") > 1)
+    )
+    kept = keep_best_per_group(groups, "fp", "n_chars", "doc_id")
+    return kept.select(
+        "fp",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_chars").cast("bigint").alias("kept_n_chars"),
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        (F.col("id_sum") - F.col("doc_id")).cast("bigint").alias("dropped_id_sum"),
+    )
 
 
 @query(

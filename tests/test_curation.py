@@ -640,3 +640,62 @@ def test_c4_badwords_yaml_op(spark):
         StubProvider(),
     )
     assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2]
+
+
+def test_keep_best_per_group_quality_and_ties(spark):
+    from etl_poc_spark.operators.dedup import keep_best_per_group
+
+    df = spark.createDataFrame(
+        [
+            ("g1", 10, 5), ("g1", 99, 9), ("g1", 50, 1),   # max quality wins
+            ("g2", 7, 3), ("g2", 7, 1),                    # tie -> min id
+            ("g3", 1, 42),                                 # singleton survives
+        ],
+        "grp string, q long, id long",
+    )
+    got = {r["grp"]: r["id"] for r in keep_best_per_group(df, "grp", "q", "id").collect()}
+    assert got == {"g1": 9, "g2": 1, "g3": 42}
+
+
+def test_length_bucket_padding_arithmetic(spark):
+    from etl_poc_spark.operators.curation import length_bucket_padding
+
+    df = spark.createDataFrame([(1,), (64,), (65,), (100,), (200,)], "n long")
+    rows = {r["band_max"]: r for r in length_bucket_padding(df, "n", 64).collect()}
+    # bands: 64 holds {1, 64}, 128 holds {65, 100}, 256 holds {200}
+    assert set(rows) == {64, 128, 256}
+    assert rows[64]["n_seqs"] == 2 and rows[64]["sum_tokens"] == 65
+    assert rows[64]["bucketed_waste"] == 2 * 64 - 65
+    assert rows[128]["bucketed_waste"] == 2 * 128 - 165
+    assert rows[256]["bucketed_waste"] == 256 - 200
+    # unbucketed: everything pads to the global max (200)
+    assert rows[64]["unbucketed_waste"] == 2 * 200 - 65
+    assert rows[256]["unbucketed_waste"] == 0
+
+
+def test_exact_ols_fit_recovers_known_line(spark):
+    from etl_poc_spark.operators.curation import exact_ols_fit
+
+    # y = 7 + 3x exactly: the fit must return it exactly (dets are exact
+    # integers; each coefficient is one double division)
+    df = spark.createDataFrame([(x, 7 + 3 * x) for x in range(1, 30)], "x long, y long")
+    row = exact_ols_fit(df, "x", "y").collect()[0]
+    assert row["n_obs"] == 29
+    assert row["w0"] == 7.0 and row["w1"] == 3.0
+
+
+def test_epoch_shuffle_key_is_per_epoch_permutation(spark):
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.curation import epoch_shuffle_key
+
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    k0 = df.select("doc_id", epoch_shuffle_key(F.col("doc_id"), 0).alias("k"))
+    k0b = df.select("doc_id", epoch_shuffle_key(F.col("doc_id"), 0).alias("k"))
+    k1 = df.select("doc_id", epoch_shuffle_key(F.col("doc_id"), 1).alias("k"))
+    order0 = [r["doc_id"] for r in k0.orderBy("k").collect()]
+    order0b = [r["doc_id"] for r in k0b.orderBy("k").collect()]
+    order1 = [r["doc_id"] for r in k1.orderBy("k").collect()]
+    assert order0 == order0b                      # reproducible
+    assert order0 != order1                       # epochs independent
+    assert sorted(order0) == sorted(order1) == list(range(200))  # permutations

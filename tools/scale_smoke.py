@@ -58,6 +58,11 @@ SMOKE_QUERIES = [
     # the multi-task stage is visible in the artifact
     "audio_feature_stats",
     "media_feature_neardup_sim",
+    # r14: new curation tier — the epoch window ranks the full corpus
+    # (per-epoch total order; bounded top-k output), keep-best shuffles
+    # the planted-duplicate fingerprint groups
+    "epoch_shuffle_order",
+    "quality_dedup_keep_best",
 ]
 
 # per-table key columns to offset per copy so the scaled table has
