@@ -562,3 +562,76 @@ def normalized_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@query(
+    "leakage_safe_folds",
+    oracle="""
+    WITH built AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) || ' !!'
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' ??'
+      FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+      FROM built
+    ), folded AS (
+      SELECT doc_id, fp,
+             CAST('0x' || substr(md5('fold' || fp), 1, 6) AS INTEGER) % 5
+               AS fold
+      FROM norm
+    )
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM folded GROUP BY fold
+    """,
+)
+def leakage_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold assignment: the fold is hashed from the
+    normalization-aware duplicate-group FINGERPRINT, not the doc id, so
+    every copy of a duplicated document lands in the same fold — the
+    eval-integrity property an id-hashed split silently violates
+    (near-copies straddling train/test inflate eval scores; the pytest
+    shows the id-hashed counterpart leaks on the same corpus). Same
+    planted-duplicate corpus as quality_dedup_keep_best. Output per fold:
+    doc count, distinct group count, doc-id checksum.
+
+    Scale shape: the fingerprint is a narrow md5 projection; fold
+    assignment is map-only on it; the stats are one map-side-combined
+    groupBy(fold). No joins, no windows."""
+    from etl_poc_spark.operators.curation import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    built = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+        )
+    ).unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" ??")).alias("text"),
+        )
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    folded = built.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+    ).select("doc_id", "fp", hash_bucket(F.col("fp"), 5, "fold").alias("fold"))
+    return folded.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_groups"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )

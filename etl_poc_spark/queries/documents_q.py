@@ -580,3 +580,58 @@ def language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / total.cast("double")).alias("recall_share"),
     )
+
+
+@query(
+    "quality_threshold_sweep",
+    oracle=SCORED_CTE + """
+    , tiers AS (
+      SELECT LEAST((10 * score_millis) // maxs, 10) AS tier, wc FROM scored
+    ), th AS (SELECT unnest(range(0, 11)) AS t)
+    SELECT CAST(th.t AS INT) AS threshold_tenths,
+           CAST(COUNT(tiers.tier) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(tiers.wc), 0) AS BIGINT) AS wc_kept,
+           CAST(COUNT(tiers.tier) AS DOUBLE)
+             / (SELECT COUNT(*) FROM scored) AS keep_rate
+    FROM th LEFT JOIN tiers ON tiers.tier >= th.t
+    GROUP BY th.t
+    """,
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration sweep over the L11 quality score: for every
+    threshold t/10 report how many documents (and how much word mass) a
+    score >= t/10 filter keeps — the curve a pipeline owner reads before
+    choosing a quality cutoff (the FineWeb-Edu-style 'pick the threshold
+    from the keep-rate/quality trade-off' step). ONE corpus scan: docs
+    histogram into integer score tiers (floor(10*score/maxs), exact `div`
+    arithmetic), and the 11-threshold sweep is a bounded non-equi join
+    over the <=11-row histogram — never a re-scan per threshold.
+    keep_rate is one exact int/int double division."""
+    s = scored_articles(spark, sf_dir)
+    tiers = s.select(
+        F.least(F.expr("(10 * score_millis) div maxs"), F.lit(10)).alias("tier"),
+        "wc",
+    )
+    hist = tiers.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("wc").alias("__wc")
+    )
+    th = spark.range(0, 11).select(F.col("id").cast("int").alias("threshold_tenths"))
+    joined = th.join(hist, hist["tier"] >= th["threshold_tenths"], "left")
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    agg = joined.groupBy("threshold_tenths").agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.sum("__wc"), F.lit(0)).cast("bigint").alias("wc_kept"),
+    )
+    return agg.select(
+        "threshold_tenths",
+        "n_kept",
+        "wc_kept",
+        (
+            F.col("n_kept").cast("double")
+            / F.max("n_kept").over(w_all).cast("double")
+        ).alias("keep_rate"),
+    )

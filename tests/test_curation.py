@@ -699,3 +699,62 @@ def test_epoch_shuffle_key_is_per_epoch_permutation(spark):
     assert order0 == order0b                      # reproducible
     assert order0 != order1                       # epochs independent
     assert sorted(order0) == sorted(order1) == list(range(200))  # permutations
+
+
+def test_leakage_safe_folds_vs_id_hash(spark, sf_dir):
+    """Group-fingerprint folding must co-assign every duplicate copy (zero
+    groups straddle folds); the naive id-hashed split leaks on the same
+    corpus — the property that motivates the operator."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.io import load_table
+    from etl_poc_spark.operators.curation import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    built = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+        )
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    fp = built.select("doc_id", F.md5(norm).alias("fp"))
+    by_group = fp.select(
+        "fp", hash_bucket(F.col("fp"), 5, "fold").alias("fold")
+    )
+    assert (
+        by_group.groupBy("fp")
+        .agg(F.countDistinct("fold").alias("k"))
+        .filter("k > 1")
+        .count()
+        == 0
+    )
+    by_id = fp.select("fp", hash_bucket(F.col("doc_id"), 5, "fold").alias("fold"))
+    leaky = (
+        by_id.groupBy("fp")
+        .agg(F.countDistinct("fold").alias("k"), F.count(F.lit(1)).alias("n"))
+        .filter("n > 1 AND k > 1")
+        .count()
+    )
+    assert leaky > 0   # the id-hashed split demonstrably leaks
+
+
+def test_quality_threshold_sweep_monotone(spark, sf_dir):
+    from etl_poc_spark.queries.documents_q import quality_threshold_sweep
+
+    rows = sorted(
+        quality_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["threshold_tenths"],
+    )
+    assert [r["threshold_tenths"] for r in rows] == list(range(11))
+    kept = [r["n_kept"] for r in rows]
+    assert kept == sorted(kept, reverse=True)          # monotone non-increasing
+    assert rows[0]["keep_rate"] == 1.0                 # t=0 keeps everything
+    wc = [r["wc_kept"] for r in rows]
+    assert wc == sorted(wc, reverse=True)
