@@ -1086,3 +1086,112 @@ def exact_ols_fit(
         (num0.cast("double") / det.cast("double")).alias("w0"),
         (num1.cast("double") / det.cast("double")).alias("w1"),
     )
+
+
+def incremental_badwords_ingest(
+    spark,
+    batch: DataFrame,
+    store_dir: str,
+    *,
+    badwords: tuple[str, ...] | list[str] = C4_BADWORDS_PLACEHOLDER,
+    domain_col: str = "source",
+    text_col: str = "text",
+    batch_tag: str | None = None,
+) -> None:
+    """Fold a batch of documents into a badwords-monitoring stats store:
+    an append-only delta log of per-domain (n_docs, n_flagged, n_hits)
+    partials — all three are ADDITIVE, so the folded store equals the
+    one-shot aggregation over the union of every batch in any slicing
+    (the doremi/dsir delta-log discipline; equivalence pytest). This is
+    the content-safety dashboard a continuous web-crawl ingest keeps
+    live: which sources are trending dirty, before the filter drops them.
+
+    Idempotency/replay: a stable `batch_tag` slots the delta under
+    tag=<tag> with overwrite semantics. Concurrency contract: single
+    writer per tag (tests/test_store_concurrency.py class)."""
+    from etl_poc_spark.operators.ngram_lm import _safe_tag
+
+    flagged = c4_badwords_flags(batch, badwords, text_col=text_col)
+    deltas = (
+        flagged.select(
+            F.col(domain_col).alias("domain"),
+            F.col("has_badwords").cast("int").alias("__f"),
+            F.col("n_badword_hits").cast("bigint").alias("__h"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__f").alias("f"),
+            F.sum("__h").alias("h"),
+        )
+    )
+    if batch_tag is not None:
+        deltas.write.mode("overwrite").parquet(
+            f"{store_dir}/tag={_safe_tag(batch_tag)}"
+        )
+    else:
+        deltas.write.mode("append").parquet(store_dir)
+
+
+def read_badwords_store(spark, store_dir: str) -> DataFrame:
+    """Fold the delta log to the current per-domain badwords stats
+    (domain, n_docs, n_flagged, n_hits) — ≤ k rows."""
+    df = spark.read.option("recursiveFileLookup", "true").parquet(store_dir)
+    return df.groupBy("domain").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum("f").cast("bigint").alias("n_flagged"),
+        F.sum("h").cast("bigint").alias("n_hits"),
+    )
+
+
+def badwords_handle_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    badwords: tuple[str, ...] | list[str] = C4_BADWORDS_PLACEHOLDER,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """foreachBatch body for streaming badwords monitoring — batch id =
+    tag slot, so at-least-once delivery folds exactly once."""
+    incremental_badwords_ingest(
+        batch_df.sparkSession,
+        batch_df,
+        store_dir,
+        badwords=badwords,
+        domain_col=domain_col,
+        text_col=text_col,
+        batch_tag=f"batch-{batch_id}",
+    )
+
+
+def streaming_badwords_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    badwords: tuple[str, ...] | list[str] = C4_BADWORDS_PLACEHOLDER,
+    domain_col: str = "source",
+    text_col: str = "text",
+):
+    """Continuous per-domain badwords monitoring over a document stream
+    (the content-safety twin of streaming_doremi_ingest): each
+    micro-batch folds its per-domain flag partials into the store
+    exactly-once. Returns a configured DataStreamWriter — call
+    .trigger(...).start(); read the live dashboard any time with
+    read_badwords_store."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        badwords_handle_batch(
+            batch_df,
+            batch_id,
+            store_dir=store_dir,
+            badwords=badwords,
+            domain_col=domain_col,
+            text_col=text_col,
+        )
+
+    return stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )

@@ -1251,13 +1251,14 @@ def run_streaming_pipeline(
     Block shape:
         streaming:
           source: {path, format: parquet|jsonl_tail, ddl?, max_files_per_trigger?}
-          op: exact_dedup | lm_counts | lm_perplexity_monitor | dsir_counts | dsir_monitor | doremi_stats
+          op: exact_dedup | lm_counts | lm_perplexity_monitor | dsir_counts | dsir_monitor | doremi_stats | badwords_stats
           store_dir: ...          # op state store
           checkpoint_dir: ...
           # exact_dedup: keys: [col,...], id: doc_id, kept_dir: ...
           # lm_counts / lm_perplexity_monitor: text_key: text
           # dsir_counts: role: raw|target, text_key, n_buckets
           # doremi_stats: stratify_key: source, excess_key: excess
+          # badwords_stats: stratify_key: source, text_key: text, badwords?: [..]
           # dsir_monitor: monitor_dir, target: {path, format?, text_key?},
           #   id, text_key, n_buckets -> score-then-fold drift series
           # lm_perplexity_monitor: monitor_dir, id: doc_id, k: 1.0,
@@ -1333,6 +1334,24 @@ def run_streaming_pipeline(
             spec["checkpoint_dir"],
             domain_col=spec.get("stratify_key", "source"),
             excess_col=spec.get("excess_key", "excess"),
+        )
+    elif op == "badwords_stats":
+        # continuous per-domain badwords monitoring (the content-safety
+        # dashboard of a live crawl ingest): fold each micro-batch's
+        # (n_docs, n_flagged, n_hits) partials into the store; read the
+        # live view any time with read_badwords_store
+        from etl_poc_spark.operators.curation import (
+            C4_BADWORDS_PLACEHOLDER,
+            streaming_badwords_ingest,
+        )
+
+        writer = streaming_badwords_ingest(
+            stream,
+            spec["store_dir"],
+            spec["checkpoint_dir"],
+            badwords=spec.get("badwords", list(C4_BADWORDS_PLACEHOLDER)),
+            domain_col=spec.get("stratify_key", "source"),
+            text_col=spec.get("text_key", "text"),
         )
     elif op == "dsir_monitor":
         # target-affinity drift monitor: `target:` seeds the reference

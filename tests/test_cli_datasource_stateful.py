@@ -577,3 +577,78 @@ def test_cli_streaming_doremi_stats(spark, tmp_path):
         )
     )
     assert live == one_shot
+
+
+def test_cli_streaming_badwords_stats(spark, tmp_path):
+    """Config-declared continuous badwords monitoring: the streaming block
+    folds a landing dir of documents into the per-domain flag store; the
+    live view equals a one-shot c4_badwords_flags aggregation over the
+    same rows (additive partials), and replaying a batch tag is
+    idempotent."""
+    import yaml as _yaml
+
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.cli import main
+    from etl_poc_spark.operators.curation import (
+        c4_badwords_flags,
+        incremental_badwords_ingest,
+        read_badwords_store,
+    )
+
+    land = tmp_path / "in"
+    rows = spark.createDataFrame(
+        [
+            ("a", "clean words only here"),
+            ("a", "contains a badword today"),
+            ("b", "very nsfw stuff appears"),
+            ("b", "badword plus nsfw stuff both"),
+            ("c", "nothing wrong at all"),
+        ],
+        "source string, text string",
+    )
+    rows.repartition(2).write.mode("overwrite").parquet(str(land))
+    cfg = {
+        "streaming": {
+            "source": {"path": str(land), "format": "parquet",
+                       "max_files_per_trigger": 1},
+            "op": "badwords_stats",
+            "stratify_key": "source",
+            "text_key": "text",
+            "store_dir": str(tmp_path / "store"),
+            "checkpoint_dir": str(tmp_path / "ck"),
+        }
+    }
+    p = tmp_path / "bw.yaml"
+    p.write_text(_yaml.safe_dump(cfg))
+    assert main(["--config", str(p)]) == 0
+
+    live = {
+        r["domain"]: (r["n_docs"], r["n_flagged"], r["n_hits"])
+        for r in read_badwords_store(spark, str(tmp_path / "store")).collect()
+    }
+    one_shot = {
+        r["source"]: (r["n"], r["f"], r["h"])
+        for r in c4_badwords_flags(spark.read.parquet(str(land)))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("has_badwords").cast("int")).alias("f"),
+            F.sum("n_badword_hits").alias("h"),
+        )
+        .collect()
+    }
+    assert live == one_shot
+    assert live["b"] == (2, 2, 3)
+    # replaying a tag slot folds exactly once (overwrite semantics)
+    incremental_badwords_ingest(
+        spark, rows, str(tmp_path / "store2"), batch_tag="t1"
+    )
+    incremental_badwords_ingest(
+        spark, rows, str(tmp_path / "store2"), batch_tag="t1"
+    )
+    replay = {
+        r["domain"]: (r["n_docs"], r["n_flagged"], r["n_hits"])
+        for r in read_badwords_store(spark, str(tmp_path / "store2")).collect()
+    }
+    assert replay == one_shot
