@@ -1729,3 +1729,40 @@ def test_winnowing_fingerprints_guarantee_and_density(spark):
     a = sorted(map(tuple, fps.collect()))
     b = sorted(map(tuple, winnow_fingerprints(docs.repartition(5), k=3, w=4).collect()))
     assert a == b
+
+
+def test_sq8_quantize_saturates_out_of_range(spark):
+    """ADVICE r13: a query vector far outside the trained bounds must
+    SATURATE at 0/255, not wrap through a non-ANSI long->int cast — the
+    clamp now happens in LONG before the narrowing cast."""
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.operators.similarity import sq8_quantize_expr
+
+    mn, mx = [0.0, 0.0], [1.0, 1.0]
+    df = spark.createDataFrame(
+        [([1e12, -1e12],), ([0.5, 2.0],)], "embedding array<double>"
+    )
+    rows = df.select(
+        sq8_quantize_expr("embedding", mn, mx).alias("codes")
+    ).collect()
+    assert rows[0]["codes"] == [255, 0]     # extreme values saturate
+    assert rows[1]["codes"] == [127, 255]   # in-range + above-range
+
+
+def test_sq8_train_bounds_rejects_empty_and_null(spark):
+    """ADVICE r13: empty base / all-null dimension must raise a clear
+    ValueError, not an opaque float(None) TypeError."""
+    import pytest
+
+    from etl_poc_spark.operators.similarity import sq8_train_bounds
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty base"):
+        sq8_train_bounds(empty, dim=2)
+    nulls = spark.createDataFrame(
+        [(1, [None, 1.0]), (2, [None, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dimension 0"):
+        sq8_train_bounds(nulls, dim=2)
