@@ -690,3 +690,84 @@ def price_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi"),
         )
     )
+
+
+@query(
+    "segment_price_mad_outliers",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), med AS (
+      SELECT segment, round(quantile_cont(p, 0.5), 4) AS med
+      FROM j GROUP BY segment
+    ), dev AS (
+      SELECT j.segment, j.p, m.med, abs(j.p - m.med) AS d
+      FROM j JOIN med m USING (segment)
+    ), mad AS (
+      SELECT segment, round(quantile_cont(d, 0.5), 4) AS mad
+      FROM dev GROUP BY segment
+    )
+    SELECT d.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           d.med AS median_price, m.mad,
+           CAST(SUM(CASE WHEN d.d > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (segment)
+    GROUP BY d.segment, d.med, m.mad
+    ORDER BY d.segment
+    """,
+)
+def segment_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screen per market segment — the
+    heavy-tail-safe twin of segment_price_outliers' z-score: median and
+    MAD (median absolute deviation) don't move when the tail itself is
+    the anomaly, so the 3·1.4826·MAD fence flags tail orders a 3-sigma
+    fence under-counts on skewed price data. Spark's exact interpolated
+    percentile() matches DuckDB's quantile_cont (the price_quantiles
+    discipline); round(4) absorbs last-ulp interpolation differences,
+    then every comparison is against the same rounded fence in both
+    engines.
+
+    SCALE NOTE: exact percentile buffers a group's values on one
+    executor — fine at dim-sized group counts (5 segments); at hot-group
+    scale swap the selector for the bounded-histogram exact ntile
+    (quality_decile_profile pattern) or approx_percentile with the
+    price_quantiles_approx bound-claim discipline."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("p"),
+    )
+    med = j.groupBy("segment").agg(
+        F.round(F.expr("percentile(p, 0.5)"), 4).alias("med")
+    )
+    dev = j.join(F.broadcast(med), "segment").select(
+        "segment", "p", "med", F.abs(F.col("p") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("segment").agg(
+        F.round(F.expr("percentile(d, 0.5)"), 4).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "segment")
+        .groupBy("segment", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.when(
+                    F.col("d") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "segment",
+            "n_orders",
+            F.col("med").alias("median_price"),
+            "mad",
+            "n_outliers",
+        )
+    )

@@ -635,3 +635,84 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("n_kept").over(w_all).cast("double")
         ).alias("keep_rate"),
     )
+
+
+@query(
+    "ngram_diversity_by_source",
+    oracle="""
+    WITH w AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    ), uni AS (
+      SELECT source, unnest(words) AS tok FROM w
+    ), bi AS (
+      SELECT source, words[i + 1] || ' ' || words[i + 2] AS bg
+      FROM (SELECT source, words, unnest(range(0, len(words) - 1)) AS i FROM w)
+    ), u AS (
+      SELECT source, COUNT(*) AS n_words,
+             COUNT(DISTINCT tok) AS distinct_words
+      FROM uni GROUP BY source
+    ), b AS (
+      SELECT source, COUNT(*) AS n_bigrams,
+             COUNT(DISTINCT bg) AS distinct_bigrams
+      FROM bi GROUP BY source
+    )
+    SELECT u.source,
+           CAST(u.n_words AS BIGINT) AS n_words,
+           CAST(u.distinct_words AS BIGINT) AS distinct_words,
+           CAST(u.distinct_words AS DOUBLE) / u.n_words AS ttr,
+           CAST(b.n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(b.distinct_bigrams AS BIGINT) AS distinct_bigrams,
+           CAST(b.distinct_bigrams AS DOUBLE) / b.n_bigrams AS bigram_ttr
+    FROM u JOIN b USING (source)
+    """,
+)
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity dashboard per source: type-token ratio at the
+    word and bigram level — the templated/spammy-source detector (a
+    boilerplate farm has high volume but collapsing distinct-n-gram
+    ratios; Self-BLEU-style diversity screens in curation pipelines read
+    exactly these numbers). Exact integer counts; each ratio is one
+    int/int double division — hash-exact.
+
+    Scale shape: two explode → two-level groupBy((source, gram) →
+    source) passes — map-side partial aggregation bounds the wire at
+    distinct grams per source, the token_stats class. No windows, no
+    joins except the final ≤k-source merge."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    uni = d.select("source", F.explode(words).alias("tok"))
+    u = uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.countDistinct("tok").cast("bigint").alias("distinct_words"),
+    )
+    # zip_with needs the words array bound as a column first
+    bi = (
+        d.select("source", words.alias("__w"))
+        .filter(F.size("__w") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1),"
+                    " (x, y) -> concat(x, ' ', y))"
+                )
+            ).alias("bg"),
+        )
+    )
+    b = bi.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.countDistinct("bg").cast("bigint").alias("distinct_bigrams"),
+    )
+    return u.join(b, "source").select(
+        "source",
+        "n_words",
+        "distinct_words",
+        (F.col("distinct_words").cast("double") / F.col("n_words").cast("double")).alias("ttr"),
+        "n_bigrams",
+        "distinct_bigrams",
+        (
+            F.col("distinct_bigrams").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("bigram_ttr"),
+    )
