@@ -1459,3 +1459,37 @@ def test_yaml_doremi_pipeline_composes(spark):
     assert 0 < kept_easy < 200
     rows2 = run_pipeline(spark, config, datasets={"docs": docs})["__final__"].collect()
     assert {r["doc_id"] for r in rows2} == {r["doc_id"] for r in rows}
+
+
+def test_round14_tier_plan_shapes(spark, sf_dir):
+    """Pin the scale-critical shapes of the round-14 tier:
+
+    - epoch_shuffle_order: the pos <= 20 filter over the per-epoch
+      row_number MUST plan a WindowGroupLimit (Spark's map-side
+      top-k-per-window, keeping 20 rows per partition before the
+      shuffle) — without it the probe would sort a full corpus copy per
+      epoch;
+    - c4_badwords_doc_stats: map-only flag computation + ONE aggregation
+      exchange, zero Python UDFs (the filter runs inside the scan stage
+      at 100 TB);
+    - quality_dedup_keep_best: a single fingerprint Window over the
+      planted-dup frame, no cartesian products;
+    - mixture_loss_regression / padding_waste_stats: aggregation plans
+      with no windows over raw corpus rows (their windows/joins run on
+      bounded aggregated frames)."""
+    p = formatted_plan(spark, "epoch_shuffle_order", sf_dir)
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+    p = formatted_plan(spark, "c4_badwords_doc_stats", sf_dir)
+    assert "EvalPython" not in p           # no row-at-a-time or Arrow UDF
+    assert p.count("Exchange") <= 2        # partial+final agg exchange only
+    assert "Window" not in p
+
+    p = formatted_plan(spark, "quality_dedup_keep_best", sf_dir)
+    assert "Window" in p and "CartesianProduct" not in p
+
+    for name in ("mixture_loss_regression", "padding_waste_stats"):
+        p = formatted_plan(spark, name, sf_dir)
+        assert "HashAggregate" in p
+        assert "NestedLoop" not in p and "CartesianProduct" not in p
