@@ -207,6 +207,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "doc_lm_perplexity",         # 1-row vocabulary-size scalar join (smoothing denominator)
         "doc_lm_perplexity_heldout",  # same scalar join, reference-trained LM
         "mixture_temperature_weights",  # 1-row max-tokens scalar join onto the per-source frame
+        "quality_threshold_sweep",  # 11-literal-row threshold probe x <=11-row score-tier histogram (both bounded by construction)
     }
     offenders = {}
     for name, fn in registry.QUERIES.items():
