@@ -359,3 +359,141 @@ def test_dsir_weights_property_random_corpora(spark):
         }
         for i, ws in enumerate(corpus):
             assert fc[i] == 2 * len(ws) - 1, (ci, i, ws, fc[i])
+
+
+def test_keep_best_per_group_matches_python_reference(spark):
+    """keep_best_per_group == per-group max by (quality DESC, id ASC) in
+    plain Python, for arbitrary (group, quality, id) multisets."""
+    rows_strat = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),        # group
+            st.integers(min_value=-1000, max_value=1000), # quality
+        ),
+        min_size=1,
+        max_size=40,
+    )
+    cases = collect_examples(rows_strat, n=40)
+    all_rows = []
+    for ci, case in enumerate(cases):
+        for rid, (grp, q) in enumerate(case):
+            all_rows.append((ci, f"g{grp}", q, rid))
+    df = spark.createDataFrame(all_rows, "case int, grp string, q long, id long")
+
+    from etl_poc_spark.operators.dedup import keep_best_per_group
+
+    got = {
+        (r["case"], r["grp"]): (r["q"], r["id"])
+        for r in keep_best_per_group(df, "grp", "q", "id").collect()
+    }
+    # ...with the group key scoped per case via a composite column
+    # reference check in plain Python
+    ref: dict = {}
+    for ci, grp, q, rid in all_rows:
+        k = (ci, f"{grp}")
+        best = ref.get(k)
+        if best is None or (q, -rid) > (best[0], -best[1]):
+            ref[k] = (q, rid)
+    # keep_best groups by grp ONLY — recompute got on (case, grp) frames:
+    got2 = {}
+    for ci in {c for c, _, _, _ in all_rows}:
+        sub = df.filter(F.col("case") == ci)
+        for r in keep_best_per_group(sub, "grp", "q", "id").collect():
+            got2[(ci, r["grp"])] = (r["q"], r["id"])
+    assert got2 == ref
+
+
+def test_length_bucket_padding_invariants(spark):
+    """For arbitrary positive token counts: per-band waste >= 0,
+    sum(n_seqs) == n inputs, bucketed_waste <= unbucketed_waste per band,
+    and band_max is the smallest multiple of the bucket >= every member."""
+    counts = collect_examples(
+        st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=60),
+        n=30,
+    )
+    from etl_poc_spark.operators.curation import length_bucket_padding
+
+    for i, ns in enumerate(counts[:12]):   # bounded number of Spark jobs
+        df = spark.createDataFrame([(n,) for n in ns], "n long")
+        rows = length_bucket_padding(df, "n", 64).collect()
+        assert sum(r["n_seqs"] for r in rows) == len(ns)
+        gmax = max(ns)
+        for r in rows:
+            assert r["band_max"] % 64 == 0
+            assert r["bucketed_waste"] >= 0
+            # exact relation: unbucketed - bucketed = (gmax - band_max)*n,
+            # so bucketing wins on every band BELOW the global max and
+            # "loses" only the top band's ceiling slack (band_max - gmax)
+            assert r["unbucketed_waste"] - r["bucketed_waste"] == (
+                gmax - r["band_max"]
+            ) * r["n_seqs"]
+            members = [n for n in ns if (n + 63) // 64 * 64 == r["band_max"]]
+            assert len(members) == r["n_seqs"]
+            assert sum(members) == r["sum_tokens"]
+            assert r["band_max"] >= max(members) > r["band_max"] - 64
+            assert r["unbucketed_waste"] == gmax * len(members) - sum(members)
+
+
+def test_exact_ols_fit_matches_numpy(spark):
+    """exact_ols_fit's closed-form coefficients match numpy's lstsq to
+    float tolerance on arbitrary integer observations (>=2 distinct x)."""
+    import numpy as np
+
+    obs_strat = st.lists(
+        st.tuples(
+            st.integers(min_value=-10000, max_value=10000),
+            st.integers(min_value=-10000, max_value=10000),
+        ),
+        min_size=3,
+        max_size=30,
+    ).filter(lambda rows: len({x for x, _ in rows}) >= 2)
+    cases = collect_examples(obs_strat, n=25)
+    from etl_poc_spark.operators.curation import exact_ols_fit
+
+    for rows in cases[:10]:
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = exact_ols_fit(df, "x", "y").collect()[0]
+        xs = np.array([x for x, _ in rows], dtype=float)
+        ys = np.array([y for _, y in rows], dtype=float)
+        a = np.vstack([np.ones_like(xs), xs]).T
+        (w0, w1), *_ = np.linalg.lstsq(a, ys, rcond=None)
+        assert abs(got["w0"] - w0) < 1e-6 * max(1.0, abs(w0)), (got, w0, w1)
+        assert abs(got["w1"] - w1) < 1e-6 * max(1.0, abs(w1)), (got, w0, w1)
+
+
+def test_badwords_flags_match_python_reference(spark):
+    """c4_badwords_flags == a plain-Python tokenizer/matcher on arbitrary
+    ascii documents against the placeholder list."""
+    import re as _re
+
+    from etl_poc_spark.operators.curation import (
+        C4_BADWORDS_PLACEHOLDER,
+        c4_badwords_flags,
+    )
+
+    texts = collect_examples(TEXT, n=80)
+    # salt in guaranteed positives/negatives so the property isn't vacuous
+    texts += [
+        "a badword here", "badwords only", "NSFW stuff ahead",
+        "nsfw-stuff", "nsfw alone", "explicit!", "explicitly not",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {r["i"]: r["n_badword_hits"] for r in c4_badwords_flags(df).collect()}
+
+    words = [w for w in C4_BADWORDS_PLACEHOLDER if " " not in w]
+    phrases = [w for w in C4_BADWORDS_PLACEHOLDER if " " in w]
+
+    def ref(t: str) -> int:
+        toks = set(x for x in _re.split(r"[^a-z0-9]+", t.lower()) if x)
+        n = len(toks & set(words))
+        for p in phrases:
+            pat = (
+                "(^|[^a-z0-9])"
+                + "[^a-z0-9]+".join(_re.escape(w) for w in p.split())
+                + "([^a-z0-9]|$)"
+            )
+            if _re.search(pat, t.lower()):
+                n += 1
+        return n
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (i, repr(t), got[i], ref(t))
