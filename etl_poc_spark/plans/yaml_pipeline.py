@@ -15,7 +15,9 @@ docetl/config/article_pipeline.yaml.j2):
       - {name: synthesize, type: reduce, reduce_key: doc_id, prompt: "...",
          output_schema: {...}}
       - {name: keep_good, type: filter, condition: "wc > 200"}   # engine extension
-      # curation vocabulary (engine extension): exact_dedup {keys, id},
+      # curation vocabulary (engine extension): exact_dedup {keys, id,
+      #   quality_key?: keep the highest-quality copy instead of min-id},
+      # badwords_filter {badwords?, text_key} — C4 page-level drop,
       # near_dedup {id, text_key, n_hashes, rows_per_band, max_bucket_size},
       # quality_filter {id, text_key}, pii_redact {text_key},
       # sample {percent, id, salt},
@@ -241,11 +243,24 @@ def _apply_op(
     # training-data pipeline needs into the same declarative surface) ---
     if t == "exact_dedup":
         # keep the minimum-id row per duplicate group — deterministic
-        # representative, unlike dropDuplicates
+        # representative, unlike dropDuplicates. With `quality_key` the
+        # survivor is instead the HIGHEST-quality copy (min-id ties) —
+        # the RefinedWeb/FineWeb-style retention policy
+        # (dedup.keep_best_per_group; r14)
         from pyspark.sql import functions as F
 
         key_cols = op.get("keys") or ["text"]
         id_col = op.get("id", "doc_id")
+        quality_key = op.get("quality_key")
+        if quality_key:
+            from etl_poc_spark.operators.dedup import keep_best_per_group
+
+            if len(key_cols) == 1:
+                return keep_best_per_group(df, key_cols[0], quality_key, id_col)
+            fp = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in key_cols]))
+            return keep_best_per_group(
+                df.withColumn("__fp", fp), "__fp", quality_key, id_col
+            ).drop("__fp")
         reps = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
         return df.join(reps, key_cols + [id_col], "left_semi")
     if t == "near_dedup":

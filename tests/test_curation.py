@@ -758,3 +758,48 @@ def test_quality_threshold_sweep_monotone(spark, sf_dir):
     assert rows[0]["keep_rate"] == 1.0                 # t=0 keeps everything
     wc = [r["wc_kept"] for r in rows]
     assert wc == sorted(wc, reverse=True)
+
+
+def test_yaml_exact_dedup_quality_key(spark):
+    """exact_dedup with quality_key keeps the highest-quality copy per
+    group (RefinedWeb-style retention) instead of the min-id default;
+    multi-key grouping fingerprints the key tuple."""
+    from etl_poc_spark.llm.provider import StubProvider
+    from etl_poc_spark.plans.yaml_pipeline import _apply_op
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", 10),
+            (2, "same text", 99),     # best copy — must survive
+            (3, "same text", 50),
+            (4, "unique text", 1),
+        ],
+        "doc_id long, text string, q long",
+    )
+    out = _apply_op(
+        docs,
+        {"name": "d", "type": "exact_dedup", "keys": ["text"],
+         "id": "doc_id", "quality_key": "q"},
+        StubProvider(),
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 4]
+    # default stays min-id
+    out2 = _apply_op(
+        docs,
+        {"name": "d", "type": "exact_dedup", "keys": ["text"], "id": "doc_id"},
+        StubProvider(),
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 4]
+    # multi-key: group by (text, lang-ish second key)
+    docs2 = spark.createDataFrame(
+        [(1, "t", "en", 5), (2, "t", "en", 9), (3, "t", "fr", 1)],
+        "doc_id long, text string, lang string, q long",
+    )
+    out3 = _apply_op(
+        docs2,
+        {"name": "d", "type": "exact_dedup", "keys": ["text", "lang"],
+         "id": "doc_id", "quality_key": "q"},
+        StubProvider(),
+    )
+    assert sorted(r["doc_id"] for r in out3.collect()) == [2, 3]
+    assert set(out3.columns) == {"doc_id", "text", "lang", "q"}
