@@ -484,6 +484,16 @@ def _local_claim_by_lock(jvm, fs, P, tmp, dst_str: str, commit_id: str) -> bool:
     lock_local = lock_str[len("file:"):] if lock_str.startswith("file:") else lock_str
     if not jvm.java.io.File(lock_local).createNewFile():
         return False
+    # pruned-lock guard: vacuum removes locks of PUBLISHED slots (they are
+    # inert — claims only target seq = len(manifests)+1). A STALE racer
+    # that listed before the slot published could still win the re-created
+    # lock here and would then rename OVER the published manifest — so a
+    # lock win on a slot whose manifest already exists is treated as a
+    # lost race. The re-created lock stays behind, re-protecting the slot.
+    # (Safe direction: dst only ever appears via a lock winner's rename,
+    # and we hold the lock — the check cannot race the publish.)
+    if fs.exists(P(dst_str)):
+        return False
     out = fs.create(P(lock_str), True)
     try:
         out.write(bytearray(commit_id.encode("utf-8")))
@@ -1029,4 +1039,18 @@ def vacuum_versioned(
         )
         for name in names[:-1]:
             fs.delete(P(_join(ckdir, name)), False)
+    # prune slot locks whose manifest is PUBLISHED (lock-claim mode leaves
+    # one ~36-byte .lock per commit): a published slot is never a claim
+    # target (claims go to seq = len(manifests)+1) and the claim primitive
+    # treats a lock win on a published slot as a lost race (pruned-lock
+    # guard in _local_claim_by_lock), so removal is safe even against a
+    # stale racer still looping on an old seq
+    cdir = _join(target_dir, _COMMITS)
+    if fs.exists(P(cdir)):
+        entries = {
+            st.getPath().getName() for st in fs.listStatus(P(cdir))
+        }
+        for name in entries:
+            if name.endswith(".json.lock") and name[: -len(".lock")] in entries:
+                fs.delete(P(_join(cdir, name)), False)
     return removed

@@ -1099,3 +1099,50 @@ def test_versioned_writers_refuse_object_store_schemes(spark, tmp_path, monkeypa
     # hdfs and file are accepted
     U._require_atomic_commit_fs(_FakeFS("hdfs"), "hdfs://nn/t")
     U._require_atomic_commit_fs(_FakeFS("file"), "/tmp/t")
+
+
+def test_vacuum_prunes_published_locks_and_claim_guards_pruned_slots(
+    spark, tmp_path, monkeypatch
+):
+    """Lock-claim mode bookkeeping: vacuum removes .lock files whose slot
+    manifest is published (they are inert), and a STALE racer that wins a
+    re-created lock on a published slot must treat it as a LOST race —
+    never rename over the published manifest (the pruned-lock guard)."""
+    import json
+
+    import etl_poc_spark.operators.upsert as U
+
+    def no_links(jvm, tmp_str, dst_str):
+        raise U._LinkUnsupported("forced lock mode")
+
+    monkeypatch.setattr(U, "_local_claim_by_link", no_links)
+    monkeypatch.setattr(U, "_LINK_UNSUPPORTED", False)
+    target = str(tmp_path / "vt")
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "a", 1)]), target, ["k"], "seq", "day"
+    )
+    U.upsert_versioned(
+        spark, _rows(spark, [(2, "d2", "b", 1)]), target, ["k"], "seq", "day"
+    )
+    cdir = os.path.join(target, "_commits")
+    locks = [f for f in os.listdir(cdir) if f.endswith(".lock")]
+    assert len(locks) == 2
+    U.vacuum_versioned(spark, target, keep_last_versions=5)
+    assert not [f for f in os.listdir(cdir) if f.endswith(".lock")]
+    # table still reads and still accepts commits after pruning
+    assert _vread(spark, target) == {1: ("d1", "a", 1), 2: ("d2", "b", 1)}
+
+    # stale racer simulation: slot 1 is published and its lock pruned —
+    # a claim on it must LOSE and must not touch the published manifest
+    fs, P = U._hfs(spark, cdir)
+    jvm = spark._jvm
+    dst = U._join("file:" + cdir, "00000001.json")
+    with open(os.path.join(cdir, ".tmp_stale.json"), "w") as fh:
+        fh.write(json.dumps({"commit_id": "stale", "partitions": ["dX"]}))
+    tmp = P(U._join("file:" + cdir, ".tmp_stale.json"))
+    before = open(os.path.join(cdir, "00000001.json")).read()
+    assert U._local_claim_by_lock(jvm, fs, P, tmp, dst, "stale") is False
+    assert open(os.path.join(cdir, "00000001.json")).read() == before
+    # the guard leaves the slot re-protected
+    assert os.path.exists(os.path.join(cdir, "00000001.json.lock"))
+    monkeypatch.setattr(U, "_LINK_UNSUPPORTED", False)
