@@ -127,15 +127,25 @@ def main() -> None:
     prev_path = os.environ.get("SPARK_GRAFT_BENCH_PREV")
     if not prev_path:
         import glob as _glob
+        import re as _re
 
-        committed = sorted(_glob.glob(os.path.join(repo_dir, "BENCH_GATE_r*.json")))
+        # sort by the NUMERIC round parsed from the filename — lexicographic
+        # max regresses at r100 ('r100' < 'r15' as strings), silently
+        # re-baselining the >1.5x outlier rule to a stale round (ADVICE r14)
+        committed = sorted(
+            _glob.glob(os.path.join(repo_dir, "BENCH_GATE_r*.json")),
+            key=lambda p: int(_re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+        )
         prev_path = committed[-1] if committed else os.path.join(
             repo_dir, "BENCH_GATE.json"
         )
     prev_timings: dict[str, float] = {}
+    prev_calibration: dict = {}
     try:
         with open(prev_path) as fh:
-            prev_timings = json.load(fh).get("timings", {}) or {}
+            _prev_doc = json.load(fh)
+            prev_timings = _prev_doc.get("timings", {}) or {}
+            prev_calibration = _prev_doc.get("calibration", {}) or {}
     except (OSError, ValueError):
         pass
 
@@ -206,6 +216,25 @@ def main() -> None:
     )
     full_total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # host-load-normalized headline (r14 verdict ask #4): the sandbox host
+    # drifts 1.5-7x between rounds, so a loaded driver host reads as a
+    # phantom regression. Normalize by the canary ratio vs the previous
+    # COMMITTED round's canary: value_load_normalized = raw / (our canary /
+    # their canary). RAW stays the canonical driver metric; the normalized
+    # number is the one to compare round-over-round when the ratio != ~1.
+    host_load_ratio = None
+    value_load_normalized = None
+    try:
+        prev_canary = (
+            float(prev_calibration["start_sec"]) + float(prev_calibration["end_sec"])
+        ) / 2.0
+        cur_canary = (cal_start + cal_end) / 2.0
+        if prev_canary > 0:
+            host_load_ratio = round(cur_canary / prev_canary, 3)
+            if headline_total is not None and host_load_ratio > 0:
+                value_load_normalized = round(headline_total / host_load_ratio, 3)
+    except (KeyError, TypeError, ValueError):
+        pass
     print(
         json.dumps(
             {
@@ -218,6 +247,8 @@ def main() -> None:
                 "timing": "median",
                 "headline_set_size": len(BENCH_QUERIES),
                 "headline_incomplete": bool(headline_errs),
+                "value_load_normalized": value_load_normalized,
+                "host_load_ratio": host_load_ratio,
                 "calibration": {"start_sec": cal_start, "end_sec": cal_end},
                 "queries": {**timings, **{n: {"err": e} for n, e in errors.items()}},
                 "n_errors": len(errors),
@@ -242,6 +273,11 @@ def main() -> None:
         "timing": "median",
         "headline_set_size": len(BENCH_QUERIES),
         "headline_incomplete": bool(headline_errs),
+        # raw `value` is canonical (what the driver records); the
+        # normalized twin divides out measured host load vs the previous
+        # committed round's canary so a hot host can't fake a regression
+        "value_load_normalized": value_load_normalized,
+        "host_load_ratio": host_load_ratio,
         "n_errors": len(errors),
         "sf": float(sf) if sf else sf_dir,
         "calibration": {

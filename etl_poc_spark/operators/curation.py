@@ -1063,28 +1063,69 @@ def exact_ols_fit(
     operands — bit-stable across engines and partitionings.
 
     Caller contract: x and y are integers (scale upstream — milli-units
-    etc.); |x|,|y| ≤ ~1e12 with ≤ ~1e9 rows keeps every determinant term
-    within DECIMAL(38,0). Output: one row (n_obs, w0, w1).
+    etc.) small enough that every determinant term fits DECIMAL(38,0):
+    with n rows and M = max(|x|,|y|), the largest term is |Σy·Σx²| ≤
+    n²·M³, so the envelope is **n²·M³ < 10³⁸** — e.g. |x|,|y| ≤ 1e6 up
+    to 1e9 rows, ≤ 1e10 up to ~1e4 rows, ≤ 1e12 only up to ~10 rows.
+    (The pre-r15 doc claimed |x|,|y| ≤ 1e12 at 1e9 rows — wrong by ~4
+    orders: n·Σx² alone reaches ~1e42 there and DECIMAL(38,0) overflows,
+    ANSI throwing / non-ANSI silently returning NULL; ADVICE r14.)
+    Violations no longer fail silently: any per-row product or
+    determinant-term overflow raises a clear error instead of emitting
+    NULL coefficients. Output: one row (n_obs, w0, w1).
 
-    Scale shape: ONE map-side-combined global aggregate (5 sums), then
-    scalar arithmetic on the 1-row frame. Nothing else shuffles."""
+    Scale shape: ONE map-side-combined global aggregate (5 sums + an
+    overflow tally), then scalar arithmetic on the 1-row frame. Nothing
+    else shuffles."""
     d38 = "decimal(38,0)"
     x = F.col(x_col).cast(d38)
     y = F.col(y_col).cast(d38)
+    # per-row x·x / x·y overflow yields NULL (non-ANSI), which F.sum would
+    # silently SKIP — producing a wrong, not null, Σx²; tally those rows
+    # so the guard below can refuse instead
+    row_ovf = F.when(
+        x.isNotNull()
+        & y.isNotNull()
+        & ((x * x).cast(d38).isNull() | (x * y).cast(d38).isNull()),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     s = df.agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
         F.sum(x).cast(d38).alias("sx"),
         F.sum(y).cast(d38).alias("sy"),
         F.sum((x * x).cast(d38)).cast(d38).alias("sxx"),
         F.sum((x * y).cast(d38)).cast(d38).alias("sxy"),
+        F.sum(row_ovf).alias("__row_ovf"),
     )
     det = (F.col("n") * F.col("sxx")).cast(d38) - (F.col("sx") * F.col("sx")).cast(d38)
     num1 = (F.col("n") * F.col("sxy")).cast(d38) - (F.col("sx") * F.col("sy")).cast(d38)
     num0 = (F.col("sy") * F.col("sxx")).cast(d38) - (F.col("sx") * F.col("sxy")).cast(d38)
+    # determinant-term overflow also NULLs in non-ANSI mode: detect "sums
+    # fine, product null" and refuse loudly (1-row evaluation, zero cost)
+    sums_ok = (
+        F.col("sx").isNotNull()
+        & F.col("sy").isNotNull()
+        & F.col("sxx").isNotNull()
+        & F.col("sxy").isNotNull()
+    )
+    overflowed = (F.col("__row_ovf") > 0) | (
+        sums_ok & (det.isNull() | num0.isNull() | num1.isNull())
+    )
+    def _guard(expr):
+        return F.when(
+            overflowed,
+            F.raise_error(
+                F.lit(
+                    "exact_ols_fit: DECIMAL(38,0) overflow — inputs exceed "
+                    "the documented envelope n^2 * max(|x|,|y|)^3 < 1e38; "
+                    "rescale x/y upstream"
+                )
+            ),
+        ).otherwise(expr)
     return s.select(
         F.col("n").cast("bigint").alias("n_obs"),
-        (num0.cast("double") / det.cast("double")).alias("w0"),
-        (num1.cast("double") / det.cast("double")).alias("w1"),
+        _guard(num0.cast("double") / det.cast("double")).alias("w0"),
+        _guard(num1.cast("double") / det.cast("double")).alias("w1"),
     )
 
 

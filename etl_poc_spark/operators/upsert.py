@@ -415,15 +415,52 @@ def _write_commit_data(
     )
 
 
-# set after the first createLink failure that signals missing hard-link
-# support (some network mounts present a file: scheme without link(2));
-# from then on local claims fall back to rename + the read-back
-# verification in _finalize_commit — degraded but never silently lossy
-_LINK_UNSUPPORTED = False
+# link(2) support, probed ONCE PER COMMITS DIRECTORY and cached by path.
+# A process-global flag (pre-r15) could be poisoned by one link-less
+# mount and then lock-claim a table on a DIFFERENT mount whose other
+# writers link-claim — mixed claim modes reopen the lost-commit ABA the
+# lock path exists to close (ADVICE r14). Scoping the probe to the
+# table's own commits dir makes the mode a pure function of the mount:
+# every writer on the same table asks the same kernel and gets the same
+# answer, so link and lock claimers never coexist on one table.
+_LINK_SUPPORT: dict[str, bool] = {}
 
 
 class _LinkUnsupported(Exception):
     pass
+
+
+def _link_supported(jvm, fs, P, cdir: str) -> bool:
+    """True iff the mount hosting `cdir` supports hard links, probed by
+    actually creating one inside `cdir` (dot-prefixed names — invisible
+    to _commit_names and readers). Cached per directory for the process
+    lifetime; probe leftovers are removed in all paths."""
+    cached = _LINK_SUPPORT.get(cdir)
+    if cached is not None:
+        return cached
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:12]
+    src_str = _join(cdir, f".linkprobe_{tag}.src")
+    dst_str = _join(cdir, f".linkprobe_{tag}.dst")
+    out = fs.create(P(src_str), True)
+    try:
+        out.write(bytearray(b"probe"))
+    finally:
+        out.close()
+    try:
+        try:
+            supported = bool(_local_claim_by_link(jvm, src_str, dst_str))
+        except _LinkUnsupported:
+            supported = False
+    finally:
+        for s in (src_str, dst_str):
+            try:
+                fs.delete(P(s), False)
+            except Exception:  # noqa: BLE001 — best-effort probe cleanup
+                pass
+    _LINK_SUPPORT[cdir] = supported
+    return supported
 
 
 def _local_claim_by_link(jvm, tmp_str: str, dst_str: str) -> bool:
@@ -499,7 +536,20 @@ def _local_claim_by_lock(jvm, fs, P, tmp, dst_str: str, commit_id: str) -> bool:
         out.write(bytearray(commit_id.encode("utf-8")))
     finally:
         out.close()
-    return bool(fs.rename(tmp, P(dst_str)))
+    if bool(fs.rename(tmp, P(dst_str))):
+        return True
+    # transient rename failure while we still hold the just-created lock:
+    # without cleanup the slot is permanently holed (lock, no manifest) and
+    # every future commit spins to ConcurrentWriteError with a hint that
+    # misdiagnoses a crashed writer (ADVICE r14). No manifest was published
+    # and we own the lock, so deleting it is safe — but only with dst
+    # confirmed absent (a true rename failure, not semantics drift).
+    try:
+        if not fs.exists(P(dst_str)):
+            fs.delete(P(lock_str), False)
+    except Exception:  # noqa: BLE001 — cleanup is best-effort
+        pass
+    return False
 
 
 def _read_back_commit_id(fs, P, jvm, dst_str: str) -> str | None:
@@ -605,16 +655,15 @@ def _finalize_commit(
             # commit id here would give racing writers distinct filenames
             # and let both claims "succeed" on the same slot
             dst_str = _join(cdir, f"{seq:08d}.json")
-            global _LINK_UNSUPPORTED
-            if is_local and not _LINK_UNSUPPORTED:
+            if is_local and _link_supported(jvm, fs, P, cdir):
                 try:
                     claimed = _local_claim_by_link(jvm, tmp_str, dst_str)
                 except _LinkUnsupported:
-                    # mount without link(2) (some network filesystems
-                    # behind file:): degrade to the exclusive lock-file
-                    # claim — still kernel-atomic (O_EXCL), never the
-                    # bare overwriting rename
-                    _LINK_UNSUPPORTED = True
+                    # mount semantics changed under us (remount?): flip
+                    # THIS directory's cached mode and degrade to the
+                    # exclusive lock-file claim — still kernel-atomic
+                    # (O_EXCL), never the bare overwriting rename
+                    _LINK_SUPPORT[cdir] = False
                     claimed = _local_claim_by_lock(
                         jvm, fs, P, tmp, dst_str, commit_id
                     )
@@ -642,7 +691,7 @@ def _finalize_commit(
             # then re-list (now including the winner) and try the next
             _time.sleep(min(0.05, 0.002 * attempt) * (0.5 + jitter))
         hint = ""
-        if is_local and _LINK_UNSUPPORTED:
+        if is_local and not _LINK_SUPPORT.get(cdir, True):
             # lock-claim mode: a slot locked but never published means a
             # writer crashed between lock and rename — name it so the
             # operator can verify staleness out-of-band and delete it

@@ -257,7 +257,23 @@ def _apply_op(
 
             if len(key_cols) == 1:
                 return keep_best_per_group(df, key_cols[0], quality_key, id_col)
-            fp = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in key_cols]))
+            # injective multi-key fingerprint: concat_ws SKIPS null columns,
+            # so ('a\x1fb', NULL) and ('a','b') would collide and NULL would
+            # conflate with empty — diverging from exact_dedup's groupBy
+            # semantics (NULL is its own group). Length-prefix each column
+            # and encode NULL as a distinct token so no two key tuples map
+            # to the same string (ADVICE r14).
+            parts = [
+                F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+                    F.concat(
+                        F.length(F.col(c).cast("string")).cast("string"),
+                        F.lit(":"),
+                        F.col(c).cast("string"),
+                    )
+                )
+                for c in key_cols
+            ]
+            fp = F.md5(F.concat_ws("\x1f", *parts))
             return keep_best_per_group(
                 df.withColumn("__fp", fp), "__fp", quality_key, id_col
             ).drop("__fp")

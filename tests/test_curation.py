@@ -684,6 +684,43 @@ def test_exact_ols_fit_recovers_known_line(spark):
     assert row["w0"] == 7.0 and row["w1"] == 3.0
 
 
+def test_exact_ols_fit_overflow_raises_not_null(spark):
+    """Inputs past the DECIMAL(38,0) envelope (n² · max|x|³ ≥ 1e38) must
+    raise a clear error, not silently return NULL coefficients — the
+    pre-r15 docstring promised |x| ≤ 1e12 at 1e9 rows, which actually
+    overflows by ~4 orders (ADVICE r14)."""
+    import pytest
+
+    from etl_poc_spark.operators.curation import exact_ols_fit
+
+    # 1000 rows at |x|,|y| ~ 1e12: Σy·Σx² ~ (1e15)(1e27) = 1e42 ≫ 1e38
+    big = 10**12
+    df = spark.createDataFrame(
+        [(big - i, big - 3 * i) for i in range(1000)], "x long, y long"
+    )
+    # ANSI mode (Spark 4 default): the decimal cast itself throws
+    with pytest.raises(
+        Exception, match="exact_ols_fit|NUMERIC_VALUE_OUT_OF_RANGE|overflow"
+    ):
+        exact_ols_fit(df, "x", "y").collect()
+    # non-ANSI mode: the cast returns NULL — the explicit guard must
+    # convert that silent NULL into the raise (the ADVICE failure mode)
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="exact_ols_fit"):
+            exact_ols_fit(df, "x", "y").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+    # and the envelope's inside is still exact: same shape, scaled to 1e6
+    small = 10**6
+    df2 = spark.createDataFrame(
+        [(small - i, 2 * (small - i) + 5) for i in range(1000)], "x long, y long"
+    )
+    row = exact_ols_fit(df2, "x", "y").collect()[0]
+    assert row["w0"] == 5.0 and row["w1"] == 2.0
+
+
 def test_epoch_shuffle_key_is_per_epoch_permutation(spark):
     from pyspark.sql import functions as F
 
@@ -803,3 +840,24 @@ def test_yaml_exact_dedup_quality_key(spark):
     )
     assert sorted(r["doc_id"] for r in out3.collect()) == [2, 3]
     assert set(out3.columns) == {"doc_id", "text", "lang", "q"}
+    # NULL-safety (ADVICE r14): concat_ws skips NULL columns, so
+    # ('a\x1fb', NULL) and ('a', 'b') used to collide into one group and
+    # the lower-quality tuple was silently dropped. The length-prefixed
+    # fingerprint keeps them distinct; NULL is its own group value
+    # (matching the no-quality_key groupBy semantics).
+    docs3 = spark.createDataFrame(
+        [
+            (1, "a\x1fb", None, 5),
+            (2, "a", "b", 1),
+            (3, "a", None, 7),
+            (4, "a", None, 2),       # true dup of 3 — only this one drops
+        ],
+        "doc_id long, text string, lang string, q long",
+    )
+    out4 = _apply_op(
+        docs3,
+        {"name": "d", "type": "exact_dedup", "keys": ["text", "lang"],
+         "id": "doc_id", "quality_key": "q"},
+        StubProvider(),
+    )
+    assert sorted(r["doc_id"] for r in out4.collect()) == [1, 2, 3]

@@ -984,17 +984,107 @@ def test_claim_falls_back_to_rename_when_links_unsupported(spark, tmp_path, monk
         raise U._LinkUnsupported("java.nio.file.FileSystemException: not supported")
 
     monkeypatch.setattr(U, "_local_claim_by_link", no_links)
-    monkeypatch.setattr(U, "_LINK_UNSUPPORTED", False)
+    U._LINK_SUPPORT.clear()
     target = str(tmp_path / "vt")
     U.upsert_versioned(
         spark, _rows(spark, [(1, "d1", "a", 1)]), target, ["k"], "seq", "day"
     )
-    assert U._LINK_UNSUPPORTED is True          # sticky fallback engaged
+    # the probe cached link-unsupported FOR THIS TABLE's commits dir only
+    cdir = [k for k in U._LINK_SUPPORT if k.endswith("/_commits")]
+    assert cdir and U._LINK_SUPPORT[cdir[0]] is False
     U.upsert_versioned(                         # subsequent commits keep working
         spark, _rows(spark, [(2, "d2", "b", 1)]), target, ["k"], "seq", "day"
     )
     assert _vread(spark, target) == {1: ("d1", "a", 1), 2: ("d2", "b", 1)}
-    monkeypatch.setattr(U, "_LINK_UNSUPPORTED", False)
+    U._LINK_SUPPORT.clear()
+
+
+def test_link_support_scoped_per_table_not_per_process(spark, tmp_path):
+    """A link-less mount poisoning one table's claim mode must NOT force
+    lock-mode on a different table whose mount supports link(2): with a
+    process-global flag (pre-r15), that table would lock-claim while
+    other processes link-claim — mixed modes reopen the lost-commit ABA
+    (ADVICE r14 medium). The cache is keyed by commits directory."""
+    import etl_poc_spark.operators.upsert as U
+
+    U._LINK_SUPPORT.clear()
+    try:
+        # table A: pretend its mount has no link(2) by pre-poisoning the
+        # cache the way a real probe failure would
+        a = str(tmp_path / "a")
+        U.upsert_versioned(
+            spark, _rows(spark, [(1, "d1", "a", 1)]), a, ["k"], "seq", "day"
+        )
+        a_cdir = [k for k in U._LINK_SUPPORT if k.endswith("a/_commits")]
+        assert a_cdir and U._LINK_SUPPORT[a_cdir[0]] is True  # tmpfs links fine
+        U._LINK_SUPPORT[a_cdir[0]] = False  # simulate link-less mount A
+        # table B on a different directory: must probe ITS own mount and
+        # link-claim (no .lock files — the signature of lock mode)
+        b = str(tmp_path / "b")
+        U.upsert_versioned(
+            spark, _rows(spark, [(2, "d2", "b", 1)]), b, ["k"], "seq", "day"
+        )
+        b_cdir = [k for k in U._LINK_SUPPORT if k.endswith("b/_commits")]
+        assert b_cdir and U._LINK_SUPPORT[b_cdir[0]] is True
+        assert not [
+            f
+            for f in os.listdir(os.path.join(b, "_commits"))
+            if f.endswith(".lock")
+        ], "table B used lock mode despite its mount supporting link(2)"
+        # and table A keeps its own degraded mode
+        U.upsert_versioned(
+            spark, _rows(spark, [(3, "d3", "c", 1)]), a, ["k"], "seq", "day"
+        )
+        assert [
+            f
+            for f in os.listdir(os.path.join(a, "_commits"))
+            if f.endswith(".lock")
+        ], "table A abandoned lock mode"
+        assert _vread(spark, a) == {1: ("d1", "a", 1), 3: ("d3", "c", 1)}
+    finally:
+        U._LINK_SUPPORT.clear()
+
+
+def test_lock_claim_rename_failure_releases_own_lock(spark, tmp_path, monkeypatch):
+    """If the publish rename fails AFTER the lock was won (transient
+    local-FS failure), the claimer must delete its own lock before
+    reporting the lost claim — otherwise the slot is permanently holed
+    (lock without manifest) and every future commit spins to
+    ConcurrentWriteError (ADVICE r14 low)."""
+    import etl_poc_spark.operators.upsert as U
+
+    target = str(tmp_path / "vt")
+    U._LINK_SUPPORT.clear()
+    U.upsert_versioned(
+        spark, _rows(spark, [(1, "d1", "a", 1)]), target, ["k"], "seq", "day"
+    )
+    cdir = os.path.join(target, "_commits")
+    fs, P = U._hfs(spark, cdir)
+    jvm = spark._jvm
+
+    class _RenameFailsFS:
+        def __init__(self, real):
+            self._real = real
+
+        def rename(self, src, dst):
+            return False  # transient failure
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    with open(os.path.join(cdir, ".tmp_x.json"), "w") as fh:
+        fh.write('{"commit_id": "x", "partitions": ["p"]}')
+    tmp = P(U._join("file:" + cdir, ".tmp_x.json"))
+    dst = U._join("file:" + cdir, "00000002.json")
+    failing = _RenameFailsFS(fs)
+    assert U._local_claim_by_lock(jvm, failing, P, tmp, dst, "x") is False
+    # the lock was cleaned up: slot 2 is claimable again
+    assert not os.path.exists(os.path.join(cdir, "00000002.json.lock"))
+    U.upsert_versioned(
+        spark, _rows(spark, [(2, "d2", "b", 1)]), target, ["k"], "seq", "day"
+    )
+    assert _vread(spark, target) == {1: ("d1", "a", 1), 2: ("d2", "b", 1)}
+    U._LINK_SUPPORT.clear()
 
 
 def test_finalize_commit_barrier_race_degraded_path(spark, tmp_path, monkeypatch):
@@ -1016,7 +1106,7 @@ def test_finalize_commit_barrier_race_degraded_path(spark, tmp_path, monkeypatch
         raise U._LinkUnsupported("java.nio.file.FileSystemException: not supported")
 
     monkeypatch.setattr(U, "_local_claim_by_link", no_links)
-    monkeypatch.setattr(U, "_LINK_UNSUPPORTED", False)
+    U._LINK_SUPPORT.clear()
 
     n = 8
     for trial in range(50):
@@ -1054,7 +1144,7 @@ def test_finalize_commit_barrier_race_degraded_path(spark, tmp_path, monkeypatch
             with open(lock) as fh:
                 assert fh.read() == manifest_id, f"trial {trial}: {f} lock mismatch"
         assert not [f for f in os.listdir(cdir) if f.startswith(".tmp_")]
-    monkeypatch.setattr(U, "_LINK_UNSUPPORTED", False)
+    U._LINK_SUPPORT.clear()
 
 
 def test_versioned_writers_refuse_object_store_schemes(spark, tmp_path, monkeypatch):
@@ -1116,7 +1206,7 @@ def test_vacuum_prunes_published_locks_and_claim_guards_pruned_slots(
         raise U._LinkUnsupported("forced lock mode")
 
     monkeypatch.setattr(U, "_local_claim_by_link", no_links)
-    monkeypatch.setattr(U, "_LINK_UNSUPPORTED", False)
+    U._LINK_SUPPORT.clear()
     target = str(tmp_path / "vt")
     U.upsert_versioned(
         spark, _rows(spark, [(1, "d1", "a", 1)]), target, ["k"], "seq", "day"
@@ -1145,4 +1235,4 @@ def test_vacuum_prunes_published_locks_and_claim_guards_pruned_slots(
     assert open(os.path.join(cdir, "00000001.json")).read() == before
     # the guard leaves the slot re-protected
     assert os.path.exists(os.path.join(cdir, "00000001.json.lock"))
-    monkeypatch.setattr(U, "_LINK_UNSUPPORTED", False)
+    U._LINK_SUPPORT.clear()
