@@ -902,6 +902,25 @@ def _apply_op(
         )
         drop = cov.filter(F.col("dup_coverage") > max_cov).select(id_col)
         return df.join(drop, id_col, "left_anti")
+    if t == "span_dedup_removal":
+        # ExactSubstr's output step (Lee et al. 2021): CUT each document's
+        # cross-doc duplicated spans and rewrite text in place (r15);
+        # other columns pass through. keep_first retains the min-id copy.
+        from pyspark.sql import functions as F
+
+        from etl_poc_spark.operators.spandedup import span_removal
+
+        id_col = op.get("id", "doc_id")
+        text_col = op.get("text_key", "text")
+        out = span_removal(
+            df, id_col, text_col,
+            window=int(op.get("window", 8)),
+            keep_first=bool(op.get("keep_first", False)),
+        )
+        rewritten = out.select(
+            id_col, F.col("dedup_text").alias(text_col), "removed_tokens"
+        )
+        return df.drop(text_col).join(rewritten, id_col)
     # --- analytics vocabulary (round-9: the behavioral/profiling tier of
     # queries/behavior_q.py and profile_q.py as declarative ops) ---
     if t == "profile":

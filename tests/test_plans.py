@@ -546,6 +546,41 @@ def test_yaml_span_dedup_op(spark):
     assert out["__final__"].columns == ["doc_id", "text"]
 
 
+def test_yaml_span_dedup_removal_op(spark):
+    """span_dedup_removal rewrites text with duplicated spans CUT (every
+    doc survives), passes other columns through, and reports
+    removed_tokens (ExactSubstr output step, r15)."""
+    from etl_poc_spark.plans.yaml_pipeline import run_pipeline
+
+    span = " ".join(f"tok{j}" for j in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, span + " unique one tail", "web"),
+            (2, span, "book"),
+            (3, "fully original words in this document", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    config = {
+        "default_model": "stub",
+        "datasets": {"docs": {"path": "injected.json"}},
+        "operations": [
+            {"name": "sr", "type": "span_dedup_removal"},
+        ],
+        "pipeline": {
+            "steps": [{"name": "curate", "input": "docs", "operations": ["sr"]}]
+        },
+    }
+    out = run_pipeline(spark, config, datasets={"docs": docs})
+    rows = {r["doc_id"]: r for r in out["__final__"].collect()}
+    assert sorted(rows) == [1, 2, 3]                      # nothing dropped
+    assert rows[1]["text"] == "unique one tail"
+    assert rows[1]["removed_tokens"] == 10
+    assert rows[2]["text"] == "" and rows[2]["removed_tokens"] == 10
+    assert rows[3]["text"] == "fully original words in this document"
+    assert rows[1]["source"] == "web"                     # columns pass through
+
+
 def test_yaml_transition_streaks_fuzzylink_ops(spark):
     """The round-8 analytics join the declarative vocabulary: transition
     matrix, daily streaks, and blocked fuzzy linkage all drive from

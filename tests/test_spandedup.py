@@ -59,3 +59,82 @@ def test_short_and_empty_docs_pass_through(spark, tmp_path):
     assert got[2]["n_tokens"] == 0 and got[2]["dup_coverage"] == 0.0
     # docs 3 and 4 are verbatim copies: full coverage
     assert got[3]["covered_tokens"] == 10 and got[3]["dup_coverage"] == 1.0
+
+
+# --- span REMOVAL (ExactSubstr's output step, r14 verdict ask #1) ----------
+
+
+def _removal(spark, rows, **kw):
+    from etl_poc_spark.operators.spandedup import span_removal
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, *_ in rows], "doc_id long, text string"
+    )
+    return {r["doc_id"]: r for r in span_removal(df, **kw).collect()}
+
+
+def test_span_removal_cuts_shared_span_and_keeps_rest(spark):
+    uniq_a = " ".join(f"a{j}" for j in range(10))
+    uniq_b = " ".join(f"b{j}" for j in range(10))
+    rows = [
+        _doc(1, W10 + " " + uniq_a),
+        _doc(2, uniq_b + " " + W10),
+        _doc(3, " ".join(f"c{j}" for j in range(20))),
+    ]
+    got = _removal(spark, rows)
+    # the shared 10-token span is cut from BOTH docs; unique tails survive
+    assert got[1]["dedup_text"] == uniq_a and got[1]["removed_tokens"] == 10
+    assert got[2]["dedup_text"] == uniq_b and got[2]["removed_tokens"] == 10
+    assert got[3]["dedup_text"] == rows[2][1] and got[3]["removed_tokens"] == 0
+
+
+def test_span_removal_merges_overlapping_and_adjacent_spans(spark):
+    # doc 1 shares tokens 0-9 with doc 2 and tokens 6-15 with doc 3: the
+    # two flagged regions overlap and must merge into ONE cut [0, 16)
+    toks = [f"t{j}" for j in range(16)] + [f"u{j}" for j in range(6)]
+    span_a = " ".join(toks[0:10])
+    span_b = " ".join(toks[6:16])
+    rows = [
+        _doc(1, " ".join(toks)),
+        _doc(2, span_a + " " + " ".join(f"x{j}" for j in range(8))),
+        _doc(3, " ".join(f"y{j}" for j in range(8)) + " " + span_b),
+    ]
+    got = _removal(spark, rows)
+    assert got[1]["removed_tokens"] == 16
+    assert got[1]["dedup_text"] == " ".join(f"u{j}" for j in range(6))
+
+
+def test_span_removal_matches_coverage_and_case_insensitive(spark):
+    from etl_poc_spark.operators.spandedup import span_coverage, span_removal
+
+    # matching is case-insensitive (span_coverage convention) but the
+    # rebuilt text preserves ORIGINAL case of surviving tokens
+    upper = W10.upper()
+    tail = "Tail Words Here"
+    rows = [(1, upper + " " + tail), (2, W10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_removal(df).collect()}
+    assert got[1]["dedup_text"] == tail          # original case kept
+    assert got[2]["dedup_text"] == ""            # fully duplicated doc
+    # removed_tokens == span_coverage.covered_tokens, every doc
+    cov = {r["doc_id"]: r["covered_tokens"] for r in span_coverage(df).collect()}
+    assert all(got[i]["removed_tokens"] == cov[i] for i in got)
+
+
+def test_span_removal_keep_first_retains_min_doc_copy(spark):
+    rows = [
+        _doc(5, W10 + " five extra"),
+        _doc(9, W10 + " nine extra"),
+    ]
+    got = _removal(spark, rows, keep_first=True)
+    # the smallest doc id holding the duplicated windows keeps its copy
+    assert got[5]["removed_tokens"] == 0 and got[5]["dedup_text"].startswith("tok0")
+    assert got[9]["removed_tokens"] == 10 and got[9]["dedup_text"] == "nine extra"
+
+
+def test_span_removal_empty_and_short_docs(spark):
+    rows = [_doc(1, ""), _doc(2, "three short words"), _doc(3, W10), _doc(4, W10)]
+    got = _removal(spark, rows)
+    assert got[1]["dedup_text"] == "" and got[1]["n_tokens"] == 0
+    assert got[2]["dedup_text"] == "three short words"
+    assert got[3]["dedup_text"] == "" and got[3]["removed_tokens"] == 10

@@ -63,6 +63,10 @@ SMOKE_QUERIES = [
     # the planted-duplicate fingerprint groups
     "epoch_shuffle_order",
     "quality_dedup_keep_best",
+    # r15: ExactSubstr REMOVAL — the rebuild join is the one place doc
+    # bodies cross the wire; this measures it at 10x docs next to the
+    # flag-only duplicate_span_coverage baseline
+    "duplicate_span_removal_stats",
 ]
 
 # per-table key columns to offset per copy so the scaled table has
