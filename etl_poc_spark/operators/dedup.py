@@ -576,6 +576,36 @@ def dup_aware_weights(
     )
 
 
+def near_dup_keep_best(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware retention over NEAR-duplicate clusters (r14 verdict
+    ask #2): connected components over the pair graph, then keep the
+    HIGHEST-`quality_col` member per component (ties → min id) — the
+    RefinedWeb/FineWeb retention policy end-to-end. `dedup_representatives`
+    keeps the min-id star root, which treats a truncated extraction and
+    its full-length near-copy as interchangeable; this keeps the best one.
+    Documents outside every cluster pass through untouched. Output: the
+    retained corpus, same schema as the input.
+
+    Scale shape: the transitive closure runs over the PAIR graph only
+    (near-dup members, a tiny fraction of the corpus). The component
+    labels join the corpus twice — an inner join selecting cluster
+    members and a left_anti passing everyone else — both broadcast-class
+    (labels are small; AQE picks the strategy), so the best-per-group
+    window shuffles only cluster members, never the whole corpus."""
+    comps = connected_components(pairs).withColumnRenamed("id", id_col)
+    members = corpus.join(comps, id_col)
+    best = keep_best_per_group(members, "component", quality_col, id_col).drop(
+        "component"
+    )
+    rest = corpus.join(comps.select(id_col), id_col, "left_anti")
+    return rest.unionByName(best)
+
+
 def dedup_representatives(
     pairs: DataFrame,
     id_a: str = "id_a",

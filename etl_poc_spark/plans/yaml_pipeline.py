@@ -286,6 +286,7 @@ def _apply_op(
             connected_components,
             lsh_candidate_pairs,
             minhash_signatures,
+            near_dup_keep_best,
             shingle_docs,
         )
 
@@ -299,6 +300,13 @@ def _apply_op(
             sigs, id_col, int(op.get("rows_per_band", 2)),
             max_bucket_size=int(op.get("max_bucket_size", 200)),
         )
+        quality_key = op.get("quality_key")
+        if quality_key:
+            # RefinedWeb-style retention (r15): each near-dup cluster keeps
+            # its HIGHEST-quality member, not the min-id star root
+            return near_dup_keep_best(
+                df, pairs.select("id_a", "id_b"), quality_key, id_col
+            )
         comps = connected_components(pairs)
         drop = comps.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias(id_col)

@@ -103,9 +103,10 @@ def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "minhash_lsh_pairs",
-    oracle=NEAR_DUP_CORPUS_CTE + """
+# the MinHash(8)+LSH(4x2)+exact-verify pipeline over a CTE named `corpus`
+# — shared by minhash_lsh_pairs (byte-identical oracle to pre-r15) and the
+# quality-retention composition near_dup_keep_best
+MINHASH_PIPE_SQL = """
     , w AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM corpus
       WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
@@ -145,7 +146,12 @@ def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = i.id_a
     JOIN sizes sb ON sb.doc_id = i.id_b
     WHERE i.n_inter * 1000 >= 800 * (sa.n_sh + sb.n_sh - i.n_inter)
-    """,
+    """
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=NEAR_DUP_CORPUS_CTE + MINHASH_PIPE_SQL,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands x 2 rows) near-dup pairs at jaccard >= 0.8,
@@ -329,6 +335,104 @@ def near_dup_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
     return dedup_representatives(pairs)
+
+
+_QUALITY_NEAR_DUP_CORPUS = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' zqx1 zqx2' AS text
+      FROM documents
+      WHERE doc_id % 10 = 0
+        AND len(string_split_regex(trim(text), '\\s+')) >= 5
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 2,
+                             len(string_split_regex(trim(text), '\\s+'))), ' ') AS text
+      FROM documents
+      WHERE doc_id % 20 = 0
+        AND len(string_split_regex(trim(text), '\\s+')) >= 5
+"""
+
+
+def _quality_near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with QUALITY-GRADED near-duplicates: every doc_id%10 doc
+    gains a two-words-appended copy at +100000 (MORE tokens — the best
+    member, which min-id retention would wrongly drop), every doc_id%20
+    doc also a first-word-dropped copy at +200000 (fewer tokens — must
+    lose). Components of size 2-3 with the winner NOT at the min id."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    appended = d.filter((F.col("doc_id") % 10 == 0) & (n >= 5)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqx1 zqx2")).alias("text"),
+    )
+    dropped = d.filter((F.col("doc_id") % 20 == 0) & (n >= 5)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 2, F.size(words) - 1)).alias("text"),
+    )
+    return d.unionByName(appended).unionByName(dropped)
+
+
+@query(
+    "near_dup_keep_best",
+    oracle="WITH RECURSIVE pairs_q AS MATERIALIZED (WITH corpus AS ("
+    + _QUALITY_NEAR_DUP_CORPUS
+    + ")"
+    + MINHASH_PIPE_SQL
+    + """
+    ), corpus AS (""" + _QUALITY_NEAR_DUP_CORPUS + """
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs_q
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs_q
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    ), q AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM corpus
+    ), ranked AS (
+      SELECT q.doc_id, q.n_tokens,
+             row_number() OVER (PARTITION BY comp.component
+                                ORDER BY q.n_tokens DESC, q.doc_id) AS rk
+      FROM q JOIN comp ON comp.id = q.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM ranked WHERE rk > 1 ORDER BY doc_id
+    """,
+)
+def near_dup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware retention over NEAR-dup clusters end-to-end
+    (dedup.near_dup_keep_best, r14 verdict ask #2): MinHash-LSH pairs →
+    connected components → keep the highest-n_tokens member per cluster
+    (the RefinedWeb policy — longest copy wins, truncated extractions
+    lose). Output: the docs the retention REMOVES (compact, and fully
+    determines the kept set since the corpus is deterministic). The
+    planted winner sits at +100000 (two words appended — HIGHER id,
+    higher quality), so a min-id star-root retention would produce a
+    visibly different removal set: the oracle verifies the quality rule,
+    not just the closure."""
+    from etl_poc_spark.operators.dedup import near_dup_keep_best
+
+    corpus = _quality_near_dup_corpus(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    sh = pin(shingle_docs(corpus, "doc_id", "text", shingle_words=3))
+    sig = minhash_signatures(sh, "doc_id", n_hashes=8, hash_mode="md5")
+    cand = lsh_candidate_pairs(sig, "doc_id", rows_per_band=2, max_bucket_size=50)
+    pairs = verify_jaccard(sh, cand, "doc_id", threshold=0.8).select("id_a", "id_b")
+    kept = near_dup_keep_best(corpus, pairs, "n_tokens", "doc_id")
+    removed = corpus.join(kept.select("doc_id"), "doc_id", "left_anti")
+    return removed.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    ).orderBy("doc_id")
 
 
 @query(

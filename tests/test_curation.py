@@ -657,6 +657,61 @@ def test_keep_best_per_group_quality_and_ties(spark):
     assert got == {"g1": 9, "g2": 1, "g3": 42}
 
 
+def test_near_dup_keep_best_transitive_quality_retention(spark):
+    """near_dup_keep_best keeps the highest-quality member per CONNECTED
+    COMPONENT (A~B, B~C -> one group even without an A~C pair), passes
+    non-members through, and breaks quality ties by min id (r15)."""
+    from etl_poc_spark.operators.dedup import near_dup_keep_best
+
+    corpus = spark.createDataFrame(
+        [
+            # chain component {1,2,3}: 3 has the best quality, must win
+            (1, "a", 10), (2, "b", 20), (3, "c", 30),
+            # pair component {10,11}: tie -> min id (10) wins
+            (10, "d", 7), (11, "e", 7),
+            # solo doc: untouched
+            (99, "f", 1),
+        ],
+        "doc_id long, text string, q long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in near_dup_keep_best(corpus, pairs, "q", "doc_id").collect()
+    )
+    assert kept == [3, 10, 99]
+
+
+def test_yaml_near_dedup_quality_key(spark):
+    """near_dedup with quality_key retains the best cluster member via
+    near_dup_keep_best instead of the min-id star root."""
+    from etl_poc_spark.llm.provider import StubProvider
+    from etl_poc_spark.plans.yaml_pipeline import _apply_op
+
+    base = " ".join(f"w{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, base, 30),
+            (2, base + " extra tail words", 33),   # best copy, higher id
+            (3, " ".join(f"z{j}" for j in range(12)), 12),
+        ],
+        "doc_id long, text string, n_tokens long",
+    )
+    out = _apply_op(
+        docs,
+        {"name": "nd", "type": "near_dedup", "quality_key": "n_tokens"},
+        StubProvider(),
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+    # default retention keeps the min-id root instead
+    out2 = _apply_op(
+        docs, {"name": "nd", "type": "near_dedup"}, StubProvider()
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 3]
+
+
 def test_length_bucket_padding_arithmetic(spark):
     from etl_poc_spark.operators.curation import length_bucket_padding
 

@@ -67,6 +67,9 @@ SMOKE_QUERIES = [
     # bodies cross the wire; this measures it at 10x docs next to the
     # flag-only duplicate_span_coverage baseline
     "duplicate_span_removal_stats",
+    # r15: quality retention over near-dup components (LSH + transitive
+    # closure + best-per-group window)
+    "near_dup_keep_best",
 ]
 
 # per-table key columns to offset per copy so the scaled table has
