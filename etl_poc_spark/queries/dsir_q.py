@@ -101,11 +101,33 @@ def doc_dsir_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("doc_dsir_log_weights")  # pinned-exact: per-bucket log-ratio terms
-# are pure functions of exact integer counts, but the per-doc sum is
-# transcendental — folded left-to-right over the bucket-sorted array
-# (ngram_lm discipline) so the doubles are partition-independent;
-# gen_pins verifies bit-stability under the adversarial session.
+@query(
+    "doc_dsir_log_weights",
+    # pin→oracle conversion (r15): the per-bucket log-ratio terms are pure
+    # functions of exact integer counts, so the ONLY cross-engine noise is
+    # (a) 1-ulp ln() differences between libm builds and (b) sum
+    # association order — both ~1e-13 absolute against the emitted
+    # round(·, 9) granularity of 1e-9 (weights are O(1-100)). The fold is
+    # already bucket-sorted (partition-independent, proven by four rounds
+    # of adversarial pins), so the oracle upgrade adds the cross-engine
+    # value check on top.
+    oracle=f"""
+    WITH {_FEATS_SQL}
+    SELECT dc.doc_id,
+           CAST(SUM(dc.cnt) AS BIGINT) AS n_features,
+           round(SUM(CAST(dc.cnt AS DOUBLE) * (
+             ln(CAST(COALESCE(tgtm.c_tgt, 0) + 1 AS DOUBLE)
+                / (tot.t_tgt + CAST({_B} AS DOUBLE)))
+             - ln(CAST(rawm.c_raw + 1 AS DOUBLE)
+                  / (tot.t_raw + CAST({_B} AS DOUBLE)))
+           )), 9) AS log_weight_r9
+    FROM dc JOIN rawm USING (bucket)
+    LEFT JOIN tgtm USING (bucket)
+    CROSS JOIN tot
+    GROUP BY dc.doc_id
+    ORDER BY dc.doc_id
+    """,
+)
 def doc_dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weight log ŵ(x) = Σ_f c_f(x)·(ln p̂_en(f) −
     ln p̂_raw(f)) with add-1 smoothing over 1024 hashed buckets — the

@@ -116,16 +116,55 @@ def part_clustering_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("part_copurchase_kcore")  # rows-only: fixpoint peeling is not
-# SQL-expressible (aggregation inside recursion); semantics pinned by
-# closed-form pytest graphs incl. the sequential-vs-parallel-peel
-# equivalence
+@query(
+    "part_copurchase_kcore",
+    oracle=f"""
+    WITH RECURSIVE e AS MATERIALIZED ({_CO_EDGES_SQL}
+    ), peel(r, u, v) AS (
+      SELECT 0, u, v FROM e
+      UNION ALL
+      SELECT r + 1, p.u, p.v FROM peel p
+      WHERE r < 25
+        AND p.u IN (SELECT x FROM (SELECT u AS x FROM peel
+                                   UNION ALL SELECT v FROM peel)
+                    GROUP BY x HAVING COUNT(*) >= 3)
+        AND p.v IN (SELECT x FROM (SELECT u AS x FROM peel
+                                   UNION ALL SELECT v FROM peel)
+                    GROUP BY x HAVING COUNT(*) >= 3)
+    ), last AS (
+      SELECT u, v FROM peel WHERE r = (SELECT MAX(r) FROM peel)
+    ), core AS (
+      SELECT u, v FROM last
+      WHERE u IN (SELECT x FROM (SELECT u AS x FROM last
+                                 UNION ALL SELECT v FROM last)
+                  GROUP BY x HAVING COUNT(*) >= 3)
+        AND v IN (SELECT x FROM (SELECT u AS x FROM last
+                                 UNION ALL SELECT v FROM last)
+                  GROUP BY x HAVING COUNT(*) >= 3)
+    )
+    SELECT vertex, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS vertex FROM core UNION ALL SELECT v FROM core)
+    GROUP BY vertex
+    ORDER BY vertex
+    """,
+)
 def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 3-core of the part co-purchase graph (operators/graph.py::
     k_core — iterative parallel peeling, eager per-round checkpoint,
     1-long convergence probe per round): the mutually-dense backbone
     left after stripping weakly-attached parts. Output (vertex,
-    core_degree), ordered."""
+    core_degree), ordered.
+
+    Oracle (pin→oracle conversion, r14 verdict ask #3): the peel is a
+    recursive CTE — each round keeps edges whose BOTH endpoints have
+    degree >= 3 within the previous round's edge set (DuckDB allows
+    aggregating the recursive reference in subqueries). Recursion either
+    reaches the fixpoint and re-emits it until the r<25 guard, or dies
+    when a round empties; `last` therefore holds the final NON-EMPTY
+    round, and one explicit extra peel over it yields the true core even
+    when that core is empty (sf0.1's 3-core is). 25 rounds is 2.5x the
+    deepest measured convergence (10 rounds at sf0.01; 1 at sf0.1); a
+    deeper graph would FAIL the gate loudly, never silently pass."""
     from etl_poc_spark.operators.graph import k_core
 
     return k_core(_co_edges(spark, sf_dir), k=3).orderBy("vertex")

@@ -90,10 +90,54 @@ def doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_lm_perplexity")  # pinned-exact: transcendental per-doc sums —
-# deterministic (fixed fold order) but not reproducible across engines'
-# libm, so no SQL oracle; gen_pins verifies bit-stability under the
-# adversarial session instead.
+def _ppl_oracle_sql(train_where: str, score_where: str) -> str:
+    """Add-1 bigram-LM perplexity oracle (pin→oracle conversion, r15,
+    same rationale as doc_dsir_log_weights): every per-bigram logp is a
+    pure function of exact integer counts, so the only cross-engine noise
+    is 1-ulp ln/exp differences and sum association — ~1e-13 absolute
+    against the emitted round(avg_nll, 9)/round(ppl, 6) granularity.
+    Partition independence was already pin-proven; this adds the
+    cross-engine value check."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS bigram
+      FROM d, LATERAL unnest(range(1, len(ws))) t(i)
+      WHERE len(ws) >= 2
+    ), bic AS (
+      SELECT bigram, COUNT(*) AS c_bi FROM pairs
+      WHERE {train_where} GROUP BY bigram
+    ), unic AS (
+      SELECT w1, COUNT(*) AS c_uni FROM pairs
+      WHERE {train_where} GROUP BY w1
+    ), voc AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT doc_id, unnest(ws) AS tok FROM d)
+      WHERE {train_where}
+    ), logps AS (
+      SELECT p.doc_id,
+             ln((COALESCE(bic.c_bi, 0) + CAST(1 AS DOUBLE))
+                / (COALESCE(unic.c_uni, 0)
+                   + CAST(1 AS DOUBLE) * CAST(voc.v AS DOUBLE))) AS logp
+      FROM pairs p
+      LEFT JOIN bic USING (bigram)
+      LEFT JOIN unic USING (w1)
+      CROSS JOIN voc
+      WHERE {score_where.replace('doc_id', 'p.doc_id')}
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, SUM(logp) AS total
+      FROM logps GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(-total / n_bigrams, 9) AS avg_nll,
+           round(exp(-total / n_bigrams), 6) AS ppl
+    FROM agg ORDER BY doc_id
+    """
+
+
+@query("doc_lm_perplexity", oracle=_ppl_oracle_sql("TRUE", "TRUE"))
 def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Add-1 bigram LM perplexity per document, trained on the corpus
     itself (the CCNet shape): p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V).
@@ -112,10 +156,10 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("doc_lm_perplexity_heldout")  # pinned-exact: same transcendental-
-# fold rationale as doc_lm_perplexity; this row covers the PRODUCTION
-# CCNet configuration (train on a reference corpus, score a different
-# one) so the reference= path carries gate evidence, not just pytest.
+@query(
+    "doc_lm_perplexity_heldout",
+    oracle=_ppl_oracle_sql("doc_id % 2 = 0", "doc_id % 2 = 1"),
+)
 def doc_lm_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out bigram perplexity: the LM trains on even-doc_id documents
     and scores the odd ones (a deterministic split standing in for the

@@ -355,11 +355,61 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("supplier_pagerank")  # no SQL oracle: iterative float power-method.
-# The emitted rank is rounded to 9 decimals (~5 sig figs at these
-# magnitudes) so partial-sum association noise (~1e-15 relative) cancels
-# and the output is pinned-exact in the gate; semantics stay pinned by the
-# closed-form pagerank pytest cases.
+def _pagerank_oracle_sql(n_iter: int = 5, damping: str = "CAST(0.85 AS DOUBLE)") -> str:
+    """Unrolled power-method oracle (the unrolled-Lloyd pattern): one CTE
+    pair (contribution sum + dangling mass) per iteration, arithmetic
+    mirroring operators/pagerank.py term by term — constants cast to
+    DOUBLE so DuckDB's decimal literals don't produce a different binary
+    0.15 than Python's `1.0 - 0.85`. The only cross-engine divergence is
+    SUM association order (~1e-16 relative), absorbed by the query's
+    round(rank, 9) — which is WHY the emitted rank is rounded."""
+    parts = [
+        """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), verts AS MATERIALIZED (
+      SELECT src AS vertex FROM e UNION SELECT dst FROM e
+    ), nv AS (
+      SELECT COUNT(*) AS n FROM verts
+    ), outdeg AS MATERIALIZED (
+      SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+    ), pr0 AS (
+      SELECT vertex, CAST(1 AS DOUBLE) / nv.n AS rank FROM verts CROSS JOIN nv
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"pr{i - 1}"
+        parts.append(f"""
+    , contrib{i} AS (
+      SELECT e.dst AS vertex, SUM(p.rank / od.deg) AS s
+      FROM {p} p JOIN outdeg od ON od.src = p.vertex
+      JOIN e ON e.src = p.vertex
+      GROUP BY e.dst
+    ), dang{i} AS (
+      SELECT COALESCE(SUM(p.rank), CAST(0 AS DOUBLE)) AS m
+      FROM {p} p LEFT JOIN outdeg od ON od.src = p.vertex
+      WHERE od.src IS NULL
+    ), pr{i} AS (
+      SELECT v.vertex,
+             (CAST(1 AS DOUBLE) - {damping}) / nv.n
+             + {damping} * d.m / nv.n
+             + {damping} * COALESCE(c.s, CAST(0 AS DOUBLE)) AS rank
+      FROM verts v CROSS JOIN nv CROSS JOIN dang{i} d
+      LEFT JOIN contrib{i} c ON c.vertex = v.vertex
+    )""")
+    parts.append(f"""
+    SELECT vertex, round(rank, 9) AS rank
+    FROM pr{n_iter}
+    WHERE vertex LIKE 's%'
+    ORDER BY round(rank, 9) DESC, vertex
+    LIMIT 20
+    """)
+    return "".join(parts)
+
+
+@query("supplier_pagerank", oracle=_pagerank_oracle_sql(5))
 def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite customer->supplier purchase graph
     (edge = customer bought from supplier, via orders x lineitem):
