@@ -35,8 +35,15 @@ from etl_poc_spark.multimodal.media import (
 )
 from etl_poc_spark.registry import query
 
-_IMG_W = 16
-_IMG_H = 16
+# r15 (r14 verdict ask #5): grown from 16x16/0.05s so the 32-task decode
+# path measures CODEC throughput, not task scheduling — 64x64 = 12,288
+# pixel bytes per image through decode_ppm + luminance_histogram (real
+# per-pixel work), 0.4s = 3,200 PCM frames per clip through decode_wav +
+# audio_stats. Per task at sf0.1 that is ~156 images (~1.9 MB) and ~156
+# clips (~1 MB) of genuine per-byte Python codec work. All four media
+# queries re-pinned at the new fixture size.
+_IMG_W = 64
+_IMG_H = 64
 _PAYLOAD = _IMG_W * _IMG_H * imagecodec.RGB_BPP
 
 _RENDER_SCHEMA = T.StructType(
@@ -74,7 +81,16 @@ def render_document_images(docs: DataFrame) -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = str(text).encode("utf-8")[:_PAYLOAD]
-                payload = raw + b"\x00" * (_PAYLOAD - len(raw))
+                # TILE the text bytes across the full payload (zero-padding
+                # at 64x64 would leave >90% of every image black and
+                # collapse the perceptual hashes into one bucket): document
+                # content drives every pixel, exact-dup docs still render
+                # byte-identical images, and an aligned edit repeats at
+                # tile positions — a localized, small Hamming distance
+                if raw:
+                    payload = (raw * (_PAYLOAD // len(raw) + 1))[:_PAYLOAD]
+                else:
+                    payload = b"\x00" * _PAYLOAD
                 rows.append(
                     {
                         "path": "%012d" % int(doc_id),
@@ -112,14 +128,42 @@ def phash_stats_from_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus planted IMAGE near-duplicates (r15): every doc_id%10
+    doc gains an exact copy at +100000 (byte-identical tiled image —
+    Hamming 0 must pair) and every doc_id%20 doc an ALIGNED-EDIT copy at
+    +200000 (chars 100-119 overwritten with 'Z'*20 — the edit repeats at
+    tile positions, flipping at most a few of the 72 sampled dHash pixels:
+    a small, deterministic Hamming). The word-soup corpus has no natural
+    FULL-document image near-dups once the payload tiles the whole text
+    (the pre-r15 zero-padded 16x16 images compared only each text's first
+    768 bytes), so the dedup stage needs planted work — the dedup_q
+    corpus-construction discipline. Shifted edits (e.g. dropping a word)
+    deliberately do NOT pair: image near-dup is alignment-sensitive."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    edited = d.filter((F.col("doc_id") % 20 == 0) & (F.length("text") >= 140)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 100),
+            F.lit("Z" * 20),
+            F.expr("substring(text, 121, length(text) - 120)"),
+        ).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(edited)
+
+
 @query("image_near_dup_pairs")  # rows-only: image decode is not SQL-expressible
 def image_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs over document-rendered PPMs: real decode,
-    dHash, banded self-join, Hamming <= 3 verify. The driver's gate is
-    rows-only here; the hash-equivalent guard is the pinned-literal pytest
+    dHash, banded self-join, Hamming <= 3 verify, on the planted-near-dup
+    image corpus. The driver's gate is rows-only here; the hash-equivalent
+    guard is the pinned-literal pytest
     (tests/test_multimodal_features.py::test_image_query_aggregates_pinned)
     running this exact body on a committed fixture corpus."""
-    return image_pairs_from_docs(load_table(spark, sf_dir, "documents"))
+    return image_pairs_from_docs(_image_corpus(spark, sf_dir))
 
 
 @query("image_phash_stats")  # rows-only: same non-SQL decode path
@@ -128,7 +172,7 @@ def image_phash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — the 'how much image-level duplication' dashboard number.
     Pinned-literal pytest covers the aggregate values on a committed
     fixture corpus (see image_near_dup_pairs_q)."""
-    return phash_stats_from_docs(load_table(spark, sf_dir, "documents"))
+    return phash_stats_from_docs(_image_corpus(spark, sf_dir))
 
 
 @query("media_feature_neardup_sim")  # rows-only: image decode is not SQL
@@ -146,7 +190,7 @@ def media_feature_neardup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_poc_spark.operators.pins import pin
     from etl_poc_spark.operators.similarity import cosine_for_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _image_corpus(spark, sf_dir)
     imgs = pin(render_document_images(docs))  # one render+decode, two legs
     pairs = image_near_dup_pairs(
         imgs, hash_col="dhash", max_hamming=3, max_bucket_size=200
@@ -173,7 +217,9 @@ def media_feature_neardup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AUDIO_SR = 8000
-_AUDIO_SECONDS = 0.05  # 400 frames/clip: features are exact, rendering cheap
+_AUDIO_SECONDS = 0.4  # 3200 frames/clip: whole periods for every 100 Hz
+# multiple (f * 0.4 is integer), so the closed forms rms = amp/sqrt(2),
+# zcr = 2f/sr still hold exactly; the decode loop now does real work
 
 
 def render_document_audio(docs: DataFrame) -> DataFrame:
@@ -183,11 +229,17 @@ def render_document_audio(docs: DataFrame) -> DataFrame:
     closed forms (rms = amp/sqrt(2), zcr = 2f/sr)."""
     import io
     import math
-    import struct
     import wave
+
+    import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = int(_AUDIO_SR * _AUDIO_SECONDS)
+        # vectorized render (the FIXTURE leg — the measured decode stays
+        # pure Python): np.sin wraps the same libm as math.sin and
+        # astype(int16) truncates toward zero like int(), so sample bytes
+        # are bit-identical to the per-sample struct.pack loop
+        idx = np.arange(n)
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
@@ -198,14 +250,10 @@ def render_document_audio(docs: DataFrame) -> DataFrame:
                     w.setnchannels(1)
                     w.setsampwidth(2)
                     w.setframerate(_AUDIO_SR)
-                    frames = b"".join(
-                        struct.pack(
-                            "<h",
-                            int(amp * 32767 * math.sin(2 * math.pi * freq * i / _AUDIO_SR)),
-                        )
-                        for i in range(n)
-                    )
-                    w.writeframes(frames)
+                    vals = (
+                        amp * 32767 * np.sin(2 * math.pi * freq * idx / _AUDIO_SR)
+                    ).astype("<i2")
+                    w.writeframes(vals.tobytes())
                 rows.append({"path": "%012d" % int(doc_id), "content": buf.getvalue()})
             yield pd.DataFrame(rows, columns=["path", "content"])
 

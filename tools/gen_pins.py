@@ -29,6 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # lone excluded row for approx_percentile merge-order sensitivity — now
 # ships exact rank-error-bound BOOLEANS instead of the sketch values and is
 # oracle-checked, r14.)
+# r15: supplier_pagerank, part_copurchase_kcore, doc_dsir_log_weights and
+# both doc_lm_perplexity rows left this list — they carry hash-exact DuckDB
+# oracles now (unrolled power method / recursive peel / ln-ratio twins with
+# rounding absorbing libm ulps). Every remaining candidate is genuinely
+# non-SQL: xxhash64 signatures, Spark-internal sketches, media decode,
+# iterative BPE, BFD bin state, float semdedup variants, and Gumbel top-k
+# (whose SELECTION depends on unrounded key order — oracle-unsafe).
 CANDIDATES = [
     "approx_distinct_parts",
     "audio_feature_stats",
@@ -36,18 +43,12 @@ CANDIDATES = [
     "bpe_trained_merges",
     "doc_compression_quality",
     "pack_sequences_bfd_stats",   # sequential bin state (BFD), deterministic
-    "doc_dsir_log_weights",       # transcendental log-ratios but fixed fold
-                                  # order (bucket-sorted aggregate) + round(9)
-    "doc_lm_perplexity",          # transcendental logs but fixed fold order
-                                  # (position-sorted aggregate) + round(9)
-    "doc_lm_perplexity_heldout",  # same, via the reference= (CCNet) path
     "dsir_gumbel_sample",         # pure per-row Gumbel key on the folded
                                   # weight; top-k + id tiebreak
     "hll_sketch_union_users",
     "image_near_dup_pairs",
     "image_phash_stats",
     "media_feature_neardup_sim",
-    "part_copurchase_kcore",       # pure-integer fixpoint output
     "semdedup_flags_adaptive_float",  # production path: hash-defined sample,
                                       # decimal batch sums, fixed fold order
     "semdedup_flags_two_level_p2",        # r12 narrow-probe point of the
@@ -55,7 +56,6 @@ CANDIDATES = [
     "semdedup_flags_adaptive_two_level",  # r11 scale assignment: same model,
                                           # deterministic two-level probe
     "simhash64_near_dup_pairs",
-    "supplier_pagerank",           # rank rounded to 9 decimals in-query
 ]
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 PIN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pinned_expected.json")
