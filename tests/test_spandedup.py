@@ -138,3 +138,52 @@ def test_span_removal_empty_and_short_docs(spark):
     assert got[1]["dedup_text"] == "" and got[1]["n_tokens"] == 0
     assert got[2]["dedup_text"] == "three short words"
     assert got[3]["dedup_text"] == "" and got[3]["removed_tokens"] == 10
+
+
+def test_doc_self_repetition_constructed(spark, tmp_path):
+    import etl_poc_spark.queries.spandedup_q as m
+
+    rep = (W10 + " ") * 3                      # the 10-token span 3x over
+    rows = [
+        _doc(1, rep.strip()),                  # heavy self-repetition
+        _doc(2, " ".join(f"q{j}" for j in range(30))),  # all distinct
+        _doc(3, "too short"),                  # < 8 tokens -> zero windows
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    got = {r["doc_id"]: r for r in m.doc_self_repetition(spark, str(sf)).collect()}
+    # doc 1: 30 tokens -> 23 windows; window starting at 0 == window at 10
+    # == window at 20 (the repeat period), so distinct < total
+    assert got[1]["n_windows"] == 23
+    assert got[1]["repeated_windows"] > 0 and got[1]["self_repetitive"]
+    assert got[1]["max_multiplicity"] >= 2
+    assert got[2]["repeated_windows"] == 0 and not got[2]["self_repetitive"]
+    assert got[3]["n_windows"] == 0 and not got[3]["self_repetitive"]
+
+
+def test_eval_contamination_constructed(spark, tmp_path):
+    import etl_poc_spark.queries.spandedup_q as m
+
+    eval_text = W10 + " " + " ".join(f"e{j}" for j in range(10))
+    rows = [
+        # doc 0 is the EVAL doc (doc_id % 50 == 0)
+        (0, eval_text, "en", "bench", len(eval_text)),
+        # train doc 1 contains the eval span verbatim -> contaminated
+        _doc(1, "prefix words here then " + W10 + " and a tail"),
+        # train doc 2 shares nothing
+        _doc(2, " ".join(f"z{j}" for j in range(20))),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    got = {r["source"]: r for r in m.eval_contamination_stats(spark, str(sf)).collect()}
+    # only train docs are counted; src0 holds docs 1 and 2
+    assert got["src0"]["n_train"] == 2
+    assert got["src0"]["n_contaminated"] == 1     # doc 1 only
+    assert got["src0"]["windows_hit"] == 3        # starts 4,5,6 of the 10-token span
+    assert "bench" not in got                     # eval-only source has no train docs

@@ -70,6 +70,8 @@ SMOKE_QUERIES = [
     # r15: quality retention over near-dup components (LSH + transitive
     # closure + best-per-group window)
     "near_dup_keep_best",
+    # r15: decontamination sweep — eval window set vs train windows
+    "eval_contamination_stats",
 ]
 
 # per-table key columns to offset per copy so the scaled table has
