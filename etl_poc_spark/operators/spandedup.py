@@ -111,27 +111,8 @@ def span_removal(
     w = int(window)
     if w <= 0:
         raise ValueError("window must be positive")
-    d = df.select(
-        F.col(id_col),
-        F.filter(
-            F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: t != ""
-        ).alias("arr"),
-    )
-    # original-case tokens; the duplicate MATCH is on the lowercased window
-    # (lower() is per-character, so lowering the joined window string ==
-    # joining lowered tokens — identical to span_coverage's convention)
-    wins = (
-        d.where(F.size("arr") >= w)
-        .select(
-            id_col,
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, size(arr) - {w}),"
-                    f" i -> md5(lower(concat_ws(' ', slice(arr, i + 1, {w})))))"
-                )
-            ).alias("start", "h"),
-        )
-    )
+    d = _token_arrays(df, id_col, text_col)
+    wins = _window_hashes(d, id_col, w)
     dup = (
         wins.groupBy("h")
         .agg(
@@ -143,7 +124,48 @@ def span_removal(
     flagged = wins.join(dup, "h")
     if keep_first:
         flagged = flagged.where(F.col(id_col) != F.col("__first_id"))
-    flagged = flagged.select(id_col, "start")
+    return _rebuild_without_spans(d, flagged.select(id_col, "start"), id_col, w)
+
+
+def _token_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, arr): original-case whitespace tokens of the trimmed body."""
+    return df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: t != ""
+        ).alias("arr"),
+    )
+
+
+def _window_hashes(d: DataFrame, id_col: str, w: int) -> DataFrame:
+    """(id, start, h) for every sliding w-token window. The duplicate
+    MATCH is on the lowercased window (lower() is per-character, so
+    lowering the joined window string == joining lowered tokens —
+    identical to span_coverage's convention); `arr` keeps original case
+    for the rebuild."""
+    return (
+        d.where(F.size("arr") >= w)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(arr) - {w}),"
+                    f" i -> md5(lower(concat_ws(' ', slice(arr, i + 1, {w})))))"
+                )
+            ).alias("start", "h"),
+        )
+    )
+
+
+def _rebuild_without_spans(
+    d: DataFrame, flagged: DataFrame, id_col: str, w: int
+) -> DataFrame:
+    """Shared tail of batch and incremental span removal: merge the
+    flagged (id, start) windows into disjoint intervals (island
+    detection — same-width windows, so a new island starts exactly when
+    start - lag(start) > w), collect each doc's intervals into a tiny
+    sorted array, and rebuild the text with one pure-Column aggregate
+    fold slicing the token array between intervals."""
     ord_w = Window.partitionBy(id_col).orderBy("start")
     lag_start = F.lag("start").over(ord_w)
     isl = F.sum(
@@ -185,3 +207,134 @@ def span_removal(
         .otherwise(rebuilt)
         .alias("dedup_text"),
     )
+
+
+def incremental_span_removal_ingest(
+    spark,
+    batch: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Span-dedup a NEW batch against a persisted duplicated-window store
+    and fold the batch's window counts into the store — the continuous-
+    crawl counterpart of `span_removal`, completing the incremental
+    family (linededup / near-dup / kmv / badwords all have one; spans
+    didn't). Same output schema as span_removal.
+
+    Store shape: append-only (win_hash, n_docs) rows — one per (batch,
+    window-hash), a few dozen bytes per distinct window regardless of
+    span text. A window is duplicated once its CUMULATIVE distinct-doc
+    count (history + this batch) reaches 2; every flagged span in THIS
+    batch is cut. Forward-only by design (as in
+    incremental_line_dedup_ingest): copies shipped before a window
+    crossed the threshold are not retroactively rewritten — that is a
+    compaction re-run of batch `span_removal`, not an ingest step. A
+    single first batch reduces exactly to span_removal (equivalence
+    pytest). Cumulative counts double-count a doc re-ingesting the same
+    window across batches — acceptable: the threshold needs a signal,
+    not an exact census (the linededup caveat verbatim).
+
+    `batch_id` (the streaming seam): store rows are written PARTITIONED
+    by batch_id with dynamic partition overwrite, and the history read
+    EXCLUDES the current batch_id — an at-least-once foreachBatch replay
+    overwrites its own partition and never sees its prior attempt as
+    history, so replay is byte-identical.
+
+    Scale shape: only window hashes and counts persist or shuffle —
+    historical span BODIES are never stored; the rebuild tail is shared
+    with span_removal (one doc_id window + the text join)."""
+    from pyspark.errors import AnalysisException
+
+    w = int(window)
+    if w <= 0:
+        raise ValueError("window must be positive")
+    d = _token_arrays(batch, id_col, text_col)
+    wins = _window_hashes(d, id_col, w)
+    batch_counts = wins.groupBy("h").agg(F.countDistinct(id_col).alias("n_docs"))
+    try:
+        store = spark.read.parquet(store_dir)
+        have_store = True
+    except AnalysisException as exc:
+        # first ingest only — any OTHER analysis failure must surface
+        # (treating a corrupt store as "no history" would silently dedup
+        # against nothing; the linededup rule)
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        have_store = False
+    if have_store:
+        if batch_id is not None and "batch_id" in store.columns:
+            store = store.filter(F.col("batch_id") != batch_id)
+        hist = store.groupBy("win_hash").agg(F.sum("n_docs").alias("hist_docs"))
+        total = (
+            batch_counts.join(hist.withColumnRenamed("win_hash", "h"), "h", "left")
+            .select(
+                "h",
+                (
+                    F.col("n_docs") + F.coalesce(F.col("hist_docs"), F.lit(0))
+                ).alias("total_docs"),
+            )
+        )
+    else:
+        total = batch_counts.select("h", F.col("n_docs").alias("total_docs"))
+    dup = total.filter(F.col("total_docs") >= 2).select("h")
+    flagged = wins.join(dup, "h").select(id_col, "start")
+    # MATERIALIZE before the store append: the output plan reads the store
+    # parquet through `dup`, and Spark lists parquet files at ACTION time —
+    # without this, an action after the append would recount the batch's
+    # own rows as history (the linededup lesson)
+    out = _rebuild_without_spans(d, flagged, id_col, w).localCheckpoint(eager=True)
+    counts_out = batch_counts.withColumnRenamed("h", "win_hash")
+    if batch_id is None:
+        counts_out.write.mode("append").parquet(store_dir)
+    else:
+        (
+            counts_out.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+    return out
+
+
+def streaming_span_removal_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    kept_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **ingest_kwargs,
+):
+    """Continuous span dedup: each micro-batch runs
+    incremental_span_removal_ingest against the shared window store and
+    appends its rewritten documents to `kept_dir`. Returns a configured
+    DataStreamWriter — call .trigger(...).start() to run. Both side
+    effects are keyed by batch_id with dynamic partition overwrite, so
+    foreachBatch's at-least-once replay composes to effectively-once
+    (the streaming_line_dedup_ingest contract verbatim)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = incremental_span_removal_ingest(
+            batch_df.sparkSession, batch_df, store_dir,
+            id_col=id_col, text_col=text_col, batch_id=batch_id, **ingest_kwargs,
+        )
+        (
+            out.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(kept_dir)
+        )
+
+    return stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+from etl_poc_spark._serde import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)
