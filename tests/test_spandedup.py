@@ -312,3 +312,17 @@ def test_streaming_span_removal_matches_sequential_batches(spark, tmp_path):
     texts = {r[0]: r[3] for r in got}
     # doc 1 shipped intact (first copy); doc 10's copy was cut vs history
     assert texts[1] == W10 + " first tail" and texts[10] == "later tail"
+
+
+def test_span_removal_plan_has_no_python_eval(spark):
+    """The scale claims (zero UDF, zero token explode) pinned at the plan
+    level: span_removal's physical plan must contain no Python evaluation
+    node — everything stays JVM-side Columns."""
+    from etl_poc_spark.operators.spandedup import span_removal
+
+    df = spark.createDataFrame(
+        [(1, W10 + " tail one"), (2, W10 + " tail two")], "doc_id long, text string"
+    )
+    plan = span_removal(df)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"{marker} found in span_removal plan"
