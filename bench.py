@@ -104,6 +104,24 @@ def _calibration(spark) -> float:
     return round(sorted(_canary_once(spark) for _ in range(3))[1], 3)
 
 
+def _sorted_gate_artifacts(paths: list[str]) -> list[str]:
+    """BENCH_GATE_r{N}.json paths sorted by NUMERIC round — lexicographic
+    max regresses at r100 ('r100' < 'r15' as strings), silently
+    re-baselining the >1.5x outlier rule to a stale round (ADVICE r14).
+    Names the glob admits but the round regex doesn't (BENCH_GATE_r.json,
+    BENCH_GATE_rc1.json) are SKIPPED, not crashed on (ADVICE r15: the
+    bare `.group(1)` raised AttributeError on any such stray file)."""
+    import re as _re
+
+    rounds = {
+        p: _re.search(r"_r(\d+)\.json$", os.path.basename(p)) for p in paths
+    }
+    return sorted(
+        (p for p, m in rounds.items() if m is not None),
+        key=lambda p: int(rounds[p].group(1)),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_poc_spark import registry
@@ -127,14 +145,9 @@ def main() -> None:
     prev_path = os.environ.get("SPARK_GRAFT_BENCH_PREV")
     if not prev_path:
         import glob as _glob
-        import re as _re
 
-        # sort by the NUMERIC round parsed from the filename — lexicographic
-        # max regresses at r100 ('r100' < 'r15' as strings), silently
-        # re-baselining the >1.5x outlier rule to a stale round (ADVICE r14)
-        committed = sorted(
-            _glob.glob(os.path.join(repo_dir, "BENCH_GATE_r*.json")),
-            key=lambda p: int(_re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+        committed = _sorted_gate_artifacts(
+            _glob.glob(os.path.join(repo_dir, "BENCH_GATE_r*.json"))
         )
         prev_path = committed[-1] if committed else os.path.join(
             repo_dir, "BENCH_GATE.json"

@@ -1070,9 +1070,11 @@ def exact_ols_fit(
     (The pre-r15 doc claimed |x|,|y| ≤ 1e12 at 1e9 rows — wrong by ~4
     orders: n·Σx² alone reaches ~1e42 there and DECIMAL(38,0) overflows,
     ANSI throwing / non-ANSI silently returning NULL; ADVICE r14.)
-    Violations no longer fail silently: any per-row product or
-    determinant-term overflow raises a clear error instead of emitting
-    NULL coefficients. Output: one row (n_obs, w0, w1).
+    Violations no longer fail silently: any per-row product,
+    AGGREGATE-SUM (ADVICE r15: per-row x·x fits but Σx² exceeds 1e38),
+    or determinant-term overflow raises a clear error instead of
+    emitting NULL coefficients; all-NULL inputs still yield NULL
+    coefficients without raising. Output: one row (n_obs, w0, w1).
 
     Scale shape: ONE map-side-combined global aggregate (5 sums + an
     overflow tally), then scalar arithmetic on the 1-row frame. Nothing
@@ -1096,6 +1098,15 @@ def exact_ols_fit(
         F.sum((x * x).cast(d38)).cast(d38).alias("sxx"),
         F.sum((x * y).cast(d38)).cast(d38).alias("sxy"),
         F.sum(row_ovf).alias("__row_ovf"),
+        # non-NULL support per sum — distinguishes "sum is NULL because it
+        # overflowed" (must raise) from "sum is NULL because every input
+        # was NULL" (legitimately NULL output, and n=0 keeps empty input
+        # unaffected)
+        F.count(x).alias("__nx"),
+        F.count(y).alias("__ny"),
+        F.sum(
+            F.when(x.isNotNull() & y.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("__np"),
     )
     det = (F.col("n") * F.col("sxx")).cast(d38) - (F.col("sx") * F.col("sx")).cast(d38)
     num1 = (F.col("n") * F.col("sxy")).cast(d38) - (F.col("sx") * F.col("sy")).cast(d38)
@@ -1108,8 +1119,19 @@ def exact_ols_fit(
         & F.col("sxx").isNotNull()
         & F.col("sxy").isNotNull()
     )
-    overflowed = (F.col("__row_ovf") > 0) | (
-        sums_ok & (det.isNull() | num0.isNull() | num1.isNull())
+    # AGGREGATE-sum overflow also NULLs in non-ANSI mode (ADVICE r15: each
+    # per-row x·x fits but Σx² exceeds 1e38 — e.g. x ~ 5e18 over 10 rows);
+    # a sum that is NULL despite having non-NULL inputs can ONLY be an
+    # overflow, so it must raise, not flow NULL coefficients downstream
+    sum_ovf = (
+        ((F.col("__nx") > 0) & (F.col("sx").isNull() | F.col("sxx").isNull()))
+        | ((F.col("__ny") > 0) & F.col("sy").isNull())
+        | ((F.col("__np") > 0) & F.col("sxy").isNull())
+    )
+    overflowed = (
+        (F.col("__row_ovf") > 0)
+        | sum_ovf
+        | (sums_ok & (det.isNull() | num0.isNull() | num1.isNull()))
     )
     def _guard(expr):
         return F.when(

@@ -776,6 +776,50 @@ def test_exact_ols_fit_overflow_raises_not_null(spark):
     assert row["w0"] == 5.0 and row["w1"] == 2.0
 
 
+def test_exact_ols_fit_sum_overflow_raises_not_null(spark):
+    """ADVICE r15: per-row products that each fit DECIMAL(38,0) can still
+    overflow in the AGGREGATE — x ~ 5e18 gives x² = 2.5e37 (fits) but ten
+    of them sum to 2.5e38 (overflows). Non-ANSI Spark NULLs the sum, which
+    pre-fix made `sums_ok` false and skipped the raise, silently returning
+    NULL coefficients — exactly the failure the guard claims impossible."""
+    import pytest
+
+    from etl_poc_spark.operators.curation import exact_ols_fit
+
+    big = 5 * 10**18  # < bigint max 9.2e18; x*x = 2.5e37 < 1e38 per row
+    df = spark.createDataFrame(
+        [(big - i, i + 1) for i in range(10)], "x long, y long"
+    )
+    ansi_was = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="exact_ols_fit"):
+            exact_ols_fit(df, "x", "y").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_was)
+    # ANSI mode raises on its own (either engine error or the guard)
+    with pytest.raises(
+        Exception, match="exact_ols_fit|NUMERIC_VALUE_OUT_OF_RANGE|overflow"
+    ):
+        exact_ols_fit(df, "x", "y").collect()
+
+
+def test_exact_ols_fit_null_inputs_stay_null_not_overflow(spark):
+    """All-NULL x must NOT be misread as overflow by the sum-support
+    guard: sums are NULL from absent inputs, not from overflow — the fit
+    returns NULL coefficients quietly (and empty input keeps n_obs=0)."""
+    from etl_poc_spark.operators.curation import exact_ols_fit
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2)], "x long, y long"
+    )
+    row = exact_ols_fit(df, "x", "y").collect()[0]
+    assert row["n_obs"] == 2 and row["w0"] is None and row["w1"] is None
+    empty = spark.createDataFrame([], "x long, y long")
+    row = exact_ols_fit(empty, "x", "y").collect()[0]
+    assert row["n_obs"] == 0 and row["w0"] is None and row["w1"] is None
+
+
 def test_epoch_shuffle_key_is_per_epoch_permutation(spark):
     from pyspark.sql import functions as F
 
