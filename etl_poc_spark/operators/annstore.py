@@ -1,0 +1,217 @@
+"""Persisted ANN index + incremental vector ingest.
+
+The similarity tier (operators/similarity.py) trains its coarse
+quantizers in-plan: every kmeans_ivf_topk / semdedup run recomputes
+centroids from the corpus. The production 100 TB shape is different —
+train ONCE, persist the index, assign new vectors incrementally as they
+arrive, and serve probes from the persisted postings. This module
+composes the two disciplines the repo already has:
+
+- the INDEX MODEL (centroid matrix, a few KB) persists through the
+  versioned-table protocol (operators/upsert.py): atomic publish,
+  retrains supersede via latest_by_key, old models stay readable with
+  time travel (`as_of`) until vacuumed — so "which index scored this
+  batch" is answerable forever;
+- the POSTINGS (cluster, vec_id, embedding) accumulate in the
+  tag-slotted delta-log store discipline (operators/deltastore.py /
+  the read_bigram_lm_store pattern): one slot per ingested batch,
+  overwrite-by-tag replay idempotency, reads fold nothing (postings are
+  a set — each vector appears once, keyed by its id).
+
+Scoring through the store is BIT-EQUAL to the one-shot path: ingest
+assigns with the same `_assign_centroid` kernel and frozen centroids
+that kmeans_ivf_topk(centroids=...) applies inline, so probe results
+match row-for-row (pinned by tests/test_annstore.py).
+
+Scale shape: ingest is one narrow Arrow-batched matmul per batch (the
+centroid matrix ships as a closure; vectors never shuffle) plus one slot
+write partitioned by cluster; probes read only the probed clusters'
+postings. The reference system has no vector tier at all — this extends
+its query surface to the embedding columns of the training-data brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_poc_spark.operators.similarity import (
+    _assign_centroid,
+    _pair_cosine,
+    _provably_small,
+    _rank_topk,
+    train_kmeans_centroids,
+    train_kmeans_centroids_minibatch,
+)
+from etl_poc_spark.operators.upsert import read_versioned, upsert_versioned
+
+_MODEL_PART = "centroids"
+
+
+def build_ann_index(
+    spark: SparkSession,
+    base: DataFrame,
+    index_dir: str,
+    *,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trainer: str = "full",
+    sample_rows: int = 32768,
+    max_train_rows: int | None = None,
+) -> dict:
+    """Train the coarse quantizer over `base` and persist it as a
+    versioned table at `index_dir` — one row per (cluster, centroid),
+    with a monotonically increasing `model_seq` so a RETRAIN supersedes
+    the previous model atomically (latest_by_key on the same cluster
+    keys) while time travel keeps every older model readable.
+
+    trainer='full' is the exact Lloyd trainer; 'minibatch' the
+    bounded-cost Sculley form for corpus-scale retrains. Returns
+    {"model_seq", "n_centroids", "dim"}."""
+    if trainer == "full":
+        cents = train_kmeans_centroids(
+            base, n_centroids, n_iters, id_col, vec_col,
+            max_train_rows=max_train_rows,
+        )
+    elif trainer == "minibatch":
+        cents = train_kmeans_centroids_minibatch(
+            base, n_centroids, n_iters, sample_rows, id_col, vec_col
+        )
+    else:
+        raise ValueError(f"trainer must be 'full' or 'minibatch', got {trainer!r}")
+    try:
+        prev = read_ann_index_meta(spark, index_dir)["model_seq"]
+    except ValueError:
+        prev = 0
+    seq = prev + 1
+    rows = [
+        (_MODEL_PART, int(c), [float(x) for x in vec], seq)
+        for c, vec in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows, "part string, cluster int, centroid array<double>, model_seq int"
+    )
+    upsert_versioned(
+        spark, df, index_dir,
+        key_cols=["cluster"], seq_col="model_seq", partition_col="part",
+    )
+    return {"model_seq": seq, "n_centroids": len(cents), "dim": len(cents[0])}
+
+
+def read_ann_index(
+    spark: SparkSession, index_dir: str, as_of: int | None = None
+) -> list[list[float]]:
+    """The persisted centroid matrix, cluster-ordered — the exact object
+    kmeans_ivf_topk(centroids=...) consumes. `as_of` time-travels to an
+    older model (upsert.read_versioned semantics)."""
+    rows = (
+        read_versioned(spark, index_dir, as_of=as_of)
+        .orderBy("cluster")
+        .select("cluster", "centroid")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no ANN index at {index_dir!r}")
+    return [list(map(float, r["centroid"])) for r in rows]
+
+
+def read_ann_index_meta(spark: SparkSession, index_dir: str) -> dict:
+    """{"model_seq", "n_centroids"} of the CURRENT model."""
+    row = (
+        read_versioned(spark, index_dir)
+        .agg(
+            F.max("model_seq").alias("s"), F.count(F.lit(1)).alias("k")
+        )
+        .collect()[0]
+    )
+    if row["s"] is None:
+        raise ValueError(f"no ANN index at {index_dir!r}")
+    return {"model_seq": int(row["s"]), "n_centroids": int(row["k"])}
+
+
+def incremental_ann_ingest(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    store_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_tag: str | None = None,
+) -> DataFrame:
+    """Assign `batch`'s vectors to the PERSISTED index (nprobe=1 — the
+    same base-side assignment kmeans_ivf_topk applies inline) and append
+    the postings slot (cluster, id, vector, model_seq) to the tag-slotted
+    store. A stable `batch_tag` makes an at-least-once replay overwrite
+    its own slot (the incremental_exact_dedup_ingest contract; single
+    writer per tag, concurrent distinct tags safe).
+
+    `model_seq` is stamped per row so a later retrain can re-assign ONLY
+    the postings of older models (the reindex maintenance job) instead of
+    the whole corpus. Returns the written postings frame."""
+    from etl_poc_spark.operators.ngram_lm import _safe_tag
+
+    cents = read_ann_index(spark, index_dir)
+    seq = read_ann_index_meta(spark, index_dir)["model_seq"]
+    assigned = _assign_centroid(batch, cents, id_col, vec_col, nprobe=1)
+    postings = (
+        batch.select(id_col, vec_col)
+        .join(assigned, id_col)
+        .select(
+            "cluster", id_col, vec_col, F.lit(seq).alias("model_seq")
+        )
+    )
+    if batch_tag is not None:
+        postings.write.mode("overwrite").parquet(
+            f"{store_dir}/tag={_safe_tag(batch_tag)}"
+        )
+    else:
+        postings.write.mode("append").parquet(store_dir)
+    return postings
+
+
+def read_ann_store(
+    spark: SparkSession, store_dir: str, *, exclude_tag: str | None = None
+) -> DataFrame:
+    """The accumulated postings (cluster, id, vector, model_seq) — a SET,
+    so no fold: each vector appears once under the single-writer-per-tag
+    contract. Compaction-manifest aware via read_delta_store."""
+    from etl_poc_spark.operators.deltastore import read_delta_store
+    from etl_poc_spark.operators.ngram_lm import _safe_tag
+
+    excl = f"tag={_safe_tag(exclude_tag)}" if exclude_tag is not None else None
+    return read_delta_store(spark, store_dir, exclude_slot=excl)
+
+
+def ann_store_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    store_dir: str,
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k served from the PERSISTED index + postings store —
+    bit-equal to kmeans_ivf_topk(queries, <all ingested vectors>,
+    centroids=read_ann_index(...)) because ingest already assigned every
+    posting with the same kernel and frozen centroids (equivalence is
+    pytest-pinned). Queries probe their nprobe nearest centroids; only
+    the probed clusters' postings join."""
+    cents = read_ann_index(spark, index_dir)
+    store = read_ann_store(spark, store_dir)
+    base = store.select(id_col, vec_col)
+    b_tag = store.select(F.col(id_col).alias("neighbor_id"), "cluster")
+    q_tag = _assign_centroid(
+        queries, cents, id_col, vec_col, nprobe=nprobe
+    ).withColumnRenamed(id_col, "query_id")
+    small_q = _provably_small(queries)
+    hint_q = F.broadcast if small_q else (lambda df: df)
+    pairs = hint_q(q_tag).join(b_tag, "cluster").select("query_id", "neighbor_id")
+    return _rank_topk(
+        _pair_cosine(queries, base, pairs, id_col, vec_col, small_q=small_q), k
+    )

@@ -733,13 +733,24 @@ def read_doremi_store(
     that batch's slot (the replay seam)."""
     from etl_poc_spark.operators.ngram_lm import _safe_tag
 
-    df = spark.read.option("recursiveFileLookup", "true").parquet(store_dir)
-    if exclude_tag is not None:
-        df = df.where(
-            ~F.input_file_name().contains(f"tag={_safe_tag(exclude_tag)}/")
-        )
+    from etl_poc_spark.operators.deltastore import read_delta_store
+
+    excl = f"tag={_safe_tag(exclude_tag)}" if exclude_tag is not None else None
+    df = read_delta_store(spark, store_dir, exclude_slot=excl)
     return df.groupBy("domain").agg(
         F.sum("n").alias("n_examples"), F.sum("s").alias("sum_excess")
+    )
+
+
+def compact_doremi_store(spark, store_dir: str, **kwargs) -> dict:
+    """Fold the DoReMi stats store's old tag slots into one consolidated
+    slot (operators/deltastore.py protocol; additive BIGINT partials, so
+    doremi_store_weights is bit-equal before and after)."""
+    from etl_poc_spark.operators.deltastore import compact_delta_store
+
+    return compact_delta_store(
+        spark, store_dir,
+        key_cols=["domain"], agg=[("n", "sum"), ("s", "sum")], **kwargs,
     )
 
 
@@ -1198,12 +1209,29 @@ def incremental_badwords_ingest(
 
 def read_badwords_store(spark, store_dir: str) -> DataFrame:
     """Fold the delta log to the current per-domain badwords stats
-    (domain, n_docs, n_flagged, n_hits) — ≤ k rows."""
-    df = spark.read.option("recursiveFileLookup", "true").parquet(store_dir)
+    (domain, n_docs, n_flagged, n_hits) — ≤ k rows. Compaction-aware
+    (operators/deltastore.py); additive partials keep the fold bit-equal
+    after compact_badwords_store."""
+    from etl_poc_spark.operators.deltastore import read_delta_store
+
+    df = read_delta_store(spark, store_dir)
     return df.groupBy("domain").agg(
         F.sum("n").cast("bigint").alias("n_docs"),
         F.sum("f").cast("bigint").alias("n_flagged"),
         F.sum("h").cast("bigint").alias("n_hits"),
+    )
+
+
+def compact_badwords_store(spark, store_dir: str, **kwargs) -> dict:
+    """Fold the badwords stats store's old tag slots into one
+    consolidated slot (operators/deltastore.py protocol; all three
+    partials are additive, so the dashboard fold is bit-equal)."""
+    from etl_poc_spark.operators.deltastore import compact_delta_store
+
+    return compact_delta_store(
+        spark, store_dir,
+        key_cols=["domain"], agg=[("n", "sum"), ("f", "sum"), ("h", "sum")],
+        **kwargs,
     )
 
 

@@ -371,17 +371,32 @@ def read_dsir_store(
     """Fold a role's delta log to its current histogram (bucket, c) —
     ≤ n_buckets rows. `exclude_tag` drops that batch's slot from the
     fold (the replay seam: a replayed tagged batch reads the store as it
-    stood before its own crashed attempt)."""
+    stood before its own crashed attempt). Compaction-aware
+    (operators/deltastore.py): after compact_dsir_store folds old tag
+    slots the histogram is bit-equal while the listing cost drops to
+    O(tail)."""
+    from etl_poc_spark.operators.deltastore import read_delta_store
     from etl_poc_spark.operators.ngram_lm import _safe_tag
 
-    df = spark.read.option("recursiveFileLookup", "true").parquet(
-        f"{store_dir}/{role}"
-    )
-    if exclude_tag is not None:
-        df = df.where(
-            ~F.input_file_name().contains(f"tag={_safe_tag(exclude_tag)}/")
-        )
+    excl = f"tag={_safe_tag(exclude_tag)}" if exclude_tag is not None else None
+    df = read_delta_store(spark, f"{store_dir}/{role}", exclude_slot=excl)
     return df.groupBy("bucket").agg(F.sum("n").alias("c"))
+
+
+def compact_dsir_store(spark, store_dir: str, **kwargs) -> dict:
+    """Fold each existing role log ('raw'/'target') of the DSIR store
+    into one consolidated slot (operators/deltastore.py protocol; reads
+    bit-equal — exact integer bucket counts). Returns per-role reports."""
+    from etl_poc_spark.operators.deltastore import compact_delta_store
+
+    return {
+        role: compact_delta_store(
+            spark, f"{store_dir}/{role}",
+            key_cols=["bucket"], agg=[("n", "sum")], **kwargs,
+        )
+        for role in ("raw", "target")
+        if dsir_store_exists(spark, store_dir, role)
+    }
 
 
 def read_dsir_model(

@@ -247,16 +247,18 @@ def incremental_exact_dedup_ingest(
         if batch_tag is not None
         else None
     )
+    from etl_poc_spark.operators.deltastore import read_delta_store
+
     try:
-        store = spark.read.option("recursiveFileLookup", "true").parquet(store_dir)
-        if safe is not None:
-            # a REPLAYED tagged batch must not see its own prior delta —
-            # otherwise every fp reads as a store hit, kept recomputes as
-            # empty, and the replay loses the representatives the crashed
-            # attempt never flushed to the kept sink
-            store = store.where(
-                ~F.input_file_name().contains(f"tag={safe}/")
-            )
+        # compaction-aware read (operators/deltastore.py); the exclude
+        # drops a REPLAYED tagged batch's own prior delta — otherwise
+        # every fp reads as a store hit, kept recomputes as empty, and
+        # the replay loses the representatives the crashed attempt never
+        # flushed to the kept sink
+        store = read_delta_store(
+            spark, store_dir,
+            exclude_slot=f"tag={safe}" if safe is not None else None,
+        )
         store = store.select("fp").distinct()
         have_store = True
     except AnalysisException as exc:
@@ -286,10 +288,28 @@ def incremental_exact_dedup_ingest(
 def read_exact_dedup_store(spark: SparkSession, store_dir: str) -> DataFrame:
     """Fold the delta log to the current (fp, min_id, n_copies) state —
     equal to operators.dedup.exact_dedup over the union of every batch
-    ever ingested (mergeable: MIN and SUM are associative)."""
-    log = spark.read.option("recursiveFileLookup", "true").parquet(store_dir)
+    ever ingested (mergeable: MIN and SUM are associative). Compaction-
+    aware: after compact_exact_dedup_store the fold is bit-equal while
+    the listing cost drops to O(tail)."""
+    from etl_poc_spark.operators.deltastore import read_delta_store
+
+    log = read_delta_store(spark, store_dir)
     return log.groupBy("fp").agg(
         F.min("min_id").alias("min_id"), F.sum("n_copies").alias("n_copies")
+    )
+
+
+def compact_exact_dedup_store(spark: SparkSession, store_dir: str, **kwargs) -> dict:
+    """Fold the fingerprint store's old tag slots into one consolidated
+    slot (operators/deltastore.py protocol). MIN(min_id) and
+    SUM(n_copies) are associative, so reads before and after are
+    bit-equal; keep_slots (default 1) protects the in-flight replay."""
+    from etl_poc_spark.operators.deltastore import compact_delta_store
+
+    return compact_delta_store(
+        spark, store_dir,
+        key_cols=["fp"], agg=[("min_id", "min"), ("n_copies", "sum")],
+        **kwargs,
     )
 
 

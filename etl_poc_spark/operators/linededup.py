@@ -167,11 +167,24 @@ def incremental_line_dedup_ingest(
     same-id rewrite = last-writer-wins replay; concurrent distinct ids
     safe; concurrent same-id out of contract, heals on replay) — stated
     and pinned in tests/test_store_concurrency.py."""
+    from etl_poc_spark.operators.deltastore import read_delta_store
+
     segments = segment_docs(batch, id_col, text_col, words_per_segment)
     seg_h = segments.withColumn("__h", F.md5(F.col("seg")))
     batch_counts = seg_h.groupBy("__h").agg(F.countDistinct(id_col).alias("n_docs"))
     try:
-        store = spark.read.parquet(store_dir)
+        # compaction-aware read (operators/deltastore.py); the replay
+        # exclusion is SLOT-level (batch_id=N directory), and mixing a
+        # batch_id replay into a store first written with batch_id=None
+        # (loose appends) now raises DeltaStoreModeError instead of
+        # silently double-counting the prior attempt as history (ADVICE
+        # r15)
+        store = read_delta_store(
+            spark, store_dir,
+            exclude_slot=(
+                f"batch_id={int(batch_id)}" if batch_id is not None else None
+            ),
+        )
         have_store = True
     except AnalysisException as exc:
         # first ingest only: the store path does not exist yet. Any OTHER
@@ -182,8 +195,6 @@ def incremental_line_dedup_ingest(
             raise
         have_store = False
     if have_store:
-        if batch_id is not None and "batch_id" in store.columns:
-            store = store.filter(F.col("batch_id") != batch_id)
         hist = store.groupBy("seg_hash").agg(F.sum("n_docs").alias("hist_docs"))
         total = (
             batch_counts.join(hist.withColumnRenamed("seg_hash", "__h"), "__h", "left")
@@ -213,6 +224,20 @@ def incremental_line_dedup_ingest(
             .parquet(store_dir)
         )
     return out
+
+
+def compact_line_dedup_store(spark, store_dir: str, **kwargs) -> dict:
+    """Fold the boilerplate store's old batch_id slots into one
+    consolidated slot (operators/deltastore.py protocol). SUM(n_docs) by
+    seg_hash is the readers' own fold, so history reads are bit-equal
+    before and after; keep_slots (default 1) protects the in-flight
+    micro-batch's replay exclusion."""
+    from etl_poc_spark.operators.deltastore import compact_delta_store
+
+    return compact_delta_store(
+        spark, store_dir,
+        key_cols=["seg_hash"], agg=[("n_docs", "sum")], **kwargs,
+    )
 
 
 def streaming_line_dedup_ingest(

@@ -281,22 +281,20 @@ def read_bigram_lm_store(
     subdir writes of incremental_bigram_lm_ingest (bigrams/tag=X
     written, tokens/tag=X not): excluding X restores a consistent
     pre-batch view, and the replay's overwrite completes the pair."""
-    opts = {"recursiveFileLookup": "true"}
+    from etl_poc_spark.operators.deltastore import read_delta_store
 
-    def _excl(df: DataFrame) -> DataFrame:
-        if exclude_tag is None:
-            return df
-        return df.where(
-            ~F.input_file_name().contains(f"tag={_safe_tag(exclude_tag)}/")
-        )
-
+    # compaction-aware reads (operators/deltastore.py): after
+    # compact_bigram_lm_store folds old tag slots, this fold is bit-equal
+    # (exact integer counts under any regrouping) while the file listing
+    # drops from O(#batches) to O(tail)
+    excl = f"tag={_safe_tag(exclude_tag)}" if exclude_tag is not None else None
     bi = (
-        _excl(spark.read.options(**opts).parquet(f"{store_dir}/bigrams"))
+        read_delta_store(spark, f"{store_dir}/bigrams", exclude_slot=excl)
         .groupBy("bigram")
         .agg(F.sum("n").alias("c_bi"))
     )
     toks = (
-        _excl(spark.read.options(**opts).parquet(f"{store_dir}/tokens"))
+        read_delta_store(spark, f"{store_dir}/tokens", exclude_slot=excl)
         .groupBy("tok")
         .agg(F.sum("n_tok").alias("n_tok"), F.sum("n_hist").alias("n_hist"))
     )
@@ -305,6 +303,27 @@ def read_bigram_lm_store(
     )
     vocab = toks.agg(F.count(F.lit(1)).alias("v"))
     return bi, uni, vocab
+
+
+def compact_bigram_lm_store(spark, store_dir: str, **kwargs) -> dict:
+    """Fold the LM store's old tag slots into one consolidated slot per
+    subdir log (operators/deltastore.py protocol; reads bit-equal before
+    and after — the counts are exact integers). Run it from the ingest
+    maintenance loop; keep_slots (default 1) protects the in-flight
+    replay seam. Returns {"bigrams": report, "tokens": report}."""
+    from etl_poc_spark.operators.deltastore import compact_delta_store
+
+    return {
+        "bigrams": compact_delta_store(
+            spark, f"{store_dir}/bigrams",
+            key_cols=["bigram"], agg=[("n", "sum")], **kwargs,
+        ),
+        "tokens": compact_delta_store(
+            spark, f"{store_dir}/tokens",
+            key_cols=["tok"], agg=[("n_tok", "sum"), ("n_hist", "sum")],
+            **kwargs,
+        ),
+    }
 
 
 def bigram_lm_handle_batch(

@@ -254,8 +254,19 @@ def incremental_span_removal_ingest(
     d = _token_arrays(batch, id_col, text_col)
     wins = _window_hashes(d, id_col, w)
     batch_counts = wins.groupBy("h").agg(F.countDistinct(id_col).alias("n_docs"))
+    from etl_poc_spark.operators.deltastore import read_delta_store
+
     try:
-        store = spark.read.parquet(store_dir)
+        # compaction-aware read (operators/deltastore.py); slot-level
+        # replay exclusion — a batch_id replay against a loose-append
+        # store raises DeltaStoreModeError instead of silently counting
+        # its own prior attempt as history (ADVICE r15)
+        store = read_delta_store(
+            spark, store_dir,
+            exclude_slot=(
+                f"batch_id={int(batch_id)}" if batch_id is not None else None
+            ),
+        )
         have_store = True
     except AnalysisException as exc:
         # first ingest only — any OTHER analysis failure must surface
@@ -265,8 +276,6 @@ def incremental_span_removal_ingest(
             raise
         have_store = False
     if have_store:
-        if batch_id is not None and "batch_id" in store.columns:
-            store = store.filter(F.col("batch_id") != batch_id)
         hist = store.groupBy("win_hash").agg(F.sum("n_docs").alias("hist_docs"))
         total = (
             batch_counts.join(hist.withColumnRenamed("win_hash", "h"), "h", "left")
@@ -298,6 +307,19 @@ def incremental_span_removal_ingest(
             .parquet(store_dir)
         )
     return out
+
+
+def compact_span_store(spark, store_dir: str, **kwargs) -> dict:
+    """Fold the duplicated-window store's old batch_id slots into one
+    consolidated slot (operators/deltastore.py protocol). SUM(n_docs) by
+    win_hash is the readers' own fold — bit-equal before/after; keep_slots
+    (default 1) protects the in-flight micro-batch's replay exclusion."""
+    from etl_poc_spark.operators.deltastore import compact_delta_store
+
+    return compact_delta_store(
+        spark, store_dir,
+        key_cols=["win_hash"], agg=[("n_docs", "sum")], **kwargs,
+    )
 
 
 def streaming_span_removal_ingest(

@@ -1376,3 +1376,128 @@ def mixture_loss_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_chars") % 97).cast("bigint").alias("y"),
     )
     return exact_ols_fit(obs, "x", "y")
+
+
+@query(
+    "epoch_training_manifest",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY source
+    ), p(epoch) AS (VALUES (0), (1), (2)),
+    r AS (
+      SELECT p.epoch, c.source,
+             CASE p.epoch
+               WHEN 0 THEN CAST(1 AS DOUBLE)
+               WHEN 1 THEN CAST(1 AS DOUBLE) / sqrt(CAST(n_docs AS DOUBLE))
+               ELSE CAST(1 AS DOUBLE)
+                    / ((sqrt(sqrt(CAST(n_docs AS DOUBLE)))
+                        * sqrt(sqrt(CAST(n_docs AS DOUBLE))))
+                       * sqrt(sqrt(CAST(n_docs AS DOUBLE))))
+             END AS raw
+      FROM c CROSS JOIN p
+    ), rates AS (
+      SELECT epoch, source, raw / MAX(raw) OVER (PARTITION BY epoch) AS rate
+      FROM r
+    ), kept AS (
+      SELECT rates.epoch, d.doc_id, d.source, d.n_tokens
+      FROM d JOIN rates ON rates.source = d.source
+      WHERE (CAST(CAST('0x' || substr(md5('ep' || CAST(rates.epoch AS VARCHAR)
+                 || CAST(d.doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+             / 4503599627370496.0) < rates.rate
+    ), ranked AS (
+      SELECT epoch, doc_id, source, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY epoch
+               ORDER BY md5('shuffle' || CAST(epoch AS VARCHAR) || '|'
+                            || CAST(doc_id AS VARCHAR))
+             ) AS pos,
+             SUM(n_tokens) OVER (
+               PARTITION BY epoch
+               ORDER BY md5('shuffle' || CAST(epoch AS VARCHAR) || '|'
+                            || CAST(doc_id AS VARCHAR))
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM kept
+    )
+    SELECT epoch, CAST(pos AS BIGINT) AS pos, doc_id, source, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE pos <= 12 ORDER BY epoch, pos
+    """,
+)
+def epoch_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch training-order manifest — the artifact a training data
+    loader actually consumes, composing three schedule operators into one
+    frame: (1) a curriculum mixture anneal (curation.temperature_schedule
+    over per-source doc counts, taus 1.0 → 0.5 → 0.25 across epochs 0-2),
+    (2) deterministic sub-percent-faithful selection (curation.
+    hash_uniform(doc_id, 'ep<e>') < rate — the 52-bit md5 uniform), and
+    (3) the per-epoch reproducible global shuffle (curation.
+    epoch_shuffle_key). Emits each epoch's first 12 manifest rows:
+    (epoch, pos, doc_id, source, n_tokens, cum_tokens), cum_tokens being
+    the running token budget in shuffle order — what a loader checkpoints
+    against ("resume epoch 1 at 2.1B tokens").
+
+    Hash-exact cross-engine by construction: rates are dyadic sqrt
+    chains (no pow), the selection draw is the bit-exact 52-bit uniform,
+    the order key is md5 text, and cum_tokens is an exact BIGINT running
+    sum over that total order.
+
+    Scale shape: ONE broadcast join of the ≤(sources × epochs) rate frame
+    onto the corpus, a narrow filter, then one total-order sort per epoch
+    — at 100 TB the loader range-partitions on the shuffle key and
+    sortWithinPartitions (epoch_shuffle_order's contract); global rank +
+    running budget materialize only in bounded probes like this one."""
+    from etl_poc_spark.operators.curation import (
+        epoch_shuffle_key,
+        hash_uniform,
+        temperature_schedule,
+    )
+
+    taus = [1.0, 0.5, 0.25]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    rates = temperature_schedule(counts, "source", "n_docs", taus).select(
+        F.col("phase").alias("epoch"), "source", "rate"
+    )
+    parts = [
+        d.select(
+            F.lit(e).alias("epoch"),
+            "doc_id",
+            "source",
+            "n_tokens",
+            hash_uniform(F.col("doc_id"), f"ep{e}").alias("__u"),
+            epoch_shuffle_key(F.col("doc_id"), e).alias("__k"),
+        )
+        for e in range(len(taus))
+    ]
+    keyed = parts[0]
+    for extra in parts[1:]:
+        keyed = keyed.unionByName(extra)
+    kept = keyed.join(F.broadcast(rates), ["epoch", "source"]).where(
+        F.col("__u") < F.col("rate")
+    )
+    w = Window.partitionBy("epoch").orderBy("__k")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        kept.select(
+            "epoch",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.sum("n_tokens").over(cum).cast("bigint").alias("cum_tokens"),
+        )
+        .filter(F.col("pos") <= 12)
+        .orderBy("epoch", "pos")
+    )

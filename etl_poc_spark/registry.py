@@ -58,6 +58,7 @@ def load_all() -> None:
         expectations_q,
         extra_q,
         graph_q,
+        layout_q,
         linededup_q,
         lm_q,
         misc_q,

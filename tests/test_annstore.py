@@ -1,0 +1,109 @@
+"""Persisted ANN index + incremental postings store (operators/annstore.py):
+scoring through the store must be bit-equal to the one-shot IVF path with
+the same frozen centroids; replay must be idempotent; retrains supersede
+with time travel."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_poc_spark.operators.annstore import (
+    ann_store_topk,
+    build_ann_index,
+    incremental_ann_ingest,
+    read_ann_index,
+    read_ann_index_meta,
+    read_ann_store,
+)
+
+
+def _vec(i: int, dim: int = 8) -> list[float]:
+    return [float(((i * 31 + j * 7) % 13) - 6 or 1) for j in range(dim)]
+
+
+def _vecs(spark, ids):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+
+
+def test_store_topk_bit_equal_to_one_shot_ivf(spark, tmp_path):
+    from etl_poc_spark.operators.similarity import kmeans_ivf_topk
+
+    idx, store = str(tmp_path / "idx"), str(tmp_path / "store")
+    batches = [list(range(0, 20)), list(range(20, 40)), list(range(40, 60))]
+    all_vecs = _vecs(spark, [i for b in batches for i in b])
+    rep = build_ann_index(spark, all_vecs, idx, n_centroids=4, n_iters=2)
+    assert rep == {"model_seq": 1, "n_centroids": 4, "dim": 8}
+    for n, b in enumerate(batches):
+        incremental_ann_ingest(
+            spark, _vecs(spark, b), idx, store, batch_tag=f"b{n}"
+        )
+    queries = _vecs(spark, [100, 101, 102])
+    got = ann_store_topk(spark, queries, idx, store, k=3, nprobe=2)
+    want = kmeans_ivf_topk(
+        queries, all_vecs, k=3, nprobe=2, centroids=read_ann_index(spark, idx)
+    )
+    cols = ("query_id", "neighbor_id", "rank", "cos_sim")
+    as_rows = lambda df: sorted(tuple(r[c] for c in cols) for r in df.collect())  # noqa: E731
+    assert as_rows(got) == as_rows(want)
+
+
+def test_replay_overwrites_own_slot(spark, tmp_path):
+    idx, store = str(tmp_path / "idx"), str(tmp_path / "store")
+    base = _vecs(spark, range(12))
+    build_ann_index(spark, base, idx, n_centroids=3, n_iters=1)
+    b0 = _vecs(spark, range(6))
+    incremental_ann_ingest(spark, b0, idx, store, batch_tag="b0")
+    before = sorted(
+        (r["cluster"], r["vec_id"]) for r in read_ann_store(spark, store).collect()
+    )
+    incremental_ann_ingest(spark, b0, idx, store, batch_tag="b0")  # replay
+    after = sorted(
+        (r["cluster"], r["vec_id"]) for r in read_ann_store(spark, store).collect()
+    )
+    assert after == before and len(after) == 6
+
+
+def test_retrain_supersedes_with_time_travel(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    base = _vecs(spark, range(16))
+    build_ann_index(spark, base, idx, n_centroids=3, n_iters=1)
+    m1 = read_ann_index(spark, idx)
+    # retrain on a shifted corpus (same k): different init vectors move
+    # the centroids deterministically
+    rep2 = build_ann_index(
+        spark, _vecs(spark, range(8, 24)), idx, n_centroids=3, n_iters=1
+    )
+    assert rep2["model_seq"] == 2
+    assert read_ann_index_meta(spark, idx) == {"model_seq": 2, "n_centroids": 3}
+    m2 = read_ann_index(spark, idx)
+    assert m2 != m1
+    assert read_ann_index(spark, idx, as_of=1) == m1  # time travel
+
+
+def test_ingest_without_index_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no finalized commits|no ANN index"):
+        incremental_ann_ingest(
+            spark, _vecs(spark, range(3)), str(tmp_path / "idx"),
+            str(tmp_path / "store"), batch_tag="b0",
+        )
+
+
+def test_postings_carry_model_seq_for_reindex(spark, tmp_path):
+    """Each posting is stamped with the model that assigned it, so a
+    retrain can re-assign only stale postings instead of the corpus."""
+    idx, store = str(tmp_path / "idx"), str(tmp_path / "store")
+    base = _vecs(spark, range(12))
+    build_ann_index(spark, base, idx, n_centroids=3, n_iters=1)
+    incremental_ann_ingest(spark, _vecs(spark, range(6)), idx, store, batch_tag="b0")
+    build_ann_index(spark, base, idx, n_centroids=3, n_iters=2)
+    incremental_ann_ingest(
+        spark, _vecs(spark, range(6, 12)), idx, store, batch_tag="b1"
+    )
+    seqs = {
+        r["vec_id"]: r["model_seq"]
+        for r in read_ann_store(spark, store).collect()
+    }
+    assert all(seqs[i] == 1 for i in range(6))
+    assert all(seqs[i] == 2 for i in range(6, 12))
