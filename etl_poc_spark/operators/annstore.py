@@ -172,6 +172,54 @@ def incremental_ann_ingest(
     return postings
 
 
+def ann_handle_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    index_dir: str,
+    store_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of streaming_ann_ingest, module-level so the
+    replay contract is directly testable: calling this twice with the
+    same batch_id overwrites the same postings slot (exactly-once store
+    state under foreachBatch's at-least-once delivery)."""
+    incremental_ann_ingest(
+        batch_df.sparkSession, batch_df, index_dir, store_dir,
+        id_col=id_col, vec_col=vec_col, batch_tag=f"batch-{batch_id}",
+    )
+
+
+def streaming_ann_ingest(
+    stream: DataFrame,
+    index_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous vector ingest against the persisted index: each
+    micro-batch assigns its vectors with the current persisted centroids
+    and writes its own postings slot (batch id = tag — replay overwrites,
+    never duplicates; the streaming_exact_dedup_ingest contract). Returns
+    a configured DataStreamWriter — call .trigger(...).start(); serve
+    probes any time with ann_store_topk, which reads index + postings
+    live."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ann_handle_batch(
+            batch_df, batch_id,
+            index_dir=index_dir, store_dir=store_dir,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    return stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
 def read_ann_store(
     spark: SparkSession, store_dir: str, *, exclude_tag: str | None = None
 ) -> DataFrame:

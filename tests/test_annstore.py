@@ -107,3 +107,56 @@ def test_postings_carry_model_seq_for_reindex(spark, tmp_path):
     }
     assert all(seqs[i] == 1 for i in range(6))
     assert all(seqs[i] == 2 for i in range(6, 12))
+
+
+def test_streaming_ann_ingest_and_replay(spark, tmp_path):
+    """Streaming twin: micro-batches assign against the persisted index
+    and slot their postings by batch id; after the run, ann_store_topk
+    equals the one-shot IVF over everything streamed; a direct
+    handle_batch replay (foreachBatch is at-least-once) leaves the store
+    byte-identical."""
+    from etl_poc_spark.operators.annstore import ann_handle_batch, streaming_ann_ingest
+    from etl_poc_spark.operators.similarity import kmeans_ivf_topk
+
+    idx = str(tmp_path / "idx")
+    all_vecs = _vecs(spark, range(40))
+    build_ann_index(spark, all_vecs, idx, n_centroids=4, n_iters=1)
+
+    in_dir, store, ck = (
+        str(tmp_path / "in"), str(tmp_path / "store"), str(tmp_path / "ck")
+    )
+    all_vecs.repartition(3).write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(in_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_ann_ingest(stream, idx, store, ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    queries = _vecs(spark, [200, 201])
+    got = ann_store_topk(spark, queries, idx, store, k=3, nprobe=2)
+    want = kmeans_ivf_topk(
+        queries, all_vecs, k=3, nprobe=2, centroids=read_ann_index(spark, idx)
+    )
+    cols = ("query_id", "neighbor_id", "rank", "cos_sim")
+    as_rows = lambda df: sorted(tuple(r[c] for c in cols) for r in df.collect())  # noqa: E731
+    assert as_rows(got) == as_rows(want)
+
+    # at-least-once replay: ingesting a NEW batch id twice via the
+    # module-level handler leaves exactly one slot's worth of postings
+    before = sorted(
+        (r["cluster"], r["vec_id"]) for r in read_ann_store(spark, store).collect()
+    )
+    late = _vecs(spark, range(500, 510))
+    ann_handle_batch(late, 99, index_dir=idx, store_dir=store)
+    ann_handle_batch(late, 99, index_dir=idx, store_dir=store)  # replay
+    after = sorted(
+        (r["cluster"], r["vec_id"]) for r in read_ann_store(spark, store).collect()
+    )
+    assert len(after) == len(before) + 10
+    assert {v for _, v in after} - {v for _, v in before} == set(range(500, 510))

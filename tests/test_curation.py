@@ -960,3 +960,34 @@ def test_yaml_exact_dedup_quality_key(spark):
         StubProvider(),
     )
     assert sorted(r["doc_id"] for r in out4.collect()) == [1, 2, 3]
+
+
+def test_perplexity_rounding_boundary_margin(spark):
+    """ADVICE r15 #4 (latent flaky-gate risk): doc_lm_perplexity's oracle
+    gates hash-exact on round(avg_nll, 9)/round(ppl, 6) of transcendental
+    sums computed by two libms; a value within ~1e-13 of a rounding
+    boundary could flip the last digit between engines. This guard
+    MEASURES the margin at the driver's oracle scales (sf0.001/sf0.01):
+    every emitted value must sit > 1e-4 scaled units from the round-half
+    boundary — 1000x the documented ~1e-13-absolute cross-engine noise at
+    the 1e9 granularity (measured r16: min 6.2e-4). If fixture growth
+    ever plants a boundary-adjacent value, THIS test fails loudly instead
+    of the gate flaking. sf1 additionally carries digest pins, which
+    compare full rows before hashing."""
+    import math
+
+    from etl_poc_spark.io import load_table
+    from etl_poc_spark.operators.ngram_lm import perplexity_filter
+
+    def scaled_dist(x: float, scale: float) -> float:
+        f = abs(x) * scale
+        return abs(f - math.floor(f) - 0.5)
+
+    for sf in ("0.001", "0.01"):
+        d = load_table(spark, f"/root/testdata/sf{sf}", "documents")
+        rows = perplexity_filter(d, k=1.0).select("avg_nll", "ppl").collect()
+        assert rows
+        min_nll = min(scaled_dist(r["avg_nll"], 1e9) for r in rows)
+        min_ppl = min(scaled_dist(r["ppl"], 1e6) for r in rows)
+        assert min_nll > 1e-4, (sf, min_nll)
+        assert min_ppl > 1e-4, (sf, min_ppl)
