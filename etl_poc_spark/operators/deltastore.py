@@ -271,6 +271,10 @@ def compact_delta_store(
     for _c, fn in agg:
         if fn not in _AGG_FNS:
             raise ValueError(f"unknown agg fn {fn!r}; pick from {sorted(_AGG_FNS)}")
+    # agg=[] is the SET-store fold: rows are facts with no counts (e.g. the
+    # near-dup band postings), so consolidation is DISTINCT over key_cols —
+    # idempotent and associative like the integer folds, and bit-equal for
+    # every reader that treats the store as a set (semi-joins)
     entries = _root_entries(spark, store_dir)
     if entries is None:
         return {"gen": 0, "slots_folded": 0, "slots_live": 0,
@@ -305,10 +309,13 @@ def compact_delta_store(
             _join(store_dir, man["rows_dir"])
         )
         tail = prev.unionByName(tail)
-    out_cols = [c for c, _fn in agg]
-    consolidated = tail.groupBy(*key_cols).agg(
-        *[_AGG_FNS[fn](c).alias(c) for c, fn in agg]
-    ).select(*key_cols, *out_cols)
+    if agg:
+        out_cols = [c for c, _fn in agg]
+        consolidated = tail.groupBy(*key_cols).agg(
+            *[_AGG_FNS[fn](c).alias(c) for c, fn in agg]
+        ).select(*key_cols, *out_cols)
+    else:
+        consolidated = tail.select(*key_cols).distinct()
     if num_files is not None:
         consolidated = consolidated.repartition(num_files, *key_cols)
     rows_dir = f"{_COMPACTED}/{gen:08d}"

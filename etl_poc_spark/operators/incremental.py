@@ -6,8 +6,10 @@ arXiv batches daily — zara_hybrid_etl.py's idempotent download loop — but
 dedups only within a run; this closes that gap Spark-first):
 
 - the store holds only (band, band_val, id) rows — a few hundred bytes per
-  document regardless of body size, partitioned by band so the probe join
-  prunes partitions;
+  document regardless of body size; band/band_val are DATA columns (r16:
+  previously band was a write partition dir, which the compaction-aware
+  recursive read cannot preserve — the probe is an equi-join on the full
+  (band, band_val) key, so directory pruning never fired anyway);
 - an incoming batch NEVER joins against historical bodies: batch bands
   semi/anti-join the store on (band, band_val), so history participates
   as an equi-join build side of signature rows only;
@@ -78,11 +80,22 @@ def incremental_near_dup_ingest(
     overwrites its own partition instead of double-appending, and never
     sees its prior attempt's bands as history (which would drop every
     row as a self-hit and lose the batch's kept output)."""
+    from etl_poc_spark.operators.deltastore import read_delta_store
+
     bands = batch_band_signatures(
         batch, id_col, text_col, n_hashes, rows_per_band, hash_mode
     )
     try:
-        store = spark.read.parquet(store_dir)
+        # compaction-aware read (operators/deltastore.py); slot-level
+        # replay exclusion, and a batch_id replay against a loose-append
+        # store raises DeltaStoreModeError instead of silently counting
+        # the prior attempt's bands as history (ADVICE r15)
+        store = read_delta_store(
+            spark, store_dir,
+            exclude_slot=(
+                f"batch_id={int(batch_id)}" if batch_id is not None else None
+            ),
+        )
         have_store = True
     except AnalysisException as exc:
         # first ingest only: the store path does not exist yet. Any OTHER
@@ -92,8 +105,6 @@ def incremental_near_dup_ingest(
             raise
         have_store = False
     if have_store:
-        if batch_id is not None and "batch_id" in store.columns:
-            store = store.filter(F.col("batch_id") != batch_id)
         # ids sharing >= 1 full band with history are near-dups of history
         hit_ids = (
             bands.join(store, ["band", "band_val"], "left_semi")
@@ -124,16 +135,38 @@ def incremental_near_dup_ingest(
     # caught by the store filter, so they pass through (documented; exact
     # dedup upstream is the right guard for tiny docs)
     if batch_id is None:
-        kept_bands.write.partitionBy("band").mode("append").parquet(store_dir)
+        kept_bands.write.mode("append").parquet(store_dir)
     else:
         (
             kept_bands.withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "band")
+            .partitionBy("batch_id")
             .parquet(store_dir)
         )
     return kept
+
+
+def compact_near_dup_store(spark: SparkSession, store_dir: str, **kwargs) -> dict:
+    """Fold the band store's old batch_id slots into one consolidated
+    slot (operators/deltastore.py protocol, SET fold: the postings carry
+    no counts, so consolidation is DISTINCT over (band, band_val, id) —
+    every reader is a semi-join, for which duplicates were already
+    invisible, hence reads are bit-equal before/after). keep_slots
+    (default 1) protects the in-flight micro-batch's replay exclusion.
+
+    Note the id column is whatever the ingest's id_col was; the store
+    schema is discovered from the slots themselves (key_cols = all
+    columns minus none — DISTINCT over the full row)."""
+    from etl_poc_spark.operators.deltastore import (
+        compact_delta_store,
+        read_delta_store,
+    )
+
+    cols = read_delta_store(spark, store_dir).columns
+    return compact_delta_store(
+        spark, store_dir, key_cols=list(cols), agg=[], **kwargs
+    )
 
 
 def streaming_near_dup_ingest(

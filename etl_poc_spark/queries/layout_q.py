@@ -95,23 +95,79 @@ def fragmentation_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     staged = tempfile.mkdtemp(prefix="frag_orders_")
     try:
-        hot = F.col("o_orderpriority").startswith("1") | F.col(
-            "o_orderpriority"
-        ).startswith("2")
-        for pred, r in ((hot, _R_FRAGMENTED), (~hot, _R_HEALTHY)):
-            (
-                orders.filter(pred)
-                .repartition(1)  # ONE writer task => deterministic file rolls
-                .write.mode("append")
-                .option("maxRecordsPerFile", r)
-                .partitionBy("o_orderpriority")
-                .parquet(staged)
-            )
+        _write_fragmented_orders(orders, staged)
         # eager localCheckpoint: the ≤5-row result must survive the
         # staging dir's removal below (the driver collects after return)
         return fragmentation_report(
             spark, staged, _TARGET_ROWS, partition_col="o_orderpriority"
         ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+def _write_fragmented_orders(orders: DataFrame, staged: str) -> None:
+    """The deterministic fragmented layout both layout queries build:
+    hot priorities (1-*/2-*) as _R_FRAGMENTED-row files, the rest as
+    _R_HEALTHY-row files — one writer task per group, so every partition
+    holds exactly ⌈n/R⌉ files (R rows each + the n mod R remainder)."""
+    hot = F.col("o_orderpriority").startswith("1") | F.col(
+        "o_orderpriority"
+    ).startswith("2")
+    for pred, r in ((hot, _R_FRAGMENTED), (~hot, _R_HEALTHY)):
+        (
+            orders.filter(pred)
+            .repartition(1)  # ONE writer task => deterministic file rolls
+            .write.mode("append")
+            .option("maxRecordsPerFile", r)
+            .partitionBy("o_orderpriority")
+            .parquet(staged)
+        )
+
+
+@query(
+    "compact_files_roundtrip_stats",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS n,
+             CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                  THEN {_R_FRAGMENTED} ELSE {_R_HEALTHY} END AS r
+      FROM orders GROUP BY 1, 3
+    )
+    SELECT CAST(SUM(CEIL(n * 1.0 / r)) AS BIGINT) AS files_before,
+           CAST(CEIL(SUM(n) * 1.0 / {_TARGET_ROWS}) AS BIGINT) AS files_after,
+           CAST(SUM(n) AS BIGINT) AS n_rows
+    FROM g
+    """,
+)
+def compact_files_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction ROUNDTRIP under the driver oracle
+    (layout.compact_files): rewrite the deterministically fragmented
+    orders copy into ⌈n/{target}⌉ files and emit the operator's own
+    report — files_before (Σ per-partition ⌈n_p/R_p⌉, the fragmented
+    layout's closed form), files_after (⌈n/target⌉ — repartition(k) with
+    an explicit k is exempt from AQE coalescing, so the count is exact),
+    and n_rows (unchanged by compaction). DuckDB reproduces all three
+    from per-partition COUNT(*) alone, so the oracle externally verifies
+    that the rewrite both ran and preserved every row.
+
+    Scale shape: compact_files is count (metadata) → ONE round-robin
+    repartition shuffle → write; the staging-hop non-atomicity contract
+    is documented on the operator. At 100 TB this runs per partition from
+    the fragmentation_report_orders schedule, never whole-table."""
+    import shutil
+    import tempfile
+
+    from etl_poc_spark.operators.layout import compact_files
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    staged = tempfile.mkdtemp(prefix="compact_orders_")
+    try:
+        _write_fragmented_orders(orders, staged)
+        rep = compact_files(spark, staged, _TARGET_ROWS)
+        return spark.createDataFrame(
+            [(int(rep["files_before"]), int(rep["files_after"]), int(rep["n_rows"]))],
+            "files_before bigint, files_after bigint, n_rows bigint",
+        )
     finally:
         shutil.rmtree(staged, ignore_errors=True)
 

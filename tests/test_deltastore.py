@@ -264,6 +264,33 @@ def test_line_and_span_store_compaction_bit_equal(spark, tmp_path):
         assert _rows(ra, *cols) == _rows(oa, *cols), fam
 
 
+def test_near_dup_band_store_compaction_set_equal(spark, tmp_path):
+    """The SET-store fold (agg=[] → DISTINCT): compacting the band store
+    must leave every semi-join verdict unchanged — kept outputs for
+    post-compaction ingests equal the never-compacted twin's."""
+    from etl_poc_spark.operators.incremental import (
+        compact_near_dup_store,
+        incremental_near_dup_ingest,
+    )
+
+    words = lambda i: " ".join(f"w{i}_{j}" for j in range(12))  # noqa: E731
+    batches = [
+        [(1, words(1)), (2, words(2))],
+        [(3, words(3)), (4, words(4))],
+        # 10 duplicates stored doc 1; 13/14 near-pair within the batch
+        [(10, words(1)), (13, words(13)), (14, words(13))],
+    ]
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for i, rows in enumerate(batches[:2]):
+        incremental_near_dup_ingest(spark, _docs(spark, rows), a, batch_id=i)
+        incremental_near_dup_ingest(spark, _docs(spark, rows), b, batch_id=i)
+    rep = compact_near_dup_store(spark, a)
+    assert rep["slots_folded"] == 1 and rep["slots_live"] == 1
+    ka = incremental_near_dup_ingest(spark, _docs(spark, batches[2]), a, batch_id=2)
+    kb = incremental_near_dup_ingest(spark, _docs(spark, batches[2]), b, batch_id=2)
+    assert _rows(ka, "doc_id") == _rows(kb, "doc_id") == [(13,)]
+
+
 def test_dsir_badwords_doremi_store_compaction_bit_equal(spark, tmp_path):
     from etl_poc_spark.operators.curation import (
         compact_badwords_store,
