@@ -257,23 +257,28 @@ def compact_files(
     scans (a 100k-file day partition reads slower than one 10-file one).
 
     Shape: count (metadata-weight) -> repartition(k) (round-robin, the
-    only shuffle) or, with `sort_col`, repartitionByRange+sort (compact
+    ONLY shuffle) or, with `sort_col`, repartitionByRange+sort (compact
     AND restore the write_range_sorted layout in one pass) -> write to a
-    staging dir -> re-read staged -> overwrite target -> delete staging.
-    The staging hop exists because Spark cannot overwrite a path it is
-    lazily reading from (same pattern as operators/upsert.py).
+    staging dir -> SWAP the staging dir into place (delete target +
+    filesystem rename, metadata-only). The staging hop exists because
+    Spark cannot overwrite a path it is lazily reading from (same
+    pattern as operators/upsert.py); the swap-by-rename (r16) replaces
+    the pre-r16 re-read-and-rewrite finish, which both paid a second
+    full table write AND re-coalesced the staged files by the session's
+    maxPartitionBytes — under a default-config session the final file
+    count silently diverged from the promised ceil(n_rows/target)
+    (caught by the adversarial-session gate on
+    compact_files_roundtrip_stats).
 
-    NON-ATOMIC WINDOW (documented): between the target overwrite starting
-    and finishing, the only complete copy of the data is the staging dir —
-    a crash there leaves `path` partial and requires manual restore from
-    `{path}__compact_staging` (which is intentionally NOT deleted until
-    the overwrite succeeds). True atomicity needs a table format
-    (Delta/Iceberg) or a rename-swap, which plain parquet paths read by
-    absolute location don't support.
+    NON-ATOMIC WINDOW (documented): between the target delete and the
+    rename, `path` does not exist — a crash there requires manual
+    restore by renaming `{path}__compact_staging` into place (the
+    staging dir holds the only complete copy, and the rename is the
+    very next call). True atomicity needs a table format
+    (Delta/Iceberg) or versioned commits (operators/upsert.py).
 
     Returns {"files_before", "files_after", "n_rows"} so callers/tests
     can assert the compaction did what it claims."""
-    import logging
     import math
 
     df = spark.read.parquet(path)
@@ -288,16 +293,13 @@ def compact_files(
         staged_df = df.repartition(k)
     staged_df.write.mode("overwrite").parquet(staging)
 
-    staged = spark.read.parquet(staging)
-    staged.write.mode("overwrite").parquet(path)
-    try:
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(staging)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(jpath, True)
-    except Exception:  # noqa: BLE001 — cleanup must never fail the compaction
-        logging.getLogger(__name__).warning(
-            "compact_files: could not delete staging dir %s — remove it manually",
-            staging,
+    P = spark._jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(P(path), True)
+    if not fs.rename(P(staging), P(path)):
+        raise RuntimeError(
+            f"compact_files: swap rename failed — restore manually by "
+            f"renaming {staging!r} to {path!r}"
         )
     files_after = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
     return {"files_before": files_before, "files_after": files_after, "n_rows": n_rows}
