@@ -72,6 +72,14 @@ SMOKE_QUERIES = [
     "near_dup_keep_best",
     # r15: decontamination sweep — eval window set vs train windows
     "eval_contamination_stats",
+    # r16: delta-log store compaction + file-layout tier under the
+    # driver oracle — ingest→compact→read roundtrips (store + files)
+    # and the closed-form fragmentation report; epoch manifest adds a
+    # per-epoch total-order sort over the full doc corpus
+    "exact_dedup_store_compaction_stats",
+    "compact_files_roundtrip_stats",
+    "fragmentation_report_orders",
+    "epoch_training_manifest",
 ]
 
 # per-table key columns to offset per copy so the scaled table has
