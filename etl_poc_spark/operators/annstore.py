@@ -100,35 +100,46 @@ def build_ann_index(
     return {"model_seq": seq, "n_centroids": len(cents), "dim": len(cents[0])}
 
 
+def _current_model(
+    spark: SparkSession, index_dir: str, as_of: int | None = None
+) -> tuple[list[list[float]], int]:
+    """One consistent snapshot of the CURRENT model: (centroid matrix
+    cluster-ordered, model_seq). The model is the max-model_seq row set —
+    latest_by_key alone is not enough, because a retrain with FEWER
+    centroids never touches the higher cluster keys, so their old-model
+    rows stay 'latest' for their key; serving them would mix two models'
+    centroids into one matrix. Single collect, so a concurrent retrain
+    can never straddle the centroids/seq pair."""
+    rows = (
+        read_versioned(spark, index_dir, as_of=as_of)
+        .select("cluster", "centroid", "model_seq")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no ANN index at {index_dir!r}")
+    seq = max(r["model_seq"] for r in rows)
+    current = sorted(
+        (r for r in rows if r["model_seq"] == seq), key=lambda r: r["cluster"]
+    )
+    return [list(map(float, r["centroid"])) for r in current], int(seq)
+
+
 def read_ann_index(
     spark: SparkSession, index_dir: str, as_of: int | None = None
 ) -> list[list[float]]:
     """The persisted centroid matrix, cluster-ordered — the exact object
     kmeans_ivf_topk(centroids=...) consumes. `as_of` time-travels to an
-    older model (upsert.read_versioned semantics)."""
-    rows = (
-        read_versioned(spark, index_dir, as_of=as_of)
-        .orderBy("cluster")
-        .select("cluster", "centroid")
-        .collect()
-    )
-    if not rows:
-        raise ValueError(f"no ANN index at {index_dir!r}")
-    return [list(map(float, r["centroid"])) for r in rows]
+    older model (upsert.read_versioned semantics). Only the max-model_seq
+    rows ARE the model (a shrinking retrain leaves stale higher-cluster
+    rows latest-by-key; they are not part of the current model)."""
+    return _current_model(spark, index_dir, as_of)[0]
 
 
 def read_ann_index_meta(spark: SparkSession, index_dir: str) -> dict:
-    """{"model_seq", "n_centroids"} of the CURRENT model."""
-    row = (
-        read_versioned(spark, index_dir)
-        .agg(
-            F.max("model_seq").alias("s"), F.count(F.lit(1)).alias("k")
-        )
-        .collect()[0]
-    )
-    if row["s"] is None:
-        raise ValueError(f"no ANN index at {index_dir!r}")
-    return {"model_seq": int(row["s"]), "n_centroids": int(row["k"])}
+    """{"model_seq", "n_centroids"} of the CURRENT model (max-model_seq
+    row set — see read_ann_index on shrinking retrains)."""
+    cents, seq = _current_model(spark, index_dir)
+    return {"model_seq": seq, "n_centroids": len(cents)}
 
 
 def incremental_ann_ingest(
@@ -153,8 +164,7 @@ def incremental_ann_ingest(
     the whole corpus. Returns the written postings frame."""
     from etl_poc_spark.operators.ngram_lm import _safe_tag
 
-    cents = read_ann_index(spark, index_dir)
-    seq = read_ann_index_meta(spark, index_dir)["model_seq"]
+    cents, seq = _current_model(spark, index_dir)
     assigned = _assign_centroid(batch, cents, id_col, vec_col, nprobe=1)
     postings = (
         batch.select(id_col, vec_col)

@@ -82,6 +82,28 @@ def test_retrain_supersedes_with_time_travel(spark, tmp_path):
     assert read_ann_index(spark, idx, as_of=1) == m1  # time travel
 
 
+def test_shrinking_retrain_drops_stale_clusters(spark, tmp_path):
+    """A retrain with FEWER centroids must not serve a mixed model: the
+    old model's higher cluster keys are never overwritten by the upsert
+    (they stay latest-by-key), but they are NOT part of the current
+    model — read/meta/ingest must see exactly the max-model_seq rows."""
+    idx, store = str(tmp_path / "idx"), str(tmp_path / "store")
+    build_ann_index(spark, _vecs(spark, range(16)), idx, n_centroids=4, n_iters=1)
+    rep = build_ann_index(
+        spark, _vecs(spark, range(8, 24)), idx, n_centroids=2, n_iters=1
+    )
+    assert rep == {"model_seq": 2, "n_centroids": 2, "dim": 8}
+    m2 = read_ann_index(spark, idx)
+    assert len(m2) == 2
+    assert read_ann_index_meta(spark, idx) == {"model_seq": 2, "n_centroids": 2}
+    assert len(read_ann_index(spark, idx, as_of=1)) == 4  # time travel intact
+    # ingest assigns with the 2-centroid model only: every cluster < 2
+    incremental_ann_ingest(spark, _vecs(spark, range(6)), idx, store, batch_tag="b0")
+    rows = read_ann_store(spark, store).collect()
+    assert {r["model_seq"] for r in rows} == {2}
+    assert all(r["cluster"] in (0, 1) for r in rows)
+
+
 def test_ingest_without_index_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no finalized commits|no ANN index"):
         incremental_ann_ingest(
