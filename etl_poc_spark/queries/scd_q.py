@@ -87,20 +87,38 @@ def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lineitem_pit_priority",
+    # The natural LEFT JOIN + interval-predicate spelling is semantically
+    # identical but planner-hostile: DuckDB 1.0 cannot split the equality
+    # out of an OUTER join condition that carries an OR residual, and
+    # falls to BLOCKWISE_NL_JOIN — ~7e12 predicate evaluations at the sf1
+    # scratch (measured ~40 min vs 1.1s for the hash plan; r16). Episodes
+    # are DISJOINT per customer by construction ([valid_from, next
+    # valid_from) tiles, ties collapse to empty intervals), so each fact
+    # matches AT MOST one episode and the LEFT join decomposes exactly
+    # into the INNER join (hash-joinable on the equality) plus one
+    # NULL-priority row counting the unmatched remainder.
     oracle=f"""
     WITH hist AS ({_EPISODES_SQL}),
     facts AS (
       SELECT o.o_custkey AS k, l.l_shipdate AS fts
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    ), j AS (
-      SELECT f.k, f.fts, h.priority
-      FROM facts f LEFT JOIN hist h
+    ), matched AS (
+      SELECT h.priority, CAST(COUNT(*) AS BIGINT) AS n_lineitems
+      FROM facts f JOIN hist h
         ON f.k = h.o_custkey
        AND h.valid_from <= f.fts
        AND (h.valid_to IS NULL OR f.fts < h.valid_to)
+      GROUP BY h.priority
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM facts
+    ), mtot AS (
+      SELECT CAST(COALESCE(SUM(n_lineitems), 0) AS BIGINT) AS n FROM matched
     )
-    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lineitems
-    FROM j GROUP BY priority ORDER BY priority
+    SELECT priority, n_lineitems FROM matched
+    UNION ALL
+    SELECT NULL AS priority, tot.n - mtot.n AS n_lineitems
+    FROM tot, mtot WHERE tot.n > mtot.n
+    ORDER BY priority
     """,
 )
 def lineitem_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
