@@ -160,26 +160,109 @@ def incremental_ann_ingest(
     writer per tag, concurrent distinct tags safe).
 
     `model_seq` is stamped per row so a later retrain can re-assign ONLY
-    the postings of older models (the reindex maintenance job) instead of
-    the whole corpus. Returns the written postings frame."""
+    the postings of older models (reindex_ann_store) instead of the whole
+    corpus; `slot` records the row's own slot directory name so the
+    reindex can rewrite exactly the slots that hold stale rows (NULL for
+    loose appends, which reindex refuses — it cannot rewrite rows it
+    cannot address). Returns the written postings frame."""
     from etl_poc_spark.operators.ngram_lm import _safe_tag
 
     cents, seq = _current_model(spark, index_dir)
     assigned = _assign_centroid(batch, cents, id_col, vec_col, nprobe=1)
+    slot = f"tag={_safe_tag(batch_tag)}" if batch_tag is not None else None
     postings = (
         batch.select(id_col, vec_col)
         .join(assigned, id_col)
         .select(
-            "cluster", id_col, vec_col, F.lit(seq).alias("model_seq")
+            "cluster", id_col, vec_col, F.lit(seq).alias("model_seq"),
+            F.lit(slot).cast("string").alias("slot"),
         )
     )
     if batch_tag is not None:
-        postings.write.mode("overwrite").parquet(
-            f"{store_dir}/tag={_safe_tag(batch_tag)}"
-        )
+        postings.write.mode("overwrite").parquet(f"{store_dir}/{slot}")
     else:
         postings.write.mode("append").parquet(store_dir)
     return postings
+
+
+def reindex_ann_store(
+    spark: SparkSession,
+    index_dir: str,
+    store_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The maintenance job the per-row `model_seq` stamps exist for:
+    after a retrain, re-assign ONLY the postings of older models with
+    the CURRENT persisted centroids, slot by slot — each affected slot
+    is rewritten in place under the store's own overwrite-by-tag
+    discipline (single maintainer, same atomicity class as a replay
+    overwrite), slots that are already current are never touched, and
+    the re-written rows keep their slot name so a later replay or
+    reindex still addresses them.
+
+    Refuses (loudly, never silently partial): a store with loose
+    appended rows (slot IS NULL — unaddressable for rewrite), and stale
+    rows whose slot was already FOLDED by compaction (the consolidated
+    dir is not a slot; reindex before compacting, or rebuild). After a
+    full reindex, ann_store_topk serves exactly the current model's
+    assignment for every vector ever ingested (pytest-pinned against
+    the one-shot IVF). Returns {"model_seq", "slots_reindexed",
+    "rows_reindexed"}."""
+    from etl_poc_spark.operators.deltastore import load_compaction_manifest
+
+    cents, seq = _current_model(spark, index_dir)
+    store = read_ann_store(spark, store_dir)
+    if "slot" not in store.columns:
+        raise ValueError(
+            f"store {store_dir!r} predates slot-stamped postings; "
+            "rebuild it by re-ingesting before using reindex_ann_store"
+        )
+    # materialize EVERY stale row before any slot overwrite: each write
+    # invalidates the store read's file listing for later iterations
+    stale = (
+        store.where(F.col("model_seq") < F.lit(seq))
+        .select("slot", id_col, vec_col)
+        .localCheckpoint(eager=True)
+    )
+    stale_slots = [
+        r["slot"] for r in stale.select("slot").distinct().collect()
+    ]
+    if None in stale_slots:
+        raise ValueError(
+            f"store {store_dir!r} holds stale LOOSE-appended postings "
+            "(slot IS NULL) that in-place reindex cannot rewrite; "
+            "re-ingest them under a batch_tag instead"
+        )
+    man = load_compaction_manifest(spark, store_dir)
+    folded = set(man["folded"]) if man else set()
+    folded_stale = sorted(set(stale_slots) & folded)
+    if folded_stale:
+        raise ValueError(
+            f"stale slots {folded_stale[:3]} of store {store_dir!r} were "
+            "folded by compaction and cannot be rewritten in place; "
+            "reindex before compacting, or rebuild the store"
+        )
+    n_rows = 0
+    for slot in sorted(stale_slots):
+        rows = stale.where(F.col("slot") == slot).select(id_col, vec_col)
+        assigned = _assign_centroid(rows, cents, id_col, vec_col, nprobe=1)
+        out = (
+            rows.join(assigned, id_col)
+            .select(
+                "cluster", id_col, vec_col,
+                F.lit(seq).alias("model_seq"),
+                F.lit(slot).alias("slot"),
+            )
+        )
+        out.write.mode("overwrite").parquet(f"{store_dir}/{slot}")
+        n_rows += rows.count()
+    return {
+        "model_seq": seq,
+        "slots_reindexed": len(stale_slots),
+        "rows_reindexed": n_rows,
+    }
 
 
 def ann_handle_batch(

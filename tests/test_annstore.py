@@ -131,6 +131,69 @@ def test_postings_carry_model_seq_for_reindex(spark, tmp_path):
     assert all(seqs[i] == 2 for i in range(6, 12))
 
 
+def test_reindex_reassigns_only_stale_slots(spark, tmp_path):
+    """The model_seq stamps pay off: after a retrain, reindex rewrites
+    exactly the slots holding old-model rows with the CURRENT centroids
+    (current slots untouched), and the store then serves the one-shot
+    IVF answer of the new model over everything ever ingested."""
+    from etl_poc_spark.operators.annstore import reindex_ann_store
+    from etl_poc_spark.operators.similarity import kmeans_ivf_topk
+
+    idx, store = str(tmp_path / "idx"), str(tmp_path / "store")
+    build_ann_index(spark, _vecs(spark, range(20)), idx, n_centroids=3, n_iters=1)
+    incremental_ann_ingest(spark, _vecs(spark, range(10)), idx, store, batch_tag="b0")
+    incremental_ann_ingest(spark, _vecs(spark, range(10, 20)), idx, store, batch_tag="b1")
+    build_ann_index(
+        spark, _vecs(spark, range(5, 25)), idx, n_centroids=3, n_iters=2
+    )
+    incremental_ann_ingest(spark, _vecs(spark, range(20, 30)), idx, store, batch_tag="b2")
+
+    rep = reindex_ann_store(spark, idx, store)
+    assert rep == {"model_seq": 2, "slots_reindexed": 2, "rows_reindexed": 20}
+    rows = read_ann_store(spark, store).collect()
+    assert {r["model_seq"] for r in rows} == {2}
+    assert {r["slot"] for r in rows} == {"tag=b0", "tag=b1", "tag=b2"}
+
+    queries = _vecs(spark, [300, 301])
+    got = ann_store_topk(spark, queries, idx, store, k=3, nprobe=2)
+    want = kmeans_ivf_topk(
+        queries, _vecs(spark, range(30)), k=3, nprobe=2,
+        centroids=read_ann_index(spark, idx),
+    )
+    cols = ("query_id", "neighbor_id", "rank", "cos_sim")
+    as_rows = lambda df: sorted(tuple(r[c] for c in cols) for r in df.collect())  # noqa: E731
+    assert as_rows(got) == as_rows(want)
+
+    # idempotent: nothing stale remains
+    assert reindex_ann_store(spark, idx, store)["slots_reindexed"] == 0
+
+
+def test_reindex_refuses_unaddressable_stale_rows(spark, tmp_path):
+    """Loose-appended stale rows (no slot to rewrite) and stale slots
+    already folded by compaction both raise instead of reindexing
+    partially."""
+    from etl_poc_spark.operators.annstore import reindex_ann_store
+    from etl_poc_spark.operators.deltastore import compact_delta_store
+
+    idx = str(tmp_path / "idx")
+    build_ann_index(spark, _vecs(spark, range(12)), idx, n_centroids=3, n_iters=1)
+
+    loose = str(tmp_path / "loose")
+    incremental_ann_ingest(spark, _vecs(spark, range(6)), idx, loose)  # no tag
+    build_ann_index(spark, _vecs(spark, range(3, 15)), idx, n_centroids=3, n_iters=2)
+    with pytest.raises(ValueError, match="LOOSE-appended"):
+        reindex_ann_store(spark, idx, loose)
+
+    store = str(tmp_path / "store")
+    incremental_ann_ingest(spark, _vecs(spark, range(6)), idx, store, batch_tag="b0")
+    incremental_ann_ingest(spark, _vecs(spark, range(6, 12)), idx, store, batch_tag="b1")
+    cols = ["cluster", "vec_id", "embedding", "model_seq", "slot"]
+    compact_delta_store(spark, store, key_cols=cols, agg=[])  # folds b0
+    build_ann_index(spark, _vecs(spark, range(5, 17)), idx, n_centroids=3, n_iters=1)
+    with pytest.raises(ValueError, match="folded by compaction"):
+        reindex_ann_store(spark, idx, store)
+
+
 def test_streaming_ann_ingest_and_replay(spark, tmp_path):
     """Streaming twin: micro-batches assign against the persisted index
     and slot their postings by batch id; after the run, ann_store_topk
