@@ -707,13 +707,19 @@ def winnow_shared_pairs(
     fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
         F.col(id_col), "fp_hash"
     ).distinct()
-    rare = (
-        fps.groupBy("fp_hash")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    # r16 optimization (guide §2.4, the span_coverage shape): the DF cap
+    # is one count over the fp_hash window partition instead of a
+    # groupBy + join back — the winnowing pipeline above used to execute
+    # once per join side (the exchanges differ, so Spark cannot reuse
+    # them); now it runs once and shuffles once, on fp_hash. The pin keeps
+    # the capped index from re-running for the self-join's two sides.
+    idx = pin(
+        fps.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
+        )
         .filter(F.col("__df") <= max_df)
-        .select("fp_hash")
+        .drop("__df")
     )
-    idx = fps.join(rare, "fp_hash")
     a = idx.select(F.col("fp_hash"), F.col(id_col).alias("id_a"))
     b = idx.select(F.col("fp_hash"), F.col(id_col).alias("id_b"))
     return (

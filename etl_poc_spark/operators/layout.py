@@ -282,8 +282,13 @@ def compact_files(
     import math
 
     df = spark.read.parquet(path)
-    files_before = df.select(F.input_file_name()).distinct().count()
-    n_rows = df.count()
+    # r16: ONE scan yields both pre-stats (was two — a distinct-count of
+    # input_file_name plus a separate count; guide §1.2 "don't compute
+    # things twice"). The per-file aggregate is metadata-weight: one row
+    # per file to the driver.
+    per_file = df.groupBy(F.input_file_name()).count().collect()
+    files_before = len(per_file)
+    n_rows = sum(r["count"] for r in per_file)
     k = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
 
     staging = f"{path}__compact_staging"

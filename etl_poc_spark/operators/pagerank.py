@@ -96,28 +96,38 @@ def pagerank(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    ranks = verts.select("vertex", F.lit(1.0 / n).alias("rank"))
+    # r16 optimization (guide §2.4): the (vertex -> deg) lookup is LOOP-
+    # INVARIANT, so join it once and carry `deg` inside the iterated state
+    # instead of re-joining ranks against out_deg every iteration — one
+    # join (and its shuffle at cluster scale) per iteration removed. The
+    # rank update reads the same addends as before; double partial-sum
+    # order may differ by partitioning exactly as it already did between
+    # sessions, which the registered query's round(rank, 9) absorbs (the
+    # adversarial-session gate pins that invariance).
+    vd = pin(
+        verts.join(out_deg, verts.vertex == out_deg.od_src, "left").drop("od_src")
+    )
+    state = vd.select("vertex", "deg", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
-        with_deg = _cut(
-            ranks.join(out_deg, ranks.vertex == out_deg.od_src, "left").drop("od_src")
-        )
+        state = _cut(state)
         contribs = (
-            with_deg.where(F.col("deg").isNotNull())
+            state.where(F.col("deg").isNotNull())
             .join(e, F.col("vertex") == e.src)
             .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("deg")).alias("c"))
         )
         # dangling mass: ONE double, folded in-plan as a 1-row aggregate
         # broadcast into the rank update — no extra driver action per
         # iteration (the misc_q.py scalar-crossJoin pattern)
-        dangling = with_deg.where(F.col("deg").isNull()).agg(
+        dangling = state.where(F.col("deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling_m")
         )
         summed = contribs.groupBy("vertex").agg(F.sum("c").alias("s"))
-        ranks = (
-            verts.join(summed, "vertex", "left")
+        state = (
+            vd.join(summed, "vertex", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "vertex",
+                "deg",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping) * F.col("_dangling_m") / F.lit(float(n))
@@ -125,4 +135,4 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    return ranks  # verts/out_deg pins release via release_pins()
+    return state.select("vertex", "rank")  # pins release via release_pins()

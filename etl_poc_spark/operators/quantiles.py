@@ -103,5 +103,4 @@ def exact_quantiles_2pass(
             "q100",
             (F.col("__v").cast("double") / scale).alias("value"),
         )
-        .orderBy("q100")
     )

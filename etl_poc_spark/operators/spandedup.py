@@ -42,10 +42,25 @@ def span_coverage(
         )
         .select(id_col, "start", F.md5(F.col("win")).alias("h"))
     )
-    dup = (
-        wins.groupBy("h").agg(F.countDistinct(id_col).alias("nd")).where(F.col("nd") >= 2)
+    # r16 optimization (guide §2.4): the duplicate verdict is one window
+    # pass over the hash partition — countDistinct(id) >= 2 over a group
+    # is exactly min(id) != max(id) — instead of groupBy(h) + a semi-join
+    # back onto `wins`. The old shape executed the expensive window-hash
+    # explode TWICE (once per join side; the exchanges differ, so Spark
+    # could not reuse them — plans/r16/duplicate_span_coverage_before.txt
+    # shows both Generate subtrees) and paid an extra shuffle + broadcast;
+    # now the explode runs once and shuffles once, on h.
+    hw = Window.partitionBy("h")
+    shared = (
+        wins.select(
+            id_col,
+            "start",
+            F.min(id_col).over(hw).alias("__min_id"),
+            F.max(id_col).over(hw).alias("__max_id"),
+        )
+        .where(F.col("__min_id") != F.col("__max_id"))
+        .select(id_col, "start")
     )
-    shared = wins.join(dup.select("h"), "h", "left_semi")
     lead_w = Window.partitionBy(id_col).orderBy("start")
     cov = (
         shared.withColumn("nxt", F.lead("start").over(lead_w))
@@ -113,15 +128,21 @@ def span_removal(
         raise ValueError("window must be positive")
     d = _token_arrays(df, id_col, text_col)
     wins = _window_hashes(d, id_col, w)
-    dup = (
-        wins.groupBy("h")
-        .agg(
-            F.countDistinct(id_col).alias("nd"),
-            F.min(id_col).alias("__first_id"),
+    # r16 optimization (guide §2.4, mirrors span_coverage): duplicate
+    # verdict + first-holder id in ONE window pass over the hash partition
+    # (countDistinct(id) >= 2 ⟺ min(id) != max(id); __first_id = min(id))
+    # instead of groupBy(h) + join — the window-hash explode used to run
+    # twice (once per join side) and is the operator's dominant compute.
+    hw = Window.partitionBy("h")
+    flagged = (
+        wins.select(
+            id_col,
+            "start",
+            F.min(id_col).over(hw).alias("__first_id"),
+            F.max(id_col).over(hw).alias("__max_id"),
         )
-        .where(F.col("nd") >= 2)
+        .where(F.col("__first_id") != F.col("__max_id"))
     )
-    flagged = wins.join(dup, "h")
     if keep_first:
         flagged = flagged.where(F.col(id_col) != F.col("__first_id"))
     return _rebuild_without_spans(d, flagged.select(id_col, "start"), id_col, w)

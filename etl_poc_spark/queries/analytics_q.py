@@ -235,7 +235,6 @@ def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(firsts, "o_custkey")
         .groupBy("cohort_month", offset.alias("month_offset"))
         .agg(F.countDistinct("o_custkey").alias("active_customers"))
-        .orderBy("cohort_month", "month_offset")
     )
 
 
@@ -360,7 +359,6 @@ def events_debounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__d").cast("bigint").alias("n_debounced"),
             (F.count(F.lit(1)) - F.sum("__d")).cast("bigint").alias("n_kept"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -561,7 +559,6 @@ def segment_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("p") < F.col("mean_price") - 3 * F.col("std_price")).cast("long")
             ).cast("bigint").alias("n_outliers_lo"),
         )
-        .orderBy("segment")
     )
 
 
@@ -623,7 +620,7 @@ def quantity_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 9).alias("slope"),
         F.round(F.col("sy") / nd - slope * (F.col("sx") / nd), 9).alias("intercept"),
         F.round((cov_n * cov_n) / (var_x_n * var_y_n), 12).alias("r_squared"),
-    ).orderBy("l_returnflag")
+    )
 
 
 @query(

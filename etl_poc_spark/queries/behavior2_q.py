@@ -101,7 +101,6 @@ def _asof_last_purchase(
                 9,
             ).alias("avg_gap_seconds"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -190,7 +189,6 @@ def purchase_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFr
         .select(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
         .groupBy("channel")
         .agg(F.count(F.lit(1)).alias("n_purchases"))
-        .orderBy("channel")
     )
 
 
@@ -407,7 +405,6 @@ def customer_order_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_churned").cast("double") / F.col("n_at_risk"), 9
             ).alias("hazard"),
         )
-        .orderBy("tenure_bucket")
     )
 
 
@@ -485,7 +482,6 @@ def weekday_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("n_outlier_days"),
         )
-        .orderBy("iso_dow")
     )
 
 
@@ -562,7 +558,6 @@ def pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_selected"),
             F.sum("n_tokens").alias("tokens_total"),
         )
-        .orderBy("source")
     )
 
 
@@ -698,7 +693,6 @@ def order_priority_mode_by_segment(spark: SparkSession, sf_dir: str) -> DataFram
                 "mode_share"
             ),
         )
-        .orderBy("segment")
     )
 
 
@@ -773,5 +767,4 @@ def events_time_to_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("avg_seconds_to_purchase"),
         )
-        .orderBy("event_type")
     )

@@ -67,7 +67,6 @@ def user_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("run_len").alias("n_active_days"),
             F.count(F.lit(1)).alias("n_streaks"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -118,7 +117,6 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_transitions",
             (F.col("n_transitions").cast("double") / F.col("n_from")).alias("p"),
         )
-        .orderBy("from_type", "to_type")
     )
 
 
@@ -180,7 +178,6 @@ def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
         seq.select(channel.alias("channel"))
         .groupBy("channel")
         .agg(F.count(F.lit(1)).alias("n_purchases"))
-        .orderBy("channel")
     )
 
 
@@ -235,7 +232,6 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("r_score", "f_score", "m_score")
     )
 
 
@@ -292,7 +288,6 @@ def event_type_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("plain_mean"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -333,7 +328,7 @@ def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select(
         "id_a", "id_b", F.col("distance").cast("int").alias("distance")
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @query(
@@ -443,7 +438,6 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("hhi"),
         )
-        .orderBy("nation")
     )
 
 
@@ -484,7 +478,7 @@ def segment_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return target_encode_cells(
         j, "seg", "o_totalprice", F.col("o_orderkey"), n_folds=4
-    ).orderBy("category", "fold")
+    )
 
 
 @query(
@@ -641,7 +635,6 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_parts"),
             F.sum("r").cast("double").alias("class_revenue"),
         )
-        .orderBy("abc_class")
     )
 
 
@@ -692,7 +685,7 @@ def calendar_dim_2024(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0).cast("int").alias("is_weekend"),
         F.weekofyear("day").cast("int").alias("iso_week"),
         F.date_format("day", "yyyy-MM").alias("year_month"),
-    ).orderBy("day")
+    )
 
 
 @query(
@@ -737,7 +730,6 @@ def segment_year_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(p) AS DOUBLE) AS revenue
         FROM __gs_j
         GROUP BY GROUPING SETS ((segment, year), (segment), (year), ())
-        ORDER BY grouping_id, segment, year
         """
     )
 
@@ -783,7 +775,6 @@ def top_orders_per_segment_with_ties(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("p").cast("double").alias("totalprice"),
             F.col("rnk").cast("int").alias("rnk"),
         )
-        .orderBy("segment", "rnk", "o_orderkey")
     )
 
 
@@ -958,4 +949,4 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adjusted_mean_y"
         ),
         F.round("theta", 9).alias("theta"),
-    ).orderBy("arm")
+    )

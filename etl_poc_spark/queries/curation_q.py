@@ -652,7 +652,6 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sqrt(F.col("mx").cast("double"))
             ).alias("w_t05"),
         )
-        .orderBy("source")
     )
 
 
@@ -764,7 +763,6 @@ def hashed_quality_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "margin_milli",
             (F.col("margin_milli") > 0).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -794,7 +792,6 @@ def doc_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("compression_ratio") < 0.3, 1).otherwise(0)
             ).alias("n_low_entropy"),
         )
-        .orderBy("lang")
     )
 
 
@@ -966,9 +963,7 @@ def mixture_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens")
     )
-    return temperature_schedule(t, "lang", "n_tokens", [1.0, 0.75, 0.5, 0.25]).orderBy(
-        "phase", "lang"
-    )
+    return temperature_schedule(t, "lang", "n_tokens", [1.0, 0.75, 0.5, 0.25])
 
 
 @query("pack_sequences_bfd_stats")
@@ -1004,7 +999,7 @@ def pack_sequences_bfd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.countDistinct("bin_id").alias("n_bins_greedy"))
     )
-    return bfd.join(greedy, "lang").orderBy("lang")
+    return bfd.join(greedy, "lang")
 
 
 @query(
@@ -1105,7 +1100,6 @@ def doremi_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_total"),
             F.sum("__k").cast("long").alias("n_kept"),
         )
-        .orderBy("source")
     )
 
 
@@ -1143,7 +1137,6 @@ def per_stratum_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("lang", "doc_id", F.row_number().over(w).alias("sample_rank"))
         .filter(F.col("sample_rank") <= 10)
-        .orderBy("lang", "sample_rank")
     )
 
 
@@ -1233,7 +1226,6 @@ def quality_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("n_tokens").cast("double")
             ).alias("chars_per_token"),
         )
-        .orderBy("decile")
     )
 
 
@@ -1499,5 +1491,4 @@ def epoch_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").over(cum).cast("bigint").alias("cum_tokens"),
         )
         .filter(F.col("pos") <= 12)
-        .orderBy("epoch", "pos")
     )

@@ -210,8 +210,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped shingle space (sizes and intersections consistently)."""
     corpus = _near_dup_corpus(spark, sf_dir)
     sh_all = shingle_docs(corpus, "doc_id", "text", shingle_words=5)
-    rare = sh_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).filter(F.col("__df") <= 50).drop("__df")
-    sh = pin(sh_all.join(rare, "shingle", "left_semi"))
+    # r16 optimization (guide §2.4, the span_coverage shape): the DF cap is
+    # one count over the shingle window partition instead of groupBy + a
+    # semi-join back — the shingle explode used to execute once per join
+    # side before the pin could even materialize; now it runs once.
+    sh = pin(
+        sh_all.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("__df") <= 50)
+        .drop("__df")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -272,13 +281,15 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0 where their Jaccard is (n-5)/(n-4)."""
     corpus = _near_dup_corpus(spark, sf_dir)
     sh_all = shingle_docs(corpus, "doc_id", "text", shingle_words=5)
-    rare = (
-        sh_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    # r16: same window-partition DF cap as ngram_jaccard_pairs — one
+    # shingle-explode pass instead of one per semi-join side (guide §2.4).
+    sh = pin(
+        sh_all.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .filter(F.col("__df") <= 50)
         .drop("__df")
     )
-    sh = pin(sh_all.join(rare, "shingle", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -432,7 +443,7 @@ def near_dup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed = corpus.join(kept.select("doc_id"), "doc_id", "left_anti")
     return removed.select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
-    ).orderBy("doc_id")
+    )
 
 
 @query(

@@ -68,7 +68,7 @@ def supplier_revenue_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         F.col("old_revenue").cast("double").alias("old_revenue"),
         F.col("new_revenue").cast("double").alias("new_revenue"),
-    ).orderBy("l_suppkey")
+    )
 
 
 @query(

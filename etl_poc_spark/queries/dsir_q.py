@@ -98,7 +98,7 @@ def doc_dsir_target_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dsir_target_affinity(
         docs, docs.where(F.col("lang") == "en"), n_buckets=_B
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -139,7 +139,7 @@ def doc_dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_features",
         F.round("log_weight", 9).alias("log_weight_r9"),
-    ).orderBy("doc_id")
+    )
 
 
 @query("dsir_gumbel_sample")  # pinned-exact: the Gumbel key is a pure

@@ -167,4 +167,4 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     deeper graph would FAIL the gate loudly, never silently pass."""
     from etl_poc_spark.operators.graph import k_core
 
-    return k_core(_co_edges(spark, sf_dir), k=3).orderBy("vertex")
+    return k_core(_co_edges(spark, sf_dir), k=3)

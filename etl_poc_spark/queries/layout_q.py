@@ -116,7 +116,14 @@ def _write_fragmented_orders(orders: DataFrame, staged: str) -> None:
     for pred, r in ((hot, _R_FRAGMENTED), (~hot, _R_HEALTHY)):
         (
             orders.filter(pred)
-            .repartition(1)  # ONE writer task => deterministic file rolls
+            # r16: hash-repartition BY THE PARTITION COLUMN (was
+            # repartition(1)) — each priority lands wholly in one task, so
+            # maxRecordsPerFile still rolls exactly ⌈n_p/R⌉ files per
+            # partition dir (the determinism the oracle closed form needs),
+            # but distinct priorities now write in parallel instead of
+            # serializing through a single task (guide §2.5 input-skew
+            # shape: the one-task write was a self-inflicted straggler).
+            .repartition(F.col("o_orderpriority"))
             .write.mode("append")
             .option("maxRecordsPerFile", r)
             .partitionBy("o_orderpriority")

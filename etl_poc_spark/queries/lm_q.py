@@ -86,7 +86,6 @@ def doc_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.col("n_hapax") * 2 >= F.col("n_bigrams")).alias("mostly_novel"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -153,7 +152,7 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round("avg_nll", 9).alias("avg_nll"),
         F.round("ppl", 6).alias("ppl"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -176,4 +175,4 @@ def doc_lm_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round("avg_nll", 9).alias("avg_nll"),
         F.round("ppl", 6).alias("ppl"),
-    ).orderBy("doc_id")
+    )

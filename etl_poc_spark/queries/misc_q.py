@@ -455,7 +455,7 @@ def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
     )
-    return est.join(exact, "day").orderBy("day")
+    return est.join(exact, "day")
 
 
 @query(

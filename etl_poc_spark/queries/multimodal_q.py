@@ -212,7 +212,6 @@ def media_feature_neardup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hamming").cast("int").alias("hamming"),
             "cos_sim",
         )
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -280,5 +279,4 @@ def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("zero_crossing_rate"), 5).alias("mean_zcr"),
             F.sum(F.col("decoded").cast("int")).alias("n_decoded"),
         )
-        .orderBy("freq_hz")
     )

@@ -93,7 +93,6 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -139,7 +138,6 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             "sum_qty",
         )
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     )
 
 

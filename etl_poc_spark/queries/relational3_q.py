@@ -206,7 +206,6 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("share"),
         )
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
 
@@ -304,7 +303,6 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.sum(rev).cast("double").alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -351,7 +349,6 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(profit).cast("double").alias("profit"))
-        .orderBy("nation", "o_year")
     )
 
 

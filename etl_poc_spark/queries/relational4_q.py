@@ -159,7 +159,6 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(target).cast("double") / F.sum("volume").cast("double")).alias("mkt_share"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
-        .orderBy("o_year")
     )
 
 
@@ -253,7 +252,6 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.join(F.broadcast(best), "total_rev")
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
-        .orderBy("s_suppkey")
     )
 
 
@@ -352,7 +350,6 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
         )
-        .orderBy("c_mktsegment")
     )
 
 
@@ -388,5 +385,4 @@ def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("n_orders")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
     )

@@ -179,7 +179,6 @@ def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
             F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
         )
-        .orderBy("ship_class")
     )
 
 
@@ -304,5 +303,4 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
         .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
-        .orderBy("s_name")
     )

@@ -81,7 +81,6 @@ def customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("valid_to").isNull(), 1).otherwise(0)
             ).alias("n_open"),
         )
-        .orderBy("o_custkey")
     )
 
 
@@ -141,5 +140,4 @@ def lineitem_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.groupBy("priority")
         .agg(F.count(F.lit(1)).alias("n_lineitems"))
-        .orderBy("priority")
     )

@@ -177,7 +177,6 @@ def doc_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (nw - nd).cast("long").alias("repeated_windows"),
             (((nw - nd) * 5 >= nw) & (nw > 0)).alias("self_repetitive"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -267,7 +266,6 @@ def duplicate_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.conv(F.substring(F.md5("dedup_text"), 1, 6), 16, 10).cast("long")
             ).alias("text_checksum"),
         )
-        .orderBy("source")
     )
 
 
@@ -339,7 +337,6 @@ def duplicate_span_removal_keep_first_stats(
             F.sum("n_tokens").alias("tokens_total"),
             F.sum("removed_tokens").alias("tokens_removed"),
         )
-        .orderBy("source")
     )
 
 
@@ -437,5 +434,4 @@ def eval_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_contaminated"),
             F.coalesce("windows_hit", F.lit(0)).cast("long").alias("windows_hit"),
         )
-        .orderBy("source")
     )

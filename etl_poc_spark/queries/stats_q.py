@@ -108,7 +108,7 @@ def segment_region_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num.cast("decimal(38,0)") * num).cast("double")
             / den.cast("double")
         ).alias("chi2_contrib"),
-    ).orderBy("segment", "region")
+    )
 
 
 @query(

@@ -80,7 +80,7 @@ def segment_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["segment"],
         zero_cols=["n_orders", "revenue"],
         ffill_cols=["last_avg_price"],
-    ).orderBy("segment", "day")
+    )
 
 
 @query(
@@ -124,7 +124,7 @@ def segment_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_dec").cast("double").alias("revenue"),
         F.col("rev_7d_dec").cast("double").alias("rev_7d"),
         F.col("n_orders_7d").cast("bigint").alias("n_orders_7d"),
-    ).orderBy("segment", "day")
+    )
 
 
 @query(
@@ -182,4 +182,4 @@ def segment_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = gap_fill_daily(daily, group_cols=["segment"])
     return interpolate_daily(dense, ["segment"], "avg_price").select(
         "segment", "day", "avg_price"
-    ).orderBy("segment", "day")
+    )

@@ -204,7 +204,6 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist_ratio.alias("distinct_bigram_ratio"),
             ((top_frac <= 0.1) & (dist_ratio >= 0.8)).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 
