@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_poc_spark.operators.ngram_lm import words_col
+from etl_poc_spark.operators.pins import pin
 
 DEFAULT_BUCKETS = 1024
 
@@ -141,8 +142,14 @@ def dsir_log_weights(
     (doc, bucket) partials — a single BroadcastHashJoin — then ONE
     doc_id shuffle for the fold.
     """
-    raw_f = hashed_feature_counts(
-        raw_docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    # r16: pin the raw-side partials — they feed BOTH the model's bucket
+    # totals and the scoring join, and unpinned the hashed-n-gram explode
+    # over the full raw corpus (the dominant compute) executed twice
+    # (guide §1.2). Tracked pin, released by the caller's release_pins().
+    raw_f = pin(
+        hashed_feature_counts(
+            raw_docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+        )
     )
     tgt_f = hashed_feature_counts(
         target_docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
@@ -217,8 +224,11 @@ def dsir_target_affinity(
     division of exact BIGINTs and the flag is pure integer arithmetic
     (n_target_leaning·2 ≥ n_occurrences), so the whole result carries a
     hash-exact DuckDB oracle."""
-    raw_f = hashed_feature_counts(
-        raw_docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    # r16: pinned for the same two-consumer reason as dsir_log_weights
+    raw_f = pin(
+        hashed_feature_counts(
+            raw_docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+        )
     )
     tgt_f = hashed_feature_counts(
         target_docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets

@@ -73,9 +73,16 @@ def train_bigram_lm(
 
     All three stay distributed; vocab_size is a 1-row aggregate meant to
     fold in-plan via a broadcast crossJoin."""
+    from etl_poc_spark.operators.pins import pin
+
     w = docs.select(words_col(text_col).alias("words"))
-    pairs = w.where(F.size("words") >= 2).select(
-        F.explode(_bigram_structs()).alias("p")
+    # r16: the bigram explode feeds BOTH count tables — pinned so the
+    # tokenize+explode over the training corpus runs once, not once per
+    # aggregate (guide §1.2). Tracked pin, released via release_pins().
+    pairs = pin(
+        w.where(F.size("words") >= 2).select(
+            F.explode(_bigram_structs()).alias("p")
+        )
     )
     bigram_counts = pairs.groupBy(F.col("p.bigram").alias("bigram")).agg(
         F.count(F.lit(1)).alias("c_bi")
