@@ -56,54 +56,40 @@ def _provably_small(df: DataFrame, cap: int = _BROADCAST_ROW_CAP) -> bool:
     return len(df.select(F.lit(1).alias("__one")).limit(cap + 1).take(cap + 1)) <= cap
 
 
-def _pair_cosine(
+def _pair_cosine_carried(
+    carried: DataFrame,
     queries: DataFrame,
     base: DataFrame,
-    pairs: DataFrame,
     id_col: str,
     vec_col: str,
     small_q: bool | None = None,
     small_b: bool | None = None,
 ) -> DataFrame:
-    """Exact decimal cosine for the given (query_id, neighbor_id) candidate
-    pairs. Small sides (typically the query side) are broadcast; anything
-    not provably under the row cap is left unhinted for AQE. Callers that
-    already probed a side pass small_q/small_b to avoid re-running the
-    probe job (each probe re-executes that frame's upstream plan)."""
-    # ONE probe per distinct unprobed side, at the larger vec cap: the same
-    # bounded read answers both thresholds. Caller-passed flags are trusted
-    # as-is (no surprise probe jobs re-running their upstream plans); the
-    # whole-vector (id, vec) frames are compact (~300 B/row at dim 64), so
-    # they broadcast safely at the higher cap.
-    def tiers(side, passed):
-        if passed is not None:
-            return passed, passed
-        n = len(side.select(F.lit(1).alias("__one")).limit(_BROADCAST_VEC_ROW_CAP + 1).take(_BROADCAST_VEC_ROW_CAP + 1))
-        return n <= _BROADCAST_ROW_CAP, n <= _BROADCAST_VEC_ROW_CAP
-
-    small_q, vec_q = tiers(queries, small_q)
-    small_b, vec_b = (small_q, vec_q) if base is queries and small_b is None else tiers(base, small_b)
-    hint_q = F.broadcast if small_q else (lambda df: df)
-    hint_b = F.broadcast if small_b else (lambda df: df)
-    hint_vq = F.broadcast if vec_q else (lambda df: df)
-    hint_vb = F.broadcast if vec_b else (lambda df: df)
-    va = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__va"))
-    vb = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb"))
-    # dot products: attach both WHOLE vectors to each candidate pair
-    # (broadcast joins when the vector tables fit), then one arrays_zip
-    # explode + hash aggregation. This streams |pairs| rows through the
-    # joins instead of equi-joining dim-exploded frames on (id, i) — the
-    # explode happens after the join, inside codegen, with map-side partial
-    # aggregation. Decimal addition is exact and commutative, so the dot is
-    # bit-identical to any other summation order (oracle-stable).
+    """Exact decimal cosine for candidate pairs that ALREADY carry both
+    whole vectors as `__va`/`__vb` (query_id, neighbor_id, __va, __vb) —
+    the r16 shape: when the pair-forming join (cross join, sign-bucket
+    join, LSH bucket join) can keep the vectors on the row, the scorer
+    needs NO vector re-attach joins (guide §8's rule — don't let the
+    attach join sneak a second payload shuffle back in). The dot is one
+    arrays_zip explode + hash aggregation with map-side combine; decimal
+    addition is exact and commutative, so it is bit-identical to any
+    other summation order (oracle-stable). Norms stay one cheap
+    per-VECTOR aggregation per side (computing them inside the pair
+    aggregation was measured 2.7x slower — the double→DECIMAL conversion
+    dominates, and that shape pays it 3x per pair element), joined back
+    broadcast when the side is provably small, else left to AQE."""
     prod = F.expr(_DEC_PROD.format(x="__z.__va", y="__z.__vb"))
     dots = (
-        pairs.join(hint_vq(va), "query_id")
-        .join(hint_vb(vb), "neighbor_id")
-        .select("query_id", "neighbor_id", F.explode(F.arrays_zip("__va", "__vb")).alias("__z"))
+        carried.select(
+            "query_id",
+            "neighbor_id",
+            F.explode(F.arrays_zip("__va", "__vb")).alias("__z"),
+        )
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum(prod).cast("double").alias("dot"))
     )
+    hint_q = F.broadcast if small_q else (lambda df: df)
+    hint_b = F.broadcast if small_b else (lambda df: df)
     q_ex = _explode_vec(queries, id_col, vec_col, "query_id")
     qn = _norms(q_ex, "query_id", "qn")
     if base is queries:
@@ -127,6 +113,51 @@ def _pair_cosine(
         dots.join(hint_q(qn), "query_id")
         .join(hint_b(bn), "neighbor_id")
         .withColumn("cos_sim", F.round(F.col("dot") / (F.col("qn") * F.col("bn")), 7))
+    )
+
+
+def _pair_cosine(
+    queries: DataFrame,
+    base: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    small_q: bool | None = None,
+    small_b: bool | None = None,
+) -> DataFrame:
+    """Exact decimal cosine for the given (query_id, neighbor_id) candidate
+    pairs. Small sides (typically the query side) are broadcast; anything
+    not provably under the row cap is left unhinted for AQE. Callers that
+    already probed a side pass small_q/small_b to avoid re-running the
+    probe job (each probe re-executes that frame's upstream plan).
+    Callers whose pair-forming join can carry the vectors should call
+    _pair_cosine_carried directly and skip the attach joins below."""
+    # ONE probe per distinct unprobed side, at the larger vec cap: the same
+    # bounded read answers both thresholds. Caller-passed flags are trusted
+    # as-is (no surprise probe jobs re-running their upstream plans); the
+    # whole-vector (id, vec) frames are compact (~300 B/row at dim 64), so
+    # they broadcast safely at the higher cap.
+    def tiers(side, passed):
+        if passed is not None:
+            return passed, passed
+        n = len(side.select(F.lit(1).alias("__one")).limit(_BROADCAST_VEC_ROW_CAP + 1).take(_BROADCAST_VEC_ROW_CAP + 1))
+        return n <= _BROADCAST_ROW_CAP, n <= _BROADCAST_VEC_ROW_CAP
+
+    small_q, vec_q = tiers(queries, small_q)
+    small_b, vec_b = (small_q, vec_q) if base is queries and small_b is None else tiers(base, small_b)
+    hint_vq = F.broadcast if vec_q else (lambda df: df)
+    hint_vb = F.broadcast if vec_b else (lambda df: df)
+    va = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__va"))
+    vb = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb"))
+    # attach both WHOLE vectors to each candidate pair (broadcast joins
+    # when the vector tables fit); the carried scorer then does one
+    # explode + hash aggregation. This streams |pairs| rows through the
+    # joins instead of equi-joining dim-exploded frames on (id, i) — the
+    # explode happens after the join, inside codegen, with map-side
+    # partial aggregation.
+    carried = pairs.join(hint_vq(va), "query_id").join(hint_vb(vb), "neighbor_id")
+    return _pair_cosine_carried(
+        carried, queries, base, id_col, vec_col, small_q=small_q, small_b=small_b
     )
 
 
@@ -172,11 +203,18 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, rank, cos_sim); ties broken by
     neighbor_id so the ranking is total and deterministic."""
-    pairs = (
-        queries.select(F.col(id_col).alias("query_id"))
-        .crossJoin(base.select(F.col(id_col).alias("neighbor_id")))
+    # r16: the cross join CARRIES both whole vectors, so the scorer needs
+    # no re-attach joins (guide §2.4/§8); one probe decides the broadcast
+    # hint for the (typically tiny) query side, the base side streams.
+    small_q = _provably_small(queries)
+    hint_q = F.broadcast if small_q else (lambda df: df)
+    va = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__va"))
+    vb = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb"))
+    carried = hint_q(va).crossJoin(vb)
+    return _rank_topk(
+        _pair_cosine_carried(carried, queries, base, id_col, vec_col, small_q=small_q),
+        k,
     )
-    return _rank_topk(_pair_cosine(queries, base, pairs, id_col, vec_col), k)
 
 
 def sign_bucket_expr(vec_col: str, n_bits: int = 6) -> F.Column:
@@ -201,12 +239,26 @@ def ivf_cosine_topk(
     The candidate-pair space shrinks ~2^n_bits; recall is approximate
     (vectors straddling a hyperplane may be missed) — the standard IVF
     trade."""
-    q_tag = queries.select(F.col(id_col).alias("query_id"), sign_bucket_expr(vec_col, n_bits).alias("bucket"))
-    b_tag = base.select(F.col(id_col).alias("neighbor_id"), sign_bucket_expr(vec_col, n_bits).alias("bucket"))
+    # r16: the bucket equi-join CARRIES both whole vectors (same shuffle
+    # bytes — before, the vectors crossed in the two attach joins instead),
+    # so the scorer is join-free after the bucket gate (guide §2.4/§8).
+    q_tag = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__va"),
+        sign_bucket_expr(vec_col, n_bits).alias("bucket"),
+    )
+    b_tag = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vb"),
+        sign_bucket_expr(vec_col, n_bits).alias("bucket"),
+    )
     small_q = _provably_small(queries)
     hint_q = F.broadcast if small_q else (lambda df: df)
-    pairs = hint_q(q_tag).join(b_tag, "bucket").select("query_id", "neighbor_id")
-    return _rank_topk(_pair_cosine(queries, base, pairs, id_col, vec_col, small_q=small_q), k)
+    carried = hint_q(q_tag).join(b_tag, "bucket").drop("bucket")
+    return _rank_topk(
+        _pair_cosine_carried(carried, queries, base, id_col, vec_col, small_q=small_q),
+        k,
+    )
 
 
 # --- KMeans-trained IVF ------------------------------------------------------
@@ -809,11 +861,20 @@ def pq_adc_topk(
     decoded = base_codes.select(
         F.col(id_col), pq_decode_expr(codebooks).alias(vec_col)
     )
-    pairs = (
-        queries.select(F.col(id_col).alias("query_id"))
-        .crossJoin(decoded.select(F.col(id_col).alias("neighbor_id")))
+    # r16: the cross join CARRIES the true query vector and the in-plan
+    # decoded candidate vector — no re-attach joins (guide §2.4/§8); the
+    # decode expression still evaluates once per streamed base row.
+    small_q = _provably_small(queries)
+    hint_q = F.broadcast if small_q else (lambda df: df)
+    va = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__va"))
+    vb = decoded.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb"))
+    carried = hint_q(va).crossJoin(vb)
+    return _rank_topk(
+        _pair_cosine_carried(
+            carried, queries, decoded, id_col, vec_col, small_q=small_q
+        ),
+        k,
     )
-    return _rank_topk(_pair_cosine(queries, decoded, pairs, id_col, vec_col), k)
 
 
 def ivfpq_topk(
@@ -1190,17 +1251,31 @@ def bitext_margin_mine(
     bit-stable scorer the oracle gate checks.
 
     Output: (src_id, tgt_id, cos_sim, margin, mutual_best)."""
-    if pairs is None:
-        pairs = (
-            src.select(F.col(id_col).alias("query_id"))
-            .crossJoin(tgt.select(F.col(id_col).alias("neighbor_id")))
-        )
-    if mode == "exact":
-        scored = _pair_cosine(src, tgt, pairs, id_col, vec_col)
-    elif mode == "float":
-        scored = _pair_cosine_float(src, tgt, pairs, id_col, vec_col)
-    else:
+    if mode not in ("exact", "float"):
         raise ValueError(f"mode must be 'exact' or 'float', got {mode!r}")
+    if pairs is None and mode == "exact":
+        # r16: the default all-pairs grid CARRIES both whole vectors, so
+        # the exact scorer needs no re-attach joins (guide §2.4/§8); one
+        # probe decides the src-side broadcast hint.
+        small_q = _provably_small(src)
+        hint_q = F.broadcast if small_q else (lambda df: df)
+        va = src.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__va"))
+        vb = tgt.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vb")
+        )
+        scored = _pair_cosine_carried(
+            hint_q(va).crossJoin(vb), src, tgt, id_col, vec_col, small_q=small_q
+        )
+    else:
+        if pairs is None:
+            pairs = (
+                src.select(F.col(id_col).alias("query_id"))
+                .crossJoin(tgt.select(F.col(id_col).alias("neighbor_id")))
+            )
+        if mode == "exact":
+            scored = _pair_cosine(src, tgt, pairs, id_col, vec_col)
+        else:
+            scored = _pair_cosine_float(src, tgt, pairs, id_col, vec_col)
     scored = scored.select("query_id", "neighbor_id", "cos_sim")
     d187 = "decimal(18,7)"
     w_q = Window.partitionBy("query_id").orderBy(

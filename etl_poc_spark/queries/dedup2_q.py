@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_poc_spark.io import load_table
 from etl_poc_spark.operators.pins import pin
-from etl_poc_spark.operators.similarity import _pair_cosine  # shared exact-cosine kernel
+from etl_poc_spark.operators.similarity import _pair_cosine_carried  # shared exact-cosine kernel
 from etl_poc_spark.registry import query
 
 # --- SimHash ---------------------------------------------------------------
@@ -327,17 +327,24 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_poc_spark.operators.similarity import sign_bucket_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # r16: the bucket self-join CARRIES both whole vectors straight into
+    # the scorer (guide §2.4/§8) — before, it emitted id pairs and two
+    # broadcast joins re-attached the vectors (plus two bounded probe
+    # jobs). Same shuffle bytes: each vector crossed an exchange exactly
+    # once either way. Norms stay the single pinned per-vector pass
+    # (vecs is both cosine sides).
     tagged = emb.select("vec_id", "embedding", sign_bucket_expr("embedding", 6).alias("bucket"))
-    a, b = tagged.alias("a"), tagged.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("query_id"), F.col("b.vec_id").alias("neighbor_id"))
+    a = tagged.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__va"), "bucket"
     )
-    # one shared frame for both cosine sides: the exploded vectors and norms
-    # subplans are identical, so Spark's exchange/subquery reuse kicks in
-    # instead of scanning+exploding the table twice
+    b = tagged.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__vb"), "bucket"
+    )
+    carried = a.join(
+        b, (a.bucket == b.bucket) & (F.col("query_id") < F.col("neighbor_id"))
+    ).drop("bucket")
     vecs = emb.select("vec_id", "embedding")
-    scored = _pair_cosine(vecs, vecs, pairs, "vec_id", "embedding")
+    scored = _pair_cosine_carried(carried, vecs, vecs, "vec_id", "embedding")
     return (
         scored.filter(F.col("cos_sim") >= 0.4)
         .select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"), "cos_sim")
