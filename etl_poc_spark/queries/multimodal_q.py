@@ -181,7 +181,7 @@ def media_feature_neardup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode each rendered document image ONCE (pinned), run BOTH media legs
     — perceptual-hash banded near-dup pairs AND luminance-histogram feature
     embeddings — then score the feature-space cosine of exactly the
-    verdict pairs. Output: (id_a, id_b, hamming, cos_sim), id-ordered.
+    verdict pairs. Output: (id_a, id_b, hamming, cos_sim).
 
     Scale shape: the cosine stage is O(|near-dup pairs|), bounded by the
     banded self-join's bucket caps — the embeddings of non-candidate

@@ -206,6 +206,7 @@ def test_no_unplanned_cartesian_or_nested_loop_joins(spark, sf_dir):
         "part_association_rules",    # 1-row basket-count scalar x 20-row top-k frame
         "doc_lm_perplexity",         # 1-row vocabulary-size scalar join (smoothing denominator)
         "doc_lm_perplexity_heldout",  # same scalar join, reference-trained LM
+        "orders_column_profile",     # 1-row regular-aggs x 1-row distinct-aggs scalar join (r16 Expand split)
         "mixture_temperature_weights",  # 1-row max-tokens scalar join onto the per-source frame
         "quality_threshold_sweep",  # 11-literal-row threshold probe x <=11-row score-tier histogram (both bounded by construction)
     }
@@ -803,11 +804,16 @@ def test_pit_priority_is_union_window_not_range_join(spark, sf_dir):
 
 
 def test_column_profile_is_one_scan_one_expand(spark, sf_dir):
-    """The multi-metric profile reads the table ONCE: the N distinct
-    aggregates plan as a single Expand + aggregate, not N scans."""
+    """The multi-metric profile reads the table exactly TWICE (r16 split:
+    one plain aggregate for nulls/min/max, one Expand + aggregate for ALL
+    N distinct counts — mixing them made Catalyst evaluate every regular
+    aggregate on every Expand-multiplied row, measured 2.7s vs 0.8s), and
+    the two 1-row results meet in a broadcast join — never N scans, never
+    a regular aggregate inside the Expand blowup."""
     p = formatted_plan(spark, "orders_column_profile", sf_dir)
-    assert p.count("Scan parquet") == 2  # formatted prints tree + detail
+    assert p.count("Scan parquet") == 4  # 2 real scans (tree + detail each)
     assert "Expand" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row x 1-row stitch
 
 
 def test_transition_matrix_single_user_shuffle(spark, sf_dir):
@@ -899,10 +905,13 @@ def test_round9_query_plan_shapes(spark, sf_dir):
         p = formatted_plan(spark, name, sf_dir)
         assert "Window" in p and "HashAggregate" in p
         assert "NestedLoop" not in p and "CartesianProduct" not in p
-        # the Window's child subtree contains an Aggregate, i.e. the text
-        # between the LAST Window node and the end mentions HashAggregate
-        tail = p[p.rindex("Window"):]
-        assert "HashAggregate" in tail or "Exchange" in tail
+        # the Window's child subtree contains an Aggregate: a HashAggregate
+        # detail (deeper operator = printed earlier) precedes the last
+        # Window mention. (r16: the old phrasing checked the text AFTER the
+        # last Window, which only worked while a final cosmetic sort sat
+        # above the Window — that sort is gone per guide §2.4.)
+        head = p[: p.rindex("Window")]
+        assert "HashAggregate" in head
 
 
 def test_yaml_entity_resolution_and_association_rules_ops(spark):
