@@ -1,7 +1,10 @@
 """Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+final JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"q": {headline_query: sec, ...}, "sf": ...} — the compact 22-entry
+headline map keeps the line inside the driver's ~2000-char tail capture
+(the full 221-query map lives in the BENCH_GATE artifact and in an
+earlier stdout line).
 
 Execution is forced with the noop sink (full computation, no driver
 collect) — the number measures engine throughput, not pandas conversion.
@@ -125,7 +128,7 @@ def _sorted_gate_artifacts(paths: list[str]) -> list[str]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_poc_spark import registry
-    from etl_poc_spark.operators.pins import release_pins
+    from etl_poc_spark.operators.pins import clear_memos, release_pins
     from etl_poc_spark.session import get_spark
 
     registry.load_all()
@@ -167,11 +170,21 @@ def main() -> None:
         names += sorted(set(registry.QUERIES) - set(BENCH_QUERIES))
 
     def time_query(fn) -> float:
+        # r17 methodology fix (r16 verdict item 3): pins AND process-level
+        # model memos are dropped INSIDE the run loop — runs 2..3 of a
+        # pinned/trained query previously read frames and models populated
+        # by run 1, so published medians understated steady-state cold-run
+        # cost for exactly the queries r16 pinned. Every run now pays the
+        # full pipeline including training (same discipline as
+        # tools/time_query.py, which the r16 A/B evidence already used).
         runs: list[float] = []
         for _ in range(RUNS_PER_QUERY):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            release_pins()
+            clear_memos()
+            spark.catalog.clearCache()
         return round(sorted(runs)[len(runs) // 2], 3)
 
     # fault-isolated per query: one broken query records an {"err": ...}
@@ -190,9 +203,9 @@ def main() -> None:
             timings[name] = time_query(fn)
         except Exception as exc:  # noqa: BLE001 — record and keep sweeping
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-        # drop persisted frames the query pinned (dedup/similarity stage
-        # tables): leaked cache accumulates across 60+ queries and skews
-        # later timings with memory pressure
+        # pins/memos/cache are dropped inside time_query's run loop; this
+        # trailing sweep only covers the error path (a query that raised
+        # mid-run may have left pins behind)
         release_pins()
         spark.catalog.clearCache()
 
@@ -214,8 +227,6 @@ def main() -> None:
                 continue
             retimed[name] = {"first": sec, "retimed": again, "prev_round": prev}
             timings[name] = min(sec, again)
-            release_pins()
-            spark.catalog.clearCache()
 
     # `value` stays the HEADLINE subtotal (the PINNED 22-query set rounds 1
     # and 2 both recorded) so the metric is comparable round over round even
@@ -315,6 +326,15 @@ def main() -> None:
             fh.write("\n")
     except OSError as exc:  # read-only checkout: stdout still has the totals
         print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    # r17 (r16 verdict item 2): the driver's PERF comparison needs
+    # per-query data in the FINAL line it parses, but the full 221-entry
+    # map is what truncated to parsed:null in r8. Compromise: a compact
+    # map of the 22 PINNED HEADLINE queries only (~600 bytes — fits the
+    # driver's ~2000-char tail with room to spare); the complete surface
+    # stays in the committed BENCH_GATE artifact.
+    headline_q = {
+        n: timings[n] for n in BENCH_QUERIES if n in timings
+    }
     print(
         json.dumps(
             {
@@ -327,6 +347,7 @@ def main() -> None:
                 "headline_incomplete": bool(headline_errs),
                 "sf": float(sf) if sf else sf_dir,
                 "cal": [cal_start, cal_end],
+                "q": headline_q,
                 "full_report": os.path.basename(out_path),
             },
             separators=(",", ":"),

@@ -1,10 +1,16 @@
-"""Pure-stdlib WAV PCM decoding for the multimodal audio path.
+"""WAV PCM decoding for the multimodal audio path.
 
 Same posture as `imagecodec`: formats the Python stdlib can genuinely
-decode are decoded for REAL (RIFF/WAVE PCM via the `wave` module +
-`struct`); everything else (mp3, ogg, flac — all need entropy coders the
-stdlib lacks) is the caller's honest-fallback problem. No numpy here: the
-codec must run inside Arrow workers with zero optional dependencies.
+PARSE are decoded for REAL (RIFF/WAVE PCM via the `wave` module);
+everything else (mp3, ogg, flac — all need entropy coders the stdlib
+lacks) is the caller's honest-fallback problem. The per-sample math is
+numpy-vectorized (r17, guide §4.2 — numpy is already a hard dependency
+of the Arrow/pandas path these kernels run inside), and it is EXACT, not
+just close: every PCM-derived sample is a dyadic rational v / 2^k with
+|Σ v²| < 2^53 under the MAX_SAMPLES cap, so every partial sum — in any
+association order, numpy pairwise or Python sequential — is exactly
+representable and the results are bit-identical to the scalar loops
+they replaced (the pinned audio_feature_stats values are unchanged).
 
 Reference tie-in: the reference pipeline is text-only
 (`airflow/dags/zara_hybrid_etl.py`); audio columns are part of the
@@ -15,8 +21,9 @@ Pandas-UDF feature extraction over mapInPandas).
 from __future__ import annotations
 
 import io
-import struct
 import wave
+
+import numpy as np
 
 # cap decoded samples per file so a pathological multi-hour WAV cannot blow
 # task memory: features below are stable statistics, a 1M-sample prefix
@@ -36,11 +43,15 @@ def sniff_audio_format(data: bytes) -> str:
     return "unknown"
 
 
-def decode_wav(data: bytes) -> tuple[int, int, int, list[float]]:
-    """RIFF/WAVE PCM -> (sample_rate, n_channels, n_frames, mono samples in
-    [-1, 1], first MAX_SAMPLES frames, channels averaged). Raises
-    wave.Error/ValueError/struct.error on non-WAV or compressed input —
-    callers map those to their fallback, mirroring imagecodec."""
+def decode_wav(data: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """RIFF/WAVE PCM -> (sample_rate, n_channels, n_frames, mono float64
+    samples in [-1, 1], first MAX_SAMPLES frames, channels averaged).
+    Raises wave.Error/ValueError/struct.error on non-WAV or compressed
+    input — callers map those to their fallback, mirroring imagecodec.
+
+    Vectorized (r17), value-identical to the scalar loop it replaced:
+    int16/uint8 decode is a reinterpret, the per-frame channel average is
+    an exact small-integer sum followed by the same single division."""
     with wave.open(io.BytesIO(data), "rb") as w:
         sr, nch, width, nframes = (
             w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes(),
@@ -50,31 +61,34 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[float]]:
         take = min(nframes, MAX_SAMPLES)
         raw = w.readframes(take)
     if width == 2:
-        vals = struct.unpack(f"<{len(raw) // 2}h", raw)
+        vals = np.frombuffer(raw, dtype="<i2").astype(np.int64)
         scale = 32768.0
     else:  # 8-bit WAV PCM is unsigned
-        vals = tuple(b - 128 for b in raw)
+        vals = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
         scale = 128.0
     if nch > 1:
-        mono = [
-            sum(vals[i + c] for c in range(nch)) / (nch * scale)
-            for i in range(0, len(vals) - nch + 1, nch)
-        ]
+        frames = vals[: (len(vals) // nch) * nch].reshape(-1, nch)
+        mono = frames.sum(axis=1) / (nch * scale)
     else:
-        mono = [v / scale for v in vals]
+        mono = vals / scale
     return sr, nch, nframes, mono
 
 
-def audio_stats(samples: list[float]) -> tuple[float, float, float]:
-    """(rms, peak, zero_crossing_rate) of a mono sample list; zeros for an
-    empty list. Pure Python on the capped prefix — bounded CPU per file."""
-    n = len(samples)
+def audio_stats(samples) -> tuple[float, float, float]:
+    """(rms, peak, zero_crossing_rate) of a mono sample array; zeros for
+    an empty one. Vectorized over the capped prefix — bounded CPU per
+    file, and EXACT for PCM-derived input (see module docstring: dyadic
+    samples keep every partial sum of squares under 2^53, so numpy's
+    pairwise summation computes the same exact value the sequential
+    Python sum did, and sqrt/abs/max are correctly-rounded per IEEE
+    either way)."""
+    s = np.asarray(samples, dtype=np.float64)
+    n = s.size
     if n == 0:
         return 0.0, 0.0, 0.0
-    rms = (sum(x * x for x in samples) / n) ** 0.5
-    peak = max(abs(x) for x in samples)
-    crossings = sum(
-        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
-    )
+    rms = float((np.dot(s, s) / n) ** 0.5)
+    peak = float(np.max(np.abs(s)))
+    neg = s < 0
+    crossings = int(np.count_nonzero(neg[:-1] != neg[1:]))
     zcr = crossings / (n - 1) if n > 1 else 0.0
     return rms, peak, zcr

@@ -1,7 +1,17 @@
-"""Pure-stdlib image codecs for the multimodal kernels.
+"""Dependency-light image codecs for the multimodal kernels.
 
 This container ships no PIL/ffmpeg, so the image kernels are implemented
-against formats a standard library can fully handle:
+against formats the standard library can fully PARSE; the per-pixel
+kernels (resize, luma, histograms, BMP pixel reorder) are vectorized
+with numpy (r17, guide §4.2 — numpy is already a hard dependency of the
+Arrow/pandas execution path these kernels run inside, and the integer
+arithmetic below is op-for-op identical to the scalar loops it
+replaced, so every output byte/int is unchanged). PNG scanline
+UNFILTERING stays scalar Python: filters 1/3/4 (Sub/Average/Paeth) are
+sequential recurrences along the row, not vectorizable without changing
+evaluation order.
+
+Formats a standard library can fully handle:
 
 - PPM (P6, 8-bit): decode + encode
 - BMP (24-bit uncompressed BI_RGB): decode + encode
@@ -26,6 +36,8 @@ from __future__ import annotations
 
 import struct
 import zlib
+
+import numpy as np
 
 RGB_BPP = 3
 
@@ -101,16 +113,13 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
     stride = (w * RGB_BPP + 3) & ~3
     if len(data) < pixel_offset + stride * h:
         raise ValueError("truncated BMP pixel data")
-    out = bytearray(w * h * RGB_BPP)
-    for row in range(h):
-        # positive height = bottom-up row order
-        src_row = (h - 1 - row) if h_raw > 0 else row
-        base = pixel_offset + src_row * stride
-        dst = row * w * RGB_BPP
-        for x in range(w):
-            b, g, r = data[base + x * 3 : base + x * 3 + 3]
-            out[dst + x * 3 : dst + x * 3 + 3] = bytes((r, g, b))
-    return w, h, bytes(out)
+    # vectorized (r17): strip the row padding, flip bottom-up rows, swap
+    # BGR->RGB — pure reindexing, byte-identical to the scalar loop
+    px = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=pixel_offset)
+    rows = px.reshape(h, stride)[:, : w * RGB_BPP].reshape(h, w, RGB_BPP)
+    if h_raw > 0:  # positive height = bottom-up row order
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1].tobytes()
 
 
 def encode_bmp(w: int, h: int, rgb: bytes) -> bytes:
@@ -120,15 +129,12 @@ def encode_bmp(w: int, h: int, rgb: bytes) -> bytes:
     pixel_bytes = stride * h
     header = b"BM" + struct.pack("<IHHI", 54 + pixel_bytes, 0, 0, 54)
     dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
-    body = bytearray()
-    pad = b"\x00" * (stride - w * RGB_BPP)
-    for row in range(h - 1, -1, -1):  # bottom-up
-        base = row * w * RGB_BPP
-        for x in range(w):
-            r, g, b = rgb[base + x * 3 : base + x * 3 + 3]
-            body += bytes((b, g, r))
-        body += pad
-    return header + dib + bytes(body)
+    # vectorized (r17): RGB->BGR swap, bottom-up row order, right-pad each
+    # row to the 4-byte stride — byte-identical to the scalar loop
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, RGB_BPP)
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * RGB_BPP] = px[::-1, :, ::-1].reshape(h, w * RGB_BPP)
+    return header + dib + body.tobytes()
 
 
 # --- PNG (8-bit truecolor, non-interlaced) ----------------------------------
@@ -203,10 +209,8 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     px = _png_unfilter(raw, w, h, bpp)
     if bpp == 3:
         return w, h, px
-    rgb = bytearray(w * h * RGB_BPP)
-    for i in range(w * h):
-        rgb[i * 3 : i * 3 + 3] = px[i * 4 : i * 4 + 3]
-    return w, h, bytes(rgb)
+    # vectorized RGBA->RGB strip (r17): same bytes, no per-pixel loop
+    return w, h, np.frombuffer(px, dtype=np.uint8).reshape(-1, 4)[:, :3].tobytes()
 
 
 def encode_png(w: int, h: int, rgb: bytes) -> bytes:
@@ -243,30 +247,31 @@ def decode_image(data: bytes) -> tuple[int, int, bytes]:
 
 
 def resize_nearest(w: int, h: int, rgb: bytes, target_w: int, target_h: int) -> bytes:
-    """Nearest-neighbor resample; returns target_w*target_h*3 RGB bytes."""
+    """Nearest-neighbor resample; returns target_w*target_h*3 RGB bytes.
+    Vectorized (r17): the source index per target pixel is the same
+    integer floor-division the scalar loop computed, so the selected
+    bytes are identical."""
     if len(rgb) != w * h * RGB_BPP:
         raise ValueError("rgb length does not match dimensions")
-    out = bytearray(target_w * target_h * RGB_BPP)
-    for ty in range(target_h):
-        sy = ty * h // target_h
-        src_base = sy * w * RGB_BPP
-        dst_base = ty * target_w * RGB_BPP
-        for tx in range(target_w):
-            sx = tx * w // target_w
-            s = src_base + sx * RGB_BPP
-            d = dst_base + tx * RGB_BPP
-            out[d : d + RGB_BPP] = rgb[s : s + RGB_BPP]
-    return bytes(out)
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, RGB_BPP)
+    sy = (np.arange(target_h, dtype=np.int64) * h) // target_h
+    sx = (np.arange(target_w, dtype=np.int64) * w) // target_w
+    return px[sy][:, sx].tobytes()
+
+
+def _luma_u8(rgb_arr: "np.ndarray") -> "np.ndarray":
+    """Integer BT.601 luma per pixel (0..255) over an (n, 3) uint8 array —
+    (299 R + 587 G + 114 B) // 1000 in int64, the exact arithmetic of the
+    scalar kernels it replaced."""
+    v = rgb_arr.astype(np.int64)
+    return (299 * v[:, 0] + 587 * v[:, 1] + 114 * v[:, 2]) // 1000
 
 
 def gray_downsample(w: int, h: int, rgb: bytes, gw: int, gh: int) -> list[int]:
     """Nearest-neighbor downsample to gw*gh, then integer BT.601 luma per
     pixel (0..255). The shared first stage of the perceptual hashes."""
     small = resize_nearest(w, h, rgb, gw, gh)
-    return [
-        (299 * small[i * 3] + 587 * small[i * 3 + 1] + 114 * small[i * 3 + 2]) // 1000
-        for i in range(gw * gh)
-    ]
+    return _luma_u8(np.frombuffer(small, dtype=np.uint8).reshape(-1, RGB_BPP)).tolist()
 
 
 def _to_signed64(v: int) -> int:
@@ -302,11 +307,13 @@ def dhash64(w: int, h: int, rgb: bytes) -> int:
 
 def luminance_histogram(rgb: bytes, bins: int = 64) -> list[float]:
     """Normalized luma (BT.601 integer approximation) histogram — a real,
-    deterministic image feature vector suitable for cosine similarity."""
+    deterministic image feature vector suitable for cosine similarity.
+    Vectorized (r17): integer luma, integer bin index, integer bincount —
+    the exact counts of the scalar loop; the final int/int divisions are
+    the same single float ops."""
     n_px = len(rgb) // RGB_BPP
-    counts = [0] * bins
-    for i in range(n_px):
-        r, g, b = rgb[i * 3 : i * 3 + 3]
-        luma = (299 * r + 587 * g + 114 * b) // 1000  # 0..255
-        counts[luma * bins // 256] += 1
-    return [c / n_px for c in counts] if n_px else [0.0] * bins
+    if not n_px:
+        return [0.0] * bins
+    luma = _luma_u8(np.frombuffer(rgb, dtype=np.uint8)[: n_px * RGB_BPP].reshape(-1, RGB_BPP))
+    counts = np.bincount((luma * bins) // 256, minlength=bins)
+    return [int(c) / n_px for c in counts]

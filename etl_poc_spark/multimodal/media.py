@@ -85,8 +85,10 @@ def decode_image_meta(df: DataFrame, content_col: str = "content", path_col: str
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                data = bytes(row[content_col])
+            # zip over the two columns (r17): pandas iterrows() builds a
+            # Series per row — pure per-row overhead next to the codec work
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(content)
                 decoded = _try_decode(data, strict)
                 if decoded is not None:
                     w, h = decoded[0], decoded[1]
@@ -95,7 +97,7 @@ def decode_image_meta(df: DataFrame, content_col: str = "content", path_col: str
                     w, h = 64 + dig[0] % 192, 64 + dig[1] % 192
                 rows.append(
                     {
-                        "path": str(row[path_col]),
+                        "path": str(path),
                         "n_bytes": len(data),
                         "content_hash": hashlib.md5(data).hexdigest(),
                         "format": _sniff_format(data),
@@ -134,8 +136,8 @@ def resize_image(df: DataFrame, target_w: int = 64, target_h: int = 64,
         n = target_w * target_h * imagecodec.RGB_BPP
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                data = bytes(row[content_col])
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(content)
                 decoded = _try_decode(data, strict)
                 if decoded is not None:
                     w, h, rgb = decoded
@@ -143,7 +145,7 @@ def resize_image(df: DataFrame, target_w: int = 64, target_h: int = 64,
                 else:
                     seed = hashlib.md5(data).digest()
                     payload = (seed * (n // len(seed) + 1))[:n]
-                rows.append({"path": str(row[path_col]), "width": target_w,
+                rows.append({"path": str(path), "width": target_w,
                              "height": target_h, "resized": payload,
                              "decoded": decoded is not None})
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
@@ -174,8 +176,8 @@ def feature_extract(df: DataFrame, dim: int = 64,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                data = bytes(row[content_col])
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(content)
                 decoded = _try_decode(data, strict)
                 if decoded is not None:
                     _w, _h, rgb = decoded
@@ -187,7 +189,7 @@ def feature_extract(df: DataFrame, dim: int = 64,
                         seed = hashlib.md5(seed).digest()
                         vals.extend(b / 255.0 - 0.5 for b in seed)
                     vals = vals[:dim]
-                rows.append({"path": str(row[path_col]), "embedding": vals,
+                rows.append({"path": str(path), "embedding": vals,
                              "decoded": decoded is not None})
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
@@ -323,8 +325,8 @@ def decode_audio_features(df: DataFrame, content_col: str = "content",
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                data = bytes(row[content_col])
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                data = bytes(content)
                 fmt = audiocodec.sniff_audio_format(data)
                 try:
                     sr, nch, nframes, mono = audiocodec.decode_wav(data)
@@ -346,7 +348,7 @@ def decode_audio_features(df: DataFrame, content_col: str = "content",
                     decoded = False
                 rows.append(
                     {
-                        "path": str(row[path_col]),
+                        "path": str(path),
                         "n_bytes": len(data),
                         "content_hash": hashlib.md5(data).hexdigest(),
                         "format": fmt,

@@ -114,6 +114,7 @@ def cap_buckets(
     banded: DataFrame,
     bucket_cols: list[str],
     max_bucket_size: int,
+    min_bucket_size: int = 1,
 ) -> DataFrame:
     """Drop every row belonging to a bucket with more than `max_bucket_size`
     members (left-semi join against the under-cap bucket list).
@@ -123,9 +124,22 @@ def cap_buckets(
     yields m*(m-1)/2 candidate pairs. Capping bounds the worst case at
     n_buckets * cap^2 / 2 regardless of corpus skew — the standard web-scale
     LSH guard (oversized buckets are near-certainly boilerplate, not real
-    near-duplicates worth pairing)."""
+    near-duplicates worth pairing).
+
+    `min_bucket_size=2` (r17, guide §3.2 "reduce the big side before
+    shuffling it"): PAIR-FORMING callers also drop singleton buckets —
+    a bucket with one member can never produce a pair, and at realistic
+    band widths (65k values per simhash band, full minhash band_vals)
+    the overwhelming majority of buckets are singletons, so the
+    self-join's shuffle shrinks by roughly the non-duplicate fraction of
+    the corpus with a provably identical pair set. The size aggregate
+    was already being computed for the cap; the extra predicate is free.
+    Leave the default 1 for callers that consume capped rows as
+    members/sets rather than joining them pairwise."""
     sizes = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
-    ok = sizes.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+    ok = sizes.filter(
+        (F.col("__bsz") <= max_bucket_size) & (F.col("__bsz") >= min_bucket_size)
+    ).drop("__bsz")
     return banded.join(ok, bucket_cols, "left_semi")
 
 
@@ -158,7 +172,12 @@ def lsh_candidate_pairs(
     # callers drop it with operators.pins.release_pins() after their action
     banded = pin(banded)
     if max_bucket_size is not None:
-        banded = cap_buckets(banded, ["band", "band_val"], max_bucket_size)
+        # min_bucket_size=2 (r17): singleton buckets can't form a pair —
+        # dropping them shrinks both self-join sides for free (the size
+        # aggregate already runs for the cap); pair set provably identical
+        banded = cap_buckets(
+            banded, ["band", "band_val"], max_bucket_size, min_bucket_size=2
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -287,7 +306,11 @@ def simhash64_near_dup_pairs(
     # tracked so callers can release_pins() after their action
     banded = pin(banded)
     if max_bucket_size is not None:
-        banded = cap_buckets(banded, ["band", "band_val"], max_bucket_size)
+        # min_bucket_size=2 (r17): see lsh_candidate_pairs — singleton
+        # buckets (the vast majority at 65k values/band) can't form pairs
+        banded = cap_buckets(
+            banded, ["band", "band_val"], max_bucket_size, min_bucket_size=2
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -25,6 +25,32 @@ from pyspark.sql import DataFrame
 
 _PINNED: list[DataFrame] = []
 
+# Process-level trained-model memos (kmeans centroids, PQ codebooks, BPE
+# merges) registered by the query modules that own them. They exist so a
+# long-lived SESSION (gates, entry, production serving) trains once per
+# data fingerprint — but a BENCHMARK that keeps them warm across its
+# repeated runs amortizes training out of runs 2..N and publishes medians
+# that understate cold-run cost (r16 verdict item 3). bench.py and
+# tools/time_query.py call clear_memos() between timed runs so every run
+# pays training; nothing else should call it.
+_MEMOS: list[dict] = []
+
+
+def register_memo(memo: dict) -> dict:
+    """Track a process-level model memo dict for clear_memos()."""
+    _MEMOS.append(memo)
+    return memo
+
+
+def clear_memos() -> int:
+    """Empty every registered model memo; returns how many held entries."""
+    n = 0
+    for m in _MEMOS:
+        if m:
+            n += 1
+            m.clear()
+    return n
+
 
 def pin(df: DataFrame) -> DataFrame:
     """Persist `df` and track it for a later release_pins()."""

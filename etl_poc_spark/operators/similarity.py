@@ -567,6 +567,51 @@ def _assign_centroid_two_level(
     return df.select(id_col, vec_col).mapInPandas(fn, schema=out_schema)
 
 
+def _assign_explode_vec(
+    df: DataFrame, centroids, id_col: str, vec_col: str
+) -> DataFrame:
+    """(cluster, i, __x) rows for the Lloyd UPDATE: the _assign_centroid
+    nprobe=1 kernel (identical numpy ops — normalize, matmul against the
+    unit centroid matrix, first-max argmax) with the whole vector CARRIED
+    on the output row, positionally exploded in the JVM. r17 (guide
+    §2.4): the update previously re-joined the assignment back to the
+    corpus by id — a second full scan plus an id-keyed shuffle per
+    iteration — when the vector was already in the assigner's hands.
+    float32→float64 widening is exact and _DEC_PROD casts to double
+    before the decimal rounding either way, so the per-(cluster, dim)
+    decimal sums are bit-identical to the joined shape."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cunit = cmat / cnorm[:, None]
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("__v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].apply(lambda a: np.asarray(a, dtype=np.float64)))
+            vn = np.linalg.norm(v, axis=1)
+            vn[vn == 0] = 1.0
+            sims = (v / vn[:, None]) @ cunit.T
+            besti = np.argmax(sims, axis=1)  # first-max, as _assign_centroid
+            yield pd.DataFrame({"cluster": besti.astype("int32"), "__v": list(v)})
+
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(fn, schema=out_schema)
+        .select("cluster", F.posexplode("__v").alias("i", "__x"))
+    )
+
+
 def train_kmeans_centroids(
     base: DataFrame,
     n_centroids: int = 16,
@@ -604,10 +649,14 @@ def train_kmeans_centroids(
     centroids = [list(map(float, r[0])) for r in init_rows]
     dim = len(centroids[0])
     for _ in range(n_iters):
-        assigned = _assign_centroid(base, centroids, id_col, vec_col, nprobe=1)
+        # r17 (guide §2.4): assignment CARRIES the vector, so the update
+        # is one scan + one aggregation per iteration — the previous
+        # `base.join(assigned, id)` shape paid a second corpus scan and an
+        # id-keyed join shuffle per iteration for values the assigner
+        # already held. Decimal sums over identical groups of identical
+        # doubles → bit-identical centroids (oracle replays unchanged).
         sums = (
-            base.join(assigned, id_col)
-            .select("cluster", F.posexplode(F.col(vec_col)).alias("i", "__x"))
+            _assign_explode_vec(base, centroids, id_col, vec_col)
             .groupBy("cluster", "i")
             .agg(
                 (
@@ -691,10 +740,10 @@ def train_kmeans_centroids_minibatch(
     run_sum = [[0.0] * dim for _ in range(k)]
     for it in range(n_iters):
         batch = sample.where(F.col("__mb") == it)
-        assigned = _assign_centroid(batch, centroids, id_col, vec_col, nprobe=1)
+        # r17: carried-vector assignment — no re-attach join per minibatch
+        # (see _assign_explode_vec; decimal sums bit-identical)
         rows = (
-            batch.join(assigned, id_col)
-            .select("cluster", F.posexplode(F.col(vec_col)).alias("i", "__x"))
+            _assign_explode_vec(batch, centroids, id_col, vec_col)
             .groupBy("cluster", "i")
             .agg(
                 F.sum(F.expr(_DEC_PROD.format(x="__x", y="1.0"))).cast("double").alias("s"),
@@ -762,19 +811,92 @@ def train_pq_codebooks(
     m codebooks of k centroids each — the whole model is m*k*(dim/m)
     floats, a few KB, the only thing that ever reaches the driver.
 
-    Each training pass projects the corpus to one subspace with a pure
-    Column slice — vectors never leave their partitions; the m passes are
-    narrow scans plus the trainer's bounded aggregations."""
-    dim = len(base.select(vec_col).first()[0])
+    r17 (guide §2.4 / §1.2): the m subspace trainings are INDEPENDENT, so
+    they fold into ONE distributed job per Lloyd iteration — a single
+    Arrow-batched pass assigns every subvector in all m codebooks at once
+    (same normalize/matmul/first-max kernel per subspace as the sliced
+    `_assign_centroid` path, identical floats), carries the vector, and
+    one (s, cluster, dim) decimal aggregation updates every codebook.
+    Init is ONE TakeOrdered collect of the k id-smallest vectors, sliced
+    driver-side (float32→Python-float conversion is the same whether the
+    slice happens in a Column or on the collected list). The previous
+    shape paid m separate trainings: m init jobs + m per-iteration
+    assign+join+aggregate jobs (2m+1 corpus-facing jobs at m=16 vs 2
+    now), each with its own scan. Codebooks are bit-identical — the
+    per-subspace groups, assignment argmaxes, and decimal means are the
+    same numbers under either grouping (the unrolled DuckDB oracle
+    replays unchanged)."""
+    import numpy as np
+    import pandas as pd
+
+    init_rows = base.orderBy(id_col).limit(k).select(vec_col).collect()
+    if not init_rows:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    full = [list(map(float, r[0])) for r in init_rows]
+    dim = len(full[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = []
-    for s in range(m):
-        sliced = base.select(
-            F.col(id_col), F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col)
+    books = [[vec[s * sub : (s + 1) * sub] for vec in full] for s in range(m)]
+    out_schema = T.StructType(
+        [
+            T.StructField("__cl", T.ArrayType(T.IntegerType())),
+            T.StructField("__v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    for _ in range(n_iters):
+        units = []
+        for book in books:
+            cmat = np.asarray(book, dtype=np.float64)
+            cn = np.linalg.norm(cmat, axis=1)
+            cn[cn == 0] = 1.0
+            units.append(cmat / cn[:, None])
+
+        def fn(batches, units=units):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(
+                    pdf[vec_col].apply(lambda a: np.asarray(a, dtype=np.float64))
+                )
+                cl = np.empty((len(v), m), dtype=np.int32)
+                for s in range(m):
+                    sv = v[:, s * sub : (s + 1) * sub]
+                    svn = np.linalg.norm(sv, axis=1)
+                    svn[svn == 0] = 1.0
+                    sims = (sv / svn[:, None]) @ units[s].T
+                    cl[:, s] = np.argmax(sims, axis=1)  # first-max tie-break
+                yield pd.DataFrame({"__cl": list(cl), "__v": list(v)})
+
+        # i/sub is exact in double for these tiny nonneg ints, so the
+        # cast-to-int truncation IS integer division
+        s_col = (F.col("i") / F.lit(sub)).cast("int")
+        rows = (
+            base.select(id_col, vec_col)
+            .mapInPandas(fn, schema=out_schema)
+            .select("__cl", F.posexplode("__v").alias("i", "__x"))
+            .select(
+                s_col.alias("s"),
+                F.element_at("__cl", s_col + 1).alias("cluster"),
+                (F.col("i") % sub).alias("si"),
+                "__x",
+            )
+            .groupBy("s", "cluster", "si")
+            .agg(
+                (
+                    F.sum(F.expr(_DEC_PROD.format(x="__x", y="1.0"))).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .collect()
         )
-        books.append(train_kmeans_centroids(sliced, k, n_iters, id_col, vec_col))
+        new_books = [[list(cw) for cw in book] for book in books]
+        by: dict = {}
+        for r in rows:
+            by.setdefault((r["s"], r["cluster"]), [0.0] * sub)[r["si"]] = r["c"]
+        for (s, cid), vec in by.items():
+            new_books[s][cid] = vec  # untouched (empty) clusters keep init
+        books = new_books
     return books
 
 
@@ -984,8 +1106,12 @@ def semdedup(
         assigned = _assign_centroid(
             corpus, centroids, id_col, vec_col, nprobe=1, with_sim=with_sim
         )
+    # min_bucket_size=2 (r17): `pairable` exists only to FORM PAIRS (both
+    # verify modes); a 1-member cluster contributes none, so dropping
+    # singletons shrinks the pair-stage input with an identical pair set —
+    # the kept/dropped flags come from `assigned`, which stays uncapped.
     pairable = (
-        cap_buckets(assigned, ["cluster"], max_cluster_size)
+        cap_buckets(assigned, ["cluster"], max_cluster_size, min_bucket_size=2)
         if max_cluster_size is not None
         else assigned
     )

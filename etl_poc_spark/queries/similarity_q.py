@@ -20,7 +20,9 @@ from etl_poc_spark.registry import query
 # process retrains if the data at the same path is regenerated — serving
 # centroids trained on the old table would silently drift from an oracle
 # trained on the new one.
-_KMEANS_MODELS: dict[tuple, list[list[float]]] = {}
+from etl_poc_spark.operators.pins import register_memo as _register_memo
+
+_KMEANS_MODELS: dict[tuple, list[list[float]]] = _register_memo({})
 
 
 def _model_key(sf_dir: str) -> tuple:
@@ -324,7 +326,7 @@ _PQ_M = 16  # subspaces
 _PQ_SUB = 4  # dims per subspace (64 / 16)
 _PQ_K = 64  # codewords per subspace
 
-_PQ_MODELS: dict[tuple, list[list[list[float]]]] = {}
+_PQ_MODELS: dict[tuple, list[list[list[float]]]] = _register_memo({})
 
 
 def _pq_sub_sql(s: int) -> str:
@@ -551,7 +553,7 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trained-on-corpus quantizer cache (distinct from _KMEANS_MODELS: SemDeDup
 # trains on the duplicated corpus, not the base split); same data-fingerprint
 # key so regenerated testdata retrains
-_SEMDEDUP_MODELS: dict[tuple, list[list[float]]] = {}
+_SEMDEDUP_MODELS: dict[tuple, list[list[float]]] = _register_memo({})
 
 _SEMDEDUP_K = 64  # coarse clusters: pair work is sum(c^2)/2 per cluster
 _SEMDEDUP_CLUSTER_CAP = 2000  # degenerate-cluster guard (inert at test SFs)
@@ -714,7 +716,7 @@ def semdedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # separate cache: the production path trains with the minibatch trainer at
 # adaptive k, a different model from the oracle-demo 64-centroid quantizer
-_SEMDEDUP_PROD_MODELS: dict[tuple, list[list[float]]] = {}
+_SEMDEDUP_PROD_MODELS: dict[tuple, list[list[float]]] = _register_memo({})
 
 
 @query("semdedup_flags_adaptive_float")

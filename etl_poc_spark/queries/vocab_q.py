@@ -262,7 +262,9 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts, lexicographic tie-break), keyed by a mtime+size fingerprint of
 # the documents parquet (the similarity_q.py centroid-cache pattern) so a
 # long-lived process retrains when the table regenerates
-_BPE_MODELS: dict[tuple, list[tuple[str, str, int]]] = {}
+from etl_poc_spark.operators.pins import register_memo as _register_memo
+
+_BPE_MODELS: dict[tuple, list[tuple[str, str, int]]] = _register_memo({})
 
 
 def _bpe_key(sf_dir: str) -> tuple:

@@ -25,7 +25,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from etl_poc_spark import registry
-    from etl_poc_spark.operators.pins import release_pins
+    from etl_poc_spark.operators.pins import clear_memos, release_pins
     from etl_poc_spark.session import get_spark
 
     registry.load_all()
@@ -42,6 +42,7 @@ def main() -> None:
             fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
             release_pins()
+            clear_memos()  # r17: trained models retrain every run, like bench.py
             spark.catalog.clearCache()
         med = sorted(runs)[len(runs) // 2]
         print(
