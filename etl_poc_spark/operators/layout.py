@@ -284,11 +284,18 @@ def compact_files(
     df = spark.read.parquet(path)
     # r16: ONE scan yields both pre-stats (was two — a distinct-count of
     # input_file_name plus a separate count; guide §1.2 "don't compute
-    # things twice"). The per-file aggregate is metadata-weight: one row
-    # per file to the driver.
-    per_file = df.groupBy(F.input_file_name()).count().collect()
-    files_before = len(per_file)
-    n_rows = sum(r["count"] for r in per_file)
+    # things twice"). r17 (ADVICE r16): the per-file rows fold to the two
+    # scalars DISTRIBUTED-side — the driver collects one 2-column row,
+    # not one row per file, so driver memory stays O(1) at the docstring's
+    # millions-of-small-files scale.
+    row = (
+        df.groupBy(F.input_file_name())
+        .count()
+        .agg(F.count(F.lit(1)).alias("nf"), F.sum("count").alias("nr"))
+        .collect()[0]
+    )
+    files_before = int(row["nf"])
+    n_rows = int(row["nr"]) if row["nr"] is not None else 0
     k = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
 
     staging = f"{path}__compact_staging"
@@ -306,5 +313,15 @@ def compact_files(
             f"compact_files: swap rename failed — restore manually by "
             f"renaming {staging!r} to {path!r}"
         )
-    files_after = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    # r17: files_after from a FILESYSTEM LISTING, not a full post-swap
+    # scan + distinct + count of the data it just wrote. Spark's parquet
+    # committer creates a part file only for non-empty tasks, so the
+    # visible-data-file count IS the distinct-input_file_name count the
+    # old probe computed — for zero data bytes read (guide §1.2).
+    files_after = sum(
+        1
+        for st in fs.listStatus(P(path))
+        if st.isFile()
+        and not st.getPath().getName().startswith(("_", "."))
+    )
     return {"files_before": files_before, "files_after": files_after, "n_rows": n_rows}

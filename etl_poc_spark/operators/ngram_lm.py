@@ -75,14 +75,16 @@ def train_bigram_lm(
     fold in-plan via a broadcast crossJoin."""
     from etl_poc_spark.operators.pins import pin
 
-    w = docs.select(words_col(text_col).alias("words"))
-    # r16: the bigram explode feeds BOTH count tables — pinned so the
-    # tokenize+explode over the training corpus runs once, not once per
-    # aggregate (guide §1.2). Tracked pin, released via release_pins().
-    pairs = pin(
-        w.where(F.size("words") >= 2).select(
-            F.explode(_bigram_structs()).alias("p")
-        )
+    # r17 (ADVICE r16): pin the PRE-explode token-array frame — all three
+    # outputs (both count tables and vocab_size) derive from it, so the
+    # regex tokenize over the corpus runs once, while the cached bytes are
+    # one array row per document instead of one row per bigram occurrence
+    # (the corpus-dominant intermediate the r16 pin persisted; at scale
+    # its MEMORY_AND_DISK spill write+read can cost more than re-running
+    # the in-codegen transform+explode it saves).
+    w = pin(docs.select(words_col(text_col).alias("words")))
+    pairs = w.where(F.size("words") >= 2).select(
+        F.explode(_bigram_structs()).alias("p")
     )
     bigram_counts = pairs.groupBy(F.col("p.bigram").alias("bigram")).agg(
         F.count(F.lit(1)).alias("c_bi")

@@ -50,6 +50,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
     checkpoint_every: int | None = None,
+    cut_every: int = 1,
 ) -> DataFrame:
     """Ranks for every vertex appearing in `edges` (directed, unweighted;
     parallel edges count once). Returns (vertex, rank) with sum(rank)=1
@@ -58,16 +59,31 @@ def pagerank(
     checkpoint_dir: when set, per-iteration state is checkpointed reliably
     to this fault-tolerant directory (survives executor loss); when None,
     executor-local checkpoint (fast, not fault-tolerant).
-    checkpoint_every: deprecated and ignored (state is now cut exactly once
-    per iteration); accepted for one release for caller compatibility.
+    checkpoint_every: deprecated and ignored; accepted for one release
+    for caller compatibility.
+    cut_every: checkpoint (materialize) the rank state every this many
+    iterations; in between, the state is lazily PINNED instead. r17
+    measured the guide-§5 lineage-cap-vs-job-overhead trade at k=1/2/5
+    on supplier_pagerank (5 iterations, pin-cold 3-run medians, one
+    session): k=1 → 7.4s, k=2 → 9.4s, k=5 → 11.6s — the per-iteration
+    eager cut WINS here, because every un-cut iteration's subplan is
+    referenced by two consumers (the contribs join and the dangling
+    broadcast build) and the nested re-evaluation costs more than the
+    checkpoint job it saves. Default stays 1 (the r16 shape); the knob
+    remains for cluster deployments where a checkpoint is a distributed
+    write and the trade can flip. The rank ADDENDS are unchanged under
+    any k — chaining changes when materialization happens, not what is
+    summed (round(rank, 9) + the adversarial gate pin that invariance).
     """
     if checkpoint_every is not None:
         warnings.warn(
             "pagerank(checkpoint_every=...) is deprecated and ignored; "
-            "state is checkpointed once per iteration",
+            "see cut_every",
             DeprecationWarning,
             stacklevel=2,
         )
+    if cut_every < 1:
+        raise ValueError("cut_every must be >= 1")
     # pin the deduped edge list: verts, out_deg, and EVERY iteration's
     # contribs join read it — unpinned, each of those re-executes the
     # caller's edge-building lineage (a fact-table join for the registered
@@ -108,8 +124,8 @@ def pagerank(
         verts.join(out_deg, verts.vertex == out_deg.od_src, "left").drop("od_src")
     )
     state = vd.select("vertex", "deg", F.lit(1.0 / n).alias("rank"))
-    for _ in range(n_iter):
-        state = _cut(state)
+    for it in range(n_iter):
+        state = _cut(state) if it % cut_every == 0 else pin(state)
         contribs = (
             state.where(F.col("deg").isNotNull())
             .join(e, F.col("vertex") == e.src)

@@ -109,26 +109,54 @@ def _write_fragmented_orders(orders: DataFrame, staged: str) -> None:
     """The deterministic fragmented layout both layout queries build:
     hot priorities (1-*/2-*) as _R_FRAGMENTED-row files, the rest as
     _R_HEALTHY-row files — one writer task per group, so every partition
-    holds exactly ⌈n/R⌉ files (R rows each + the n mod R remainder)."""
+    holds exactly ⌈n/R⌉ files (R rows each + the n mod R remainder).
+
+    r17 (guide §2.6): the two writes are INDEPENDENT Spark jobs whose
+    only ordering was the driver calling them sequentially — they now run
+    from a 2-thread pool so the second job's tasks back-fill executors
+    freed by the first job's tail. Concurrent appends into ONE output
+    path would share the Hadoop committer's staging dirs, so each job
+    writes its own root and the disjoint o_orderpriority=... partition
+    dirs are then RENAMED into `staged` (metadata-only moves; the file
+    contents, names-within-partitions, and the ⌈n_p/R⌉ roll the oracle's
+    closed form needs are untouched)."""
+    import os
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
     hot = F.col("o_orderpriority").startswith("1") | F.col(
         "o_orderpriority"
     ).startswith("2")
-    for pred, r in ((hot, _R_FRAGMENTED), (~hot, _R_HEALTHY)):
+
+    def write_one(job: tuple) -> str:
+        pred, r, root = job
         (
             orders.filter(pred)
             # r16: hash-repartition BY THE PARTITION COLUMN (was
             # repartition(1)) — each priority lands wholly in one task, so
             # maxRecordsPerFile still rolls exactly ⌈n_p/R⌉ files per
             # partition dir (the determinism the oracle closed form needs),
-            # but distinct priorities now write in parallel instead of
-            # serializing through a single task (guide §2.5 input-skew
-            # shape: the one-task write was a self-inflicted straggler).
+            # but distinct priorities write in parallel instead of
+            # serializing through a single task (guide §2.5).
             .repartition(F.col("o_orderpriority"))
             .write.mode("append")
             .option("maxRecordsPerFile", r)
             .partitionBy("o_orderpriority")
-            .parquet(staged)
+            .parquet(root)
         )
+        return root
+
+    jobs = [
+        (hot, _R_FRAGMENTED, staged + "__hot"),
+        (~hot, _R_HEALTHY, staged + "__cold"),
+    ]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        roots = list(pool.map(write_one, jobs))
+    for root in roots:
+        for name in os.listdir(root):
+            if name.startswith("o_orderpriority="):
+                os.rename(os.path.join(root, name), os.path.join(staged, name))
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @query(
@@ -231,11 +259,28 @@ def exact_dedup_store_compaction_stats(spark: SparkSession, sf_dir: str) -> Data
     store = tempfile.mkdtemp(prefix="fp_store_") + "/store"
     try:
         b = hash_bucket(F.col("doc_id"), 3, "cstore")
-        for i in range(3):
+
+        def ingest(i: int) -> None:
             incremental_exact_dedup_ingest(
                 spark, d.filter(b == i), store, ["text"],
                 id_col="doc_id", hash_mode="md5", batch_tag=f"b{i}",
             )
+
+        # r17 (guide §2.6 + r16 verdict item 4): batch 0 ingests alone
+        # (it CREATES the store — a concurrent reader could catch the dir
+        # existing with zero visible files and fail schema inference),
+        # then batches 1 and 2 overlap from a 2-thread pool. Concurrent
+        # DISTINCT tags are inside the store's stated concurrency
+        # contract (tests/test_store_concurrency.py); each batch's
+        # (fp, min_id, n_copies) delta is a pure function of that batch
+        # alone, and the emitted row folds ALL slots associatively, so
+        # the output is bit-identical to the sequential ingest order
+        # (only the discarded per-batch kept-rows frames can differ).
+        from concurrent.futures import ThreadPoolExecutor
+
+        ingest(0)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(ingest, (1, 2)))
         rep = compact_exact_dedup_store(spark, store)
         stats = read_exact_dedup_store(spark, store).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),

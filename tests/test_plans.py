@@ -16,6 +16,43 @@ def formatted_plan(spark, name, sf_dir) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def tree_section(p: str) -> str:
+    """The operator-TREE section of a formatted plan — everything before
+    the per-operator detail blocks (which repeat every operator name once
+    more, so raw substring counts over the whole text double-count)."""
+    import re
+
+    out = []
+    for ln in p.splitlines():
+        if re.match(r"^\(\d+\) ", ln):
+            break
+        out.append(ln)
+    return "\n".join(out)
+
+
+def _tree_depth(ln: str) -> int:
+    import re
+
+    m = re.search(r"[*A-Za-z]", ln)
+    return m.start() if m else 0
+
+
+def window_child_subtree(p: str) -> str:
+    """The child subtree (indented block) of the LAST — i.e. deepest —
+    Window operator in the tree section. Anchors window-over-aggregate
+    assertions structurally (ADVICE r16: a raw text-position check passed
+    even when the aggregate sat in an unrelated subtree)."""
+    lines = tree_section(p).splitlines()
+    idx = max(i for i, ln in enumerate(lines) if "Window" in ln)
+    d = _tree_depth(lines[idx])
+    sub = []
+    for ln in lines[idx + 1 :]:
+        if ln.strip() and _tree_depth(ln) <= d:
+            break
+        sub.append(ln)
+    return "\n".join(sub)
+
+
 def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
     p = formatted_plan(spark, "pricing_summary", sf_dir)
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
@@ -811,7 +848,10 @@ def test_column_profile_is_one_scan_one_expand(spark, sf_dir):
     the two 1-row results meet in a broadcast join — never N scans, never
     a regular aggregate inside the Expand blowup."""
     p = formatted_plan(spark, "orders_column_profile", sf_dir)
-    assert p.count("Scan parquet") == 4  # 2 real scans (tree + detail each)
+    # count scans in the TREE section only (ADVICE r16: the old ==4 over
+    # the whole text encoded the tree+detail duplication, so a harmless
+    # formatting change or future exchange reuse would flip it)
+    assert tree_section(p).count("Scan parquet") == 2
     assert "Expand" in p
     assert "BroadcastNestedLoopJoin" in p  # the 1-row x 1-row stitch
 
@@ -905,13 +945,10 @@ def test_round9_query_plan_shapes(spark, sf_dir):
         p = formatted_plan(spark, name, sf_dir)
         assert "Window" in p and "HashAggregate" in p
         assert "NestedLoop" not in p and "CartesianProduct" not in p
-        # the Window's child subtree contains an Aggregate: a HashAggregate
-        # detail (deeper operator = printed earlier) precedes the last
-        # Window mention. (r16: the old phrasing checked the text AFTER the
-        # last Window, which only worked while a final cosmetic sort sat
-        # above the Window — that sort is gone per guide §2.4.)
-        head = p[: p.rindex("Window")]
-        assert "HashAggregate" in head
+        # structural anchor (ADVICE r16): the deepest Window's own child
+        # subtree must contain the aggregate — a text-position check could
+        # pass on a HashAggregate in an unrelated branch
+        assert "HashAggregate" in window_child_subtree(p)
 
 
 def test_yaml_entity_resolution_and_association_rules_ops(spark):
