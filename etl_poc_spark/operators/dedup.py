@@ -736,11 +736,16 @@ def winnow_shared_pairs(
     # once per join side (the exchanges differ, so Spark cannot reuse
     # them); now it runs once and shuffles once, on fp_hash. The pin keeps
     # the capped index from re-running for the self-join's two sides.
+    # r17: also drop document-frequency-1 fingerprints — the index here
+    # feeds ONLY the pair self-join (n_shared counts intersections), and a
+    # fingerprint held by a single doc can never be shared, so the join
+    # inputs shrink by the unique-fingerprint majority with an identical
+    # pair set (guide §3.2).
     idx = pin(
         fps.withColumn(
             "__df", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
         )
-        .filter(F.col("__df") <= max_df)
+        .filter((F.col("__df") <= max_df) & (F.col("__df") >= 2))
         .drop("__df")
     )
     a = idx.select(F.col("fp_hash"), F.col(id_col).alias("id_a"))

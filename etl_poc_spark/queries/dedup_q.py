@@ -214,16 +214,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one count over the shingle window partition instead of groupBy + a
     # semi-join back — the shingle explode used to execute once per join
     # side before the pin could even materialize; now it runs once.
+    # keep __df on the pinned index: `sizes` must count the FULL capped
+    # shingle space (the jaccard denominators), but the self-join sides
+    # below additionally drop document-frequency-1 shingles — a shingle
+    # held by one doc can't intersect, so `inter` is provably unchanged
+    # while both join inputs shrink by the unique-shingle majority
+    # (r17, guide §3.2 reduce-before-shuffle).
     sh = pin(
         sh_all.withColumn(
             "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         )
         .filter(F.col("__df") <= 50)
-        .drop("__df")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    shared = sh.filter(F.col("__df") >= 2)
+    a = shared.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = shared.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
         a.join(b, ["shingle"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -283,16 +289,18 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_all = shingle_docs(corpus, "doc_id", "text", shingle_words=5)
     # r16: same window-partition DF cap as ngram_jaccard_pairs — one
     # shingle-explode pass instead of one per semi-join side (guide §2.4).
+    # same split as ngram_jaccard_pairs (r17): sizes read the full capped
+    # index; the self-join sides drop DF-1 shingles (no possible pair)
     sh = pin(
         sh_all.withColumn(
             "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         )
         .filter(F.col("__df") <= 50)
-        .drop("__df")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    shared = sh.filter(F.col("__df") >= 2)
+    a = shared.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = shared.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
         a.join(b, ["shingle"])
         .filter(F.col("id_a") < F.col("id_b"))
