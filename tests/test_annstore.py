@@ -27,6 +27,7 @@ def _vecs(spark, ids):
     )
 
 
+@pytest.mark.slow
 def test_store_topk_bit_equal_to_one_shot_ivf(spark, tmp_path):
     from etl_poc_spark.operators.similarity import kmeans_ivf_topk
 
@@ -49,6 +50,7 @@ def test_store_topk_bit_equal_to_one_shot_ivf(spark, tmp_path):
     assert as_rows(got) == as_rows(want)
 
 
+@pytest.mark.slow
 def test_replay_overwrites_own_slot(spark, tmp_path):
     idx, store = str(tmp_path / "idx"), str(tmp_path / "store")
     base = _vecs(spark, range(12))
@@ -82,6 +84,7 @@ def test_retrain_supersedes_with_time_travel(spark, tmp_path):
     assert read_ann_index(spark, idx, as_of=1) == m1  # time travel
 
 
+@pytest.mark.slow
 def test_shrinking_retrain_drops_stale_clusters(spark, tmp_path):
     """A retrain with FEWER centroids must not serve a mixed model: the
     old model's higher cluster keys are never overwritten by the upsert
@@ -131,6 +134,7 @@ def test_postings_carry_model_seq_for_reindex(spark, tmp_path):
     assert all(seqs[i] == 2 for i in range(6, 12))
 
 
+@pytest.mark.slow
 def test_reindex_reassigns_only_stale_slots(spark, tmp_path):
     """The model_seq stamps pay off: after a retrain, reindex rewrites
     exactly the slots holding old-model rows with the CURRENT centroids
@@ -194,6 +198,7 @@ def test_reindex_refuses_unaddressable_stale_rows(spark, tmp_path):
         reindex_ann_store(spark, idx, store)
 
 
+@pytest.mark.slow
 def test_streaming_ann_ingest_and_replay(spark, tmp_path):
     """Streaming twin: micro-batches assign against the persisted index
     and slot their postings by batch id; after the run, ann_store_topk

@@ -10,6 +10,7 @@ import pandas as pd
 import pytest
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     config = {
         "default_model": "stub",
@@ -73,6 +74,7 @@ def stream_events_dir(spark, tmp_path):
     return d
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_stream(spark, stream_events_dir):
     from etl_poc_spark.streaming.stateful import stateful_sessionize
     from etl_poc_spark.streaming.windows import read_events_stream
@@ -147,6 +149,7 @@ def test_jsonl_tail_streaming_datasource_incremental_offsets(spark, tmp_path):
     assert got == {1: "one", 2: "two", 3: "three", 4: "four", 5: "five"}
 
 
+@pytest.mark.slow
 def test_cli_templated_config_render(tmp_path):
     """The reference renders its .yaml.j2 config with [[ var ]]
     placeholders before running (zara_hybrid_etl.py:176-192: jinja with
@@ -251,6 +254,7 @@ def test_cli_var_without_equals_is_usage_error(tmp_path, capsys):
     assert "novalue" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_cli_streaming_lm_monitor_drift_and_heldout(spark, tmp_path):
     """Config-declared STREAMING pipelines through the CLI (round 11):
     the `streaming:` block tails a landing dir and runs a continuous op.
@@ -460,6 +464,7 @@ def test_cli_streaming_dsir_counts(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_cli_streaming_dsir_monitor(spark, tmp_path):
     """Config-declared DSIR drift monitor: the target dataset seeds the
     reference model once, each micro-batch scores against it relative to

@@ -39,6 +39,7 @@ def _ingest_exact(spark, store, docs, tag):
     )
 
 
+@pytest.mark.slow
 def test_exact_dedup_compaction_reads_bit_equal(spark, tmp_path):
     """Fold-of-folds equivalence: a store compacted mid-history reads
     exactly like its never-compacted twin — including ingests that land
@@ -72,6 +73,7 @@ def test_exact_dedup_compaction_reads_bit_equal(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_multi_generation_compaction_and_vacuum(spark, tmp_path):
     from etl_poc_spark.operators.incremental import (
         compact_exact_dedup_store,
@@ -197,6 +199,7 @@ def test_batch_id_replay_against_loose_store_raises(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_bigram_lm_store_compaction_bit_equal(spark, tmp_path):
     from etl_poc_spark.operators.ngram_lm import (
         compact_bigram_lm_store,
@@ -227,6 +230,7 @@ def test_bigram_lm_store_compaction_bit_equal(spark, tmp_path):
     assert _rows(bi_x, "bigram", "c_bi") == _rows(bi_y, "bigram", "c_bi")
 
 
+@pytest.mark.slow
 def test_line_and_span_store_compaction_bit_equal(spark, tmp_path):
     from etl_poc_spark.operators.linededup import (
         compact_line_dedup_store,
@@ -264,6 +268,7 @@ def test_line_and_span_store_compaction_bit_equal(spark, tmp_path):
         assert _rows(ra, *cols) == _rows(oa, *cols), fam
 
 
+@pytest.mark.slow
 def test_near_dup_band_store_compaction_set_equal(spark, tmp_path):
     """The SET-store fold (agg=[] → DISTINCT): compacting the band store
     must leave every semi-join verdict unchanged — kept outputs for
@@ -291,6 +296,7 @@ def test_near_dup_band_store_compaction_set_equal(spark, tmp_path):
     assert _rows(ka, "doc_id") == _rows(kb, "doc_id") == [(13,)]
 
 
+@pytest.mark.slow
 def test_dsir_badwords_doremi_store_compaction_bit_equal(spark, tmp_path):
     from etl_poc_spark.operators.curation import (
         compact_badwords_store,

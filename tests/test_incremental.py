@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_poc_spark.operators.incremental import incremental_near_dup_ingest
@@ -68,6 +70,7 @@ def test_incremental_ingest_short_docs_pass_through(spark, tmp_path):
     assert [r["doc_id"] for r in kept2.collect()] == [3]
 
 
+@pytest.mark.slow
 def test_streaming_ingest_matches_sequential_batches(spark, tmp_path):
     """A 2-file stream through streaming_near_dup_ingest keeps the same ids
     as two sequential batch ingests (maxFilesPerTrigger=1 -> one micro-batch
@@ -261,6 +264,7 @@ def test_incremental_join_view_random_interleavings(spark, tmp_path):
         assert got == want, f"trial {trial}: {len(got)} vs {len(want)} rows"
 
 
+@pytest.mark.slow
 def test_near_dup_ingest_batch_id_replay_is_idempotent(spark, tmp_path):
     """A replayed batch_id-keyed near-dup ingest (the streaming seam) must
     recompute the SAME kept rows — the store read excludes the batch's own
@@ -313,6 +317,7 @@ def test_float_cosine_zero_norm_guard(spark):
     assert all(not math.isnan(v) and not math.isinf(v) for v in got.values())
 
 
+@pytest.mark.slow
 def test_versioned_ivm_equals_rebuild_with_deletes_and_updates(spark, tmp_path):
     """IVM over VERSIONED bases: after every maintenance run — covering
     inserts, updates, base-key deletion (right-to-be-forgotten), and a
@@ -407,6 +412,7 @@ def test_versioned_ivm_equals_rebuild_with_deletes_and_updates(spark, tmp_path):
     assert st["left_seq"] == len(U._list_commits(spark, ldir))
 
 
+@pytest.mark.slow
 def test_versioned_agg_ivm_equals_rebuild_with_deletes_and_updates(spark, tmp_path):
     """Aggregate IVM: after every maintenance run — inserts, measure
     updates, a GROUP-changing update (retract under the old group,
@@ -541,6 +547,7 @@ def test_incremental_bigram_lm_store_folds_bit_equal(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_versioned_agg_ivm_random_interleavings(spark, tmp_path):
     """Seeded-random batch schedules against the versioned base —
     inserts, measure updates, within-partition group moves, and key
@@ -609,6 +616,7 @@ def test_versioned_agg_ivm_random_interleavings(spark, tmp_path):
             assert got == want, f"trial {trial} seq {seq}"
 
 
+@pytest.mark.slow
 def test_streaming_perplexity_monitor_drift_and_replay(spark, tmp_path):
     """Drift monitor: batch 0 has no prior LM (n_scored=0); an
     in-distribution batch scores LOW mean_nll against the accumulated
@@ -674,6 +682,7 @@ def test_streaming_perplexity_monitor_drift_and_replay(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_perplexity_monitor_crash_recovery_converges(spark, tmp_path):
     """Crash-sim for the streaming LM store + drift monitor (the
     recovery contract in perplexity_monitor_handle_batch's docstring):

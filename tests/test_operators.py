@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_poc_spark.functions.text import slugify, word_count
@@ -1393,6 +1395,7 @@ def test_asof_join_bucketed_matches_plain(spark):
         assert a == b, f"mismatch for {kw}"
 
 
+@pytest.mark.slow
 def test_asof_join_bucketed_beats_plain_on_whale_key(spark):
     """One key holding ~50% of all rows: the plain window serializes that
     key's entire history onto ONE task; the bucketed two-phase splits it

@@ -1014,6 +1014,7 @@ def test_exact_dedup_ingest_tagged_replay_is_idempotent(spark, tmp_path):
     assert state == {1: 3, 3: 1, 11: 1}
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_interval_join_emits_nulls_after_watermark(
     spark, tmp_path
 ):

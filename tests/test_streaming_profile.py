@@ -5,6 +5,8 @@ equals sequential ingest."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -18,6 +20,7 @@ def _profile_dict(df):
     }
 
 
+@pytest.mark.slow
 def test_incremental_profile_matches_batch(spark, tmp_path):
     from etl_poc_spark.streaming.profile import (
         incremental_profile_ingest,
@@ -63,6 +66,7 @@ def test_incremental_profile_matches_batch(spark, tmp_path):
     assert after["id"][0] == before["id"][0] + 1  # counter re-added
 
 
+@pytest.mark.slow
 def test_streaming_profile_equals_sequential(spark, tmp_path):
     import pandas as pd
     import pyarrow as pa

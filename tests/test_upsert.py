@@ -3,6 +3,8 @@ overwrite, first-load bootstrap, update-batch-internal dedup."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -796,6 +798,7 @@ def test_local_claim_primitive_single_winner_under_barrier(spark, tmp_path):
         assert sum(wins) == 1, f"trial {trial}: {wins}"
 
 
+@pytest.mark.slow
 def test_finalize_commit_barrier_race_no_manifest_lost(spark, tmp_path):
     """8 barrier-synchronized writers per trial, 50 trials, racing
     _finalize_commit directly (disjoint partitions, same base): every
@@ -1087,6 +1090,7 @@ def test_lock_claim_rename_failure_releases_own_lock(spark, tmp_path, monkeypatc
     U._LINK_SUPPORT.clear()
 
 
+@pytest.mark.slow
 def test_finalize_commit_barrier_race_degraded_path(spark, tmp_path, monkeypatch):
     """The link-unsupported degrade must survive the SAME 8-writer x
     50-trial barrier suite the link path got (r13 verdict ask #4). The

@@ -433,6 +433,102 @@ def asof_whale_measure(spark, src_sf: str, copies: int, whale_share: float = 0.5
     return out
 
 
+def span_hot_hash_measure(
+    spark, src_sf: str, copies: int, hot_share: float = 0.5
+) -> dict:
+    """Hot window-hash fixture (r16 verdict watch item 5 → r17 ask #10):
+    the r16 span rewrites compute the duplicate verdict as min/max over
+    Window.partitionBy(h) instead of a map-side-combining groupBy(h) +
+    join — a pathologically hot h therefore buffers its WHOLE partition
+    in one window task (AQE cannot split inside a window partition),
+    where the old aggregate pre-combined per map task. This measurement
+    plants a fixed 8-token boilerplate footer on ~hot_share of a
+    `copies`-scaled documents table (every planted doc then shares the
+    footer's window hash — ONE h with ~n·hot_share members) and records
+    wall, max-task duration, and window-operator spill for
+    span_coverage, against the same corpus without the hot phrase.
+    Decision rule: if the hot run's max-task/spill blows up relative to
+    baseline, the salted two-phase verdict guard is warranted; flat
+    readings mean the narrow (id, start, 16-byte-md5) window rows keep
+    the buffer benign at this scale."""
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from etl_poc_spark.io import load_table
+    from etl_poc_spark.operators.spandedup import span_coverage
+
+    base = load_table(spark, src_sf, "documents").select("doc_id", "text")
+    scaled = None
+    for i in range(copies):
+        c = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_STRIDE))
+        scaled = c if scaled is None else scaled.unionByName(c)
+    mod = max(2, int(round(1.0 / hot_share)))
+    footer = " the same eight token boilerplate footer phrase here"
+    hot = scaled.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(mod)) == 0,
+            F.concat(F.col("text"), F.lit(footer)),
+        ).otherwise(F.col("text")),
+    ).persist()
+    n = hot.count()
+    n_hot = hot.filter(F.col("text").endswith(footer)).count()
+    out = {"n_docs": n, "n_hot_docs": n_hot, "runs": {}}
+    _, floor = _max_task_ms(spark, -1)
+
+    def _max_task_and_spill(stage_floor: int) -> tuple[int, int, int, int]:
+        import json as _j
+
+        base_url = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        stages = _j.load(
+            urllib.request.urlopen(
+                f"{base_url}/api/v1/applications/{app}/stages?status=complete"
+            )
+        )
+        mx, last, mem_sp, disk_sp = 0, stage_floor, 0, 0
+        for st in stages:
+            sid = st["stageId"]
+            last = max(last, sid)
+            if sid <= stage_floor:
+                continue
+            mem_sp += int(st.get("memoryBytesSpilled", 0))
+            disk_sp += int(st.get("diskBytesSpilled", 0))
+            try:
+                s = _j.load(
+                    urllib.request.urlopen(
+                        f"{base_url}/api/v1/applications/{app}/stages/{sid}/"
+                        f"{st['attemptId']}/taskSummary?quantiles=1.0"
+                    )
+                )
+                mx = max(mx, int(s["duration"][0]))
+            except Exception:  # noqa: BLE001 — summary not retained; skip
+                continue
+        return mx, last, mem_sp, disk_sp
+
+    def run(label, df):
+        nonlocal floor
+        t0 = time.perf_counter()
+        span_coverage(df, "doc_id", "text", window=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall = round(time.perf_counter() - t0, 1)
+        mx, floor, mem_sp, disk_sp = _max_task_and_spill(floor)
+        out["runs"][label] = {
+            "wall_s": wall,
+            "max_task_s": round(mx / 1000, 1),
+            "memory_spilled_mb": mem_sp // (1024 * 1024),
+            "disk_spilled_mb": disk_sp // (1024 * 1024),
+        }
+        print(json.dumps({label: out["runs"][label]}), flush=True)
+
+    run("baseline", scaled)
+    run("hot_hash", hot)
+    hot.unpersist()
+    return out
+
+
 def commit_contention_measure(
     spark, n_writers: int = 32, histories: tuple[int, ...] = (100, 300, 1000)
 ) -> dict:
@@ -559,6 +655,13 @@ def main() -> int:
         "wall + max-task, ~50%% of rows on one user",
     )
     ap.add_argument(
+        "--span-hot-hash",
+        action="store_true",
+        help="hot window-hash fixture for the r16 span window-verdict "
+        "rewrites: boilerplate footer on ~50%% of scaled documents; "
+        "wall + max-task + spill for span_coverage vs baseline",
+    )
+    ap.add_argument(
         "--commit-contention",
         action="store_true",
         help="multi-writer versioned-commit throughput: 32 disjoint "
@@ -591,6 +694,14 @@ def main() -> int:
         report = asof_whale_measure(spark, args.src, args.copies)
         report["copies"] = args.copies
         print(json.dumps({"asof_whale": report}))
+        return 0
+    if args.span_hot_hash:
+        spark = get_spark(
+            "scale_smoke", extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"}
+        )
+        report = span_hot_hash_measure(spark, args.src, args.copies)
+        report["copies"] = args.copies
+        print(json.dumps({"span_hot_hash": report}))
         return 0
     spark = get_spark("scale_smoke")
     if args.semdedup_realistic:
